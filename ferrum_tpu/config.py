@@ -1,0 +1,247 @@
+"""Engine & runtime configuration with CLI > env > file precedence.
+
+TPU-native analog of the reference's governed config surface:
+  - `EngineConfig::apply_runtime_config_snapshot`
+    (crates/ferrum-types/src/config.rs:62-170): a typed snapshot is
+    installed process-wide so model code never reads os.environ directly.
+  - env registry (`docs/runtime-env-registry.tsv`): every recognized env
+    var is declared here in ENV_REGISTRY with type + default; tests
+    assert no stray os.environ reads elsewhere in the package.
+
+Sources merge with fixed precedence: CLI overrides > FERRUM_* env vars >
+ferrum.toml [runtime] section > dataclass defaults.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import threading
+from dataclasses import dataclass, field
+from typing import Any, Dict, Iterable, Mapping, Optional, Tuple
+
+from .types import InvalidRequestError
+
+# ---------------------------------------------------------------------------
+# Env registry: name -> (field path, python type, description)
+# ---------------------------------------------------------------------------
+
+ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
+    "FERRUM_MAX_NUM_SEQS": ("max_num_seqs", int, "decode slot count (static batch)"),
+    "FERRUM_MAX_NUM_BATCHED_TOKENS": (
+        "max_num_batched_tokens", int, "per-iteration token budget"),
+    "FERRUM_KV_MAX_BLOCKS": ("kv_num_blocks", int, "paged KV block capacity"),
+    "FERRUM_KV_BLOCK_SIZE": ("kv_block_size", int, "tokens per KV block"),
+    "FERRUM_MAX_MODEL_LEN": ("max_model_len", int, "max sequence length"),
+    "FERRUM_PREFILL_CHUNK": ("prefill_chunk_size", int, "max prefill chunk tokens"),
+    "FERRUM_ENABLE_PREFIX_CACHE": ("enable_prefix_cache", bool, "block-hash prefix reuse"),
+    "FERRUM_ENABLE_CHUNKED_PREFILL": ("enable_chunked_prefill", bool, ""),
+    "FERRUM_SCHEDULER": ("scheduler", str, "continuous|fifo|priority"),
+    "FERRUM_KV_DTYPE": ("kv_dtype", str, "bf16|f32|int8"),
+    "FERRUM_DTYPE": ("dtype", str, "activation/weight dtype: bf16|f32"),
+    "FERRUM_QUANT": ("quantization", str, "none|gptq_int4|gguf_q4k"),
+    "FERRUM_TP": ("tensor_parallel", int, "tensor-parallel degree (mesh 'model' axis)"),
+    "FERRUM_DP": ("data_parallel", int, "data-parallel degree (mesh 'data' axis)"),
+    "FERRUM_EP": ("expert_parallel", int, "expert-parallel degree (mesh 'expert' axis)"),
+    "FERRUM_SEED": ("seed", int, "base PRNG seed"),
+    "FERRUM_SCHEDULER_TRACE_JSONL": ("scheduler_trace_path", str,
+                                     "per-iteration scheduler trace JSONL path"),
+    "FERRUM_PROFILE_JSONL": ("profile_path", str, "profile event JSONL path"),
+    "FERRUM_SESSION_CACHE_ENTRIES": ("session_cache_entries", int, ""),
+    "FERRUM_SESSION_CACHE_TOKENS": ("session_cache_tokens", int, ""),
+    "FERRUM_GREEDY_ARGMAX": ("greedy_argmax_device", bool,
+                             "sample greedy tokens on device (no logit readback)"),
+    "FERRUM_SPEC_DRAFT": ("spec_draft_model", str, "draft model for speculative decoding"),
+    "FERRUM_SPEC_K": ("spec_num_tokens", int, "speculative draft length"),
+    "FERRUM_DECODE_BUCKETS": ("decode_bucket_spec", str,
+                              "comma-separated decode batch buckets, e.g. 1,8,32"),
+}
+
+
+def _parse_env_value(raw: str, ty: type) -> Any:
+    if ty is bool:
+        return raw.strip().lower() in ("1", "true", "yes", "on")
+    if ty is int:
+        return int(raw.strip())
+    if ty is float:
+        return float(raw.strip())
+    return raw
+
+
+def snapshot_from_env_vars(pairs: Iterable[Tuple[str, str]]) -> Dict[str, Any]:
+    """Build a field->value dict from explicit (name, value) pairs.
+
+    Takes an iterator instead of reading os.environ so tests never mutate
+    process env (the reference's `from_env_vars` pattern,
+    cuda_decode.rs:54-71).
+    """
+    out: Dict[str, Any] = {}
+    for name, raw in pairs:
+        entry = ENV_REGISTRY.get(name)
+        if entry is None:
+            continue
+        path, ty, _ = entry
+        try:
+            out[path] = _parse_env_value(raw, ty)
+        except ValueError as e:
+            raise InvalidRequestError(f"bad env value {name}={raw!r}: {e}", param=name)
+    return out
+
+
+def snapshot_from_process_env(environ: Optional[Mapping[str, str]] = None) -> Dict[str, Any]:
+    env = os.environ if environ is None else environ
+    return snapshot_from_env_vars((k, v) for k, v in env.items() if k in ENV_REGISTRY)
+
+
+def load_toml_runtime(path: str) -> Dict[str, Any]:
+    """Read the [runtime] table of a ferrum.toml (ref: ferrum.toml [runtime])."""
+    import tomllib
+
+    with open(path, "rb") as f:
+        data = tomllib.load(f)
+    runtime = data.get("runtime", {})
+    out: Dict[str, Any] = {}
+    valid = {f.name for f in dataclasses.fields(EngineConfig)}
+    for k, v in runtime.items():
+        if k in valid:
+            out[k] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# EngineConfig
+# ---------------------------------------------------------------------------
+
+@dataclass
+class EngineConfig:
+    """Engine-wide configuration (ref: ferrum-types/src/config.rs:48).
+
+    All shapes that reach the device are derived from these fields and
+    are static for the lifetime of the engine (XLA compiles once per
+    bucket).
+    """
+
+    model: str = ""
+    tokenizer: Optional[str] = None
+
+    # --- batching / scheduling ---
+    max_num_seqs: int = 32              # decode slots (static device batch)
+    max_num_batched_tokens: int = 2048  # per-iteration token budget
+    max_model_len: int = 4096
+    prefill_chunk_size: int = 512
+    enable_chunked_prefill: bool = True
+    scheduler: str = "continuous"       # continuous | fifo | priority
+
+    # --- KV cache ---
+    kv_num_blocks: int = 0              # 0 = autosize from free HBM
+    kv_block_size: int = 32
+    kv_dtype: str = "bf16"              # bf16 | f32 | int8
+    enable_prefix_cache: bool = True
+
+    # --- numerics / quant ---
+    dtype: str = "bf16"
+    quantization: str = "none"          # none | gptq_int4 | gguf_q4k
+
+    # --- parallelism (mesh axes; 1 = off) ---
+    tensor_parallel: int = 1
+    data_parallel: int = 1
+    expert_parallel: int = 1
+
+    # --- sampling / decoding ---
+    seed: int = 0
+    greedy_argmax_device: bool = True
+    spec_draft_model: Optional[str] = None
+    spec_num_tokens: int = 4
+
+    # --- decode batch buckets (padded compile sizes) ---
+    decode_bucket_spec: str = ""        # "" = single bucket at max_num_seqs
+
+    # --- caches / product ---
+    session_cache_entries: int = 64
+    session_cache_tokens: int = 8192
+
+    # --- observability ---
+    scheduler_trace_path: Optional[str] = None
+    profile_path: Optional[str] = None
+
+    def validate(self) -> None:
+        if self.max_num_seqs < 1:
+            raise InvalidRequestError("max_num_seqs must be >= 1", param="max_num_seqs")
+        if self.kv_block_size < 1 or self.kv_block_size & (self.kv_block_size - 1):
+            raise InvalidRequestError(
+                "kv_block_size must be a positive power of two", param="kv_block_size")
+        if self.max_model_len % self.kv_block_size:
+            raise InvalidRequestError(
+                "max_model_len must be a multiple of kv_block_size",
+                param="max_model_len")
+        if self.prefill_chunk_size < self.kv_block_size:
+            raise InvalidRequestError(
+                "prefill_chunk_size must be >= kv_block_size",
+                param="prefill_chunk_size")
+        if self.scheduler not in ("continuous", "fifo", "priority"):
+            raise InvalidRequestError("unknown scheduler", param="scheduler")
+        if self.kv_dtype not in ("bf16", "f32", "int8"):
+            raise InvalidRequestError("unknown kv_dtype", param="kv_dtype")
+        if self.quantization not in ("none", "gptq_int4", "gguf_q4k"):
+            raise InvalidRequestError("unknown quantization", param="quantization")
+
+    @property
+    def decode_buckets(self) -> Tuple[int, ...]:
+        """Padded decode batch sizes, ascending; always ends at max_num_seqs.
+
+        The TPU analog of the reference's CUDA-graph cache keyed by padded
+        batch m (llama_family.rs:36-38): one XLA compilation per bucket.
+        """
+        if not self.decode_bucket_spec:
+            return (self.max_num_seqs,)
+        sizes = sorted({int(s) for s in self.decode_bucket_spec.split(",") if s.strip()})
+        sizes = [s for s in sizes if 0 < s <= self.max_num_seqs]
+        if not sizes or sizes[-1] != self.max_num_seqs:
+            sizes.append(self.max_num_seqs)
+        return tuple(sizes)
+
+    @property
+    def max_blocks_per_seq(self) -> int:
+        return self.max_model_len // self.kv_block_size
+
+    @classmethod
+    def resolve(
+        cls,
+        cli_overrides: Optional[Dict[str, Any]] = None,
+        environ: Optional[Mapping[str, str]] = None,
+        toml_path: Optional[str] = None,
+        **base: Any,
+    ) -> "EngineConfig":
+        """Merge sources with precedence CLI > env > file > defaults."""
+        merged: Dict[str, Any] = dict(base)
+        if toml_path and os.path.exists(toml_path):
+            for k, v in load_toml_runtime(toml_path).items():
+                merged.setdefault(k, v)
+        file_layer = dict(merged)
+        env_layer = snapshot_from_process_env(environ)
+        file_layer.update(env_layer)
+        if cli_overrides:
+            file_layer.update({k: v for k, v in cli_overrides.items() if v is not None})
+        valid = {f.name for f in dataclasses.fields(cls)}
+        cfg = cls(**{k: v for k, v in file_layer.items() if k in valid})
+        cfg.validate()
+        return cfg
+
+
+# ---------------------------------------------------------------------------
+# Process-wide runtime snapshot (ref: RuntimeConfigSnapshot runtime_config.rs:41)
+# ---------------------------------------------------------------------------
+
+_snapshot_lock = threading.Lock()
+_installed_snapshot: Optional[EngineConfig] = None
+
+
+def install_runtime_snapshot(cfg: EngineConfig) -> None:
+    global _installed_snapshot
+    with _snapshot_lock:
+        _installed_snapshot = cfg
+
+
+def runtime_snapshot() -> Optional[EngineConfig]:
+    with _snapshot_lock:
+        return _installed_snapshot

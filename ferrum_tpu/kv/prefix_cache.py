@@ -1,0 +1,135 @@
+"""Block-hash-chain prefix cache over the paged pool.
+
+TPU-native analog of the reference's paged prefix reuse
+(crates/ferrum-models/src/models/qwen3_moe/prefix_cache.rs and
+common/paged_pool.rs `block_hash_chain`) plus the engine-level hit/miss
+stats (crates/ferrum-kv/src/cache/prefix.rs:113).
+
+Each FULL block of a sequence's prompt is keyed by the hash chain
+hash(parent_hash, tokens_in_block). On admission, the longest chain of
+cached full blocks is adopted copy-on-write (refcount shares), and the
+prefill starts after the reused prefix. Eviction is LRU over blocks with
+refcount 1 held only by the cache.
+"""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .block_pool import BlockPool
+
+
+def _hash_chain(parent: int, tokens: Sequence[int]) -> int:
+    h = hashlib.blake2b(digest_size=8)
+    h.update(parent.to_bytes(8, "little", signed=False))
+    for t in tokens:
+        h.update(int(t).to_bytes(4, "little", signed=False))
+    return int.from_bytes(h.digest(), "little")
+
+
+@dataclass
+class PrefixCacheStats:
+    hits: int = 0
+    misses: int = 0
+    saved_prefill_tokens: int = 0
+    cached_blocks: int = 0
+    evictions: int = 0
+
+
+class PrefixCache:
+    """LRU cache of full prompt blocks keyed by token hash chain."""
+
+    def __init__(self, pool: BlockPool, enabled: bool = True):
+        self.pool = pool
+        self.enabled = enabled
+        # hash → physical block id (cache holds one refcount on each)
+        self._by_hash: "collections.OrderedDict[int, int]" = collections.OrderedDict()
+        self._hash_of_block: Dict[int, int] = {}
+        self.stats = PrefixCacheStats()
+
+    def match_prefix(self, tokens: Sequence[int]) -> Tuple[List[int], int]:
+        """Longest cached block chain for a prompt.
+
+        Returns (block_ids, covered_tokens). Never covers the entire
+        prompt: at least one token is left to prefill so the engine has
+        a last-token hidden state to sample from (matches the reference,
+        which reuses KV but recomputes the final token's logits).
+        """
+        if not self.enabled:
+            return [], 0
+        page = self.pool.page_size
+        usable = len(tokens) - 1  # leave >= 1 token to prefill
+        blocks: List[int] = []
+        parent = 0
+        covered = 0
+        for start in range(0, usable - page + 1, page):
+            chunk = tokens[start:start + page]
+            h = _hash_chain(parent, chunk)
+            b = self._by_hash.get(h)
+            if b is None:
+                break
+            self._by_hash.move_to_end(h)
+            blocks.append(b)
+            covered += page
+            parent = h
+        if covered:
+            self.stats.hits += 1
+            self.stats.saved_prefill_tokens += covered
+        else:
+            self.stats.misses += 1
+        return blocks, covered
+
+    def insert(self, tokens: Sequence[int], block_ids: Sequence[int]) -> None:
+        """Register a sequence's FULL prompt blocks after prefill.
+
+        The cache takes one refcount share on each newly registered
+        block so it survives sequence release (freed on eviction).
+        """
+        if not self.enabled:
+            return
+        page = self.pool.page_size
+        parent = 0
+        for i, start in enumerate(range(0, len(tokens) - page + 1, page)):
+            chunk = tokens[start:start + page]
+            h = _hash_chain(parent, chunk)
+            parent = h
+            if h in self._by_hash:
+                self._by_hash.move_to_end(h)
+                continue
+            b = block_ids[i]
+            self.pool.share(b)
+            self._by_hash[h] = b
+            self._hash_of_block[b] = h
+        self.stats.cached_blocks = len(self._by_hash)
+
+    def evict(self, min_free_target: int) -> int:
+        """LRU-evict cached blocks until pool free count >= target.
+
+        Only blocks whose sole owner is the cache are reclaimed
+        (refcount 1); shared blocks stay (ref: eviction.rs LRU policy).
+        """
+        freed = 0
+        if not self._by_hash:
+            return 0
+        for h in list(self._by_hash.keys()):
+            if self.pool.num_free >= min_free_target:
+                break
+            b = self._by_hash[h]
+            if self.pool.refcount(b) == 1:
+                del self._by_hash[h]
+                del self._hash_of_block[b]
+                self.pool.free(b)
+                freed += 1
+                self.stats.evictions += 1
+        self.stats.cached_blocks = len(self._by_hash)
+        return freed
+
+    def clear(self) -> None:
+        for h, b in list(self._by_hash.items()):
+            self.pool.free(b)
+        self._by_hash.clear()
+        self._hash_of_block.clear()
+        self.stats.cached_blocks = 0

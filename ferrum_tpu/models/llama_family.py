@@ -1,0 +1,406 @@
+"""LlamaFamilyModel — GQA + SwiGLU + RoPE decoder as pure JAX functions.
+
+TPU-native analog of the reference's hand-written family model
+(crates/ferrum-models/src/models/llama_family.rs:1-6091) covering
+Llama-3.x / TinyLlama / Mistral / Qwen2 / Qwen3 (QK-norm) / Gemma3
+(5:1 local-global attention, dual RoPE, GeGLU, sandwich norms) — and,
+via MoeLayerParams, the Qwen3-MoE family's attention trunk.
+
+Design (TPU-first, not a translation):
+  - The model is a pure function over an explicit params pytree; there
+    is no module framework. Each serving phase (prefill chunk, batched
+    decode) is traced into ONE XLA program with static shapes; XLA
+    fusion + compilation replace the reference's per-op kernel launches
+    and CUDA-Graph capture.
+  - KV cache is paged: [L, num_blocks, page, kv_heads*head_dim] arrays,
+    updated functionally with donated buffers (in-place under XLA).
+  - Quantized weights flow through the same code path via the
+    LinearParams dispatch (ops/linear.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.attention import (
+    kv_cache_append,
+    paged_decode_attention_ref,
+    paged_prefill_attention_ref,
+)
+from ..ops.linear import DenseLinearParams, LinearParams, apply_linear
+from ..ops.norms import fused_add_rms_norm, rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin, rope_inv_freq
+from .configs import ModelConfig
+
+
+# ---------------------------------------------------------------------------
+# Param pytrees
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["router", "gate", "up", "down"], meta_fields=[])
+@dataclass
+class MoeLayerParams:
+    """Sparse-MoE MLP params (Qwen3-30B-A3B style).
+
+    router: DenseLinearParams [hidden, E]
+    gate/up: stacked expert weights — dense [E, hidden, I] arrays or a
+             stacked QuantLinearParams batch (leading expert dim).
+    down:    [E, I, hidden] likewise.
+    """
+
+    router: LinearParams
+    gate: Any
+    up: Any
+    down: Any
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["input_norm", "q", "k", "v", "o", "q_norm", "k_norm",
+                      "post_attn_norm", "pre_mlp_norm", "post_mlp_norm",
+                      "gate", "up", "down", "moe"],
+         meta_fields=[])
+@dataclass
+class LayerParams:
+    input_norm: jnp.ndarray
+    q: LinearParams
+    k: LinearParams
+    v: LinearParams
+    o: LinearParams
+    q_norm: Optional[jnp.ndarray]          # qwen3/gemma3 per-head RMS [head_dim]
+    k_norm: Optional[jnp.ndarray]
+    post_attn_norm: Optional[jnp.ndarray]  # gemma3 sandwich: norm(attn_out)
+    pre_mlp_norm: jnp.ndarray              # post_attention_layernorm (HF name)
+    post_mlp_norm: Optional[jnp.ndarray]   # gemma3 sandwich: norm(mlp_out)
+    gate: Optional[LinearParams]
+    up: Optional[LinearParams]
+    down: Optional[LinearParams]
+    moe: Optional[MoeLayerParams]
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["embed", "layers", "final_norm", "lm_head"],
+         meta_fields=[])
+@dataclass
+class ModelParams:
+    embed: jnp.ndarray                     # [vocab, hidden]
+    layers: List[LayerParams]
+    final_norm: jnp.ndarray
+    lm_head: Optional[LinearParams]        # None = tied to embed
+
+
+# ---------------------------------------------------------------------------
+# KV cache pytree
+# ---------------------------------------------------------------------------
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["k", "v"], meta_fields=["page", "kv_heads", "head_dim"])
+@dataclass
+class PagedKvCache:
+    """Device KV pool: k/v [L, num_blocks, page, kv_heads*head_dim]."""
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    page: int
+    kv_heads: int
+    head_dim: int
+
+    @property
+    def num_blocks(self) -> int:
+        return self.k.shape[1]
+
+    @classmethod
+    def create(cls, cfg: ModelConfig, num_blocks: int, page: int,
+               dtype=jnp.bfloat16, sharding=None) -> "PagedKvCache":
+        shape = (cfg.num_layers, num_blocks, page, cfg.kv_size)
+        if sharding is not None:
+            zeros = partial(jax.jit, out_shardings=sharding, static_argnums=(0, 1))(
+                lambda s, d: jnp.zeros(s, d))
+            k, v = zeros(shape, dtype), zeros(shape, dtype)
+        else:
+            k, v = jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+        return cls(k=k, v=v, page=page, kv_heads=cfg.num_kv_heads,
+                   head_dim=cfg.head_dim)
+
+
+# ---------------------------------------------------------------------------
+# MoE forward (jnp reference — one-hot dispatch; production path added in
+# ops/pallas/moe.py uses sort + ragged_dot)
+# ---------------------------------------------------------------------------
+
+def moe_forward(x: jnp.ndarray, p: MoeLayerParams, cfg: ModelConfig) -> jnp.ndarray:
+    from ..ops.moe import moe_mlp
+    return moe_mlp(x, p, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Transformer blocks (shared by prefill and decode)
+# ---------------------------------------------------------------------------
+
+def _activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    if kind == "silu":
+        return jax.nn.silu(x)
+    if kind == "gelu_tanh":
+        return jax.nn.gelu(x, approximate=True)
+    raise ValueError(kind)
+
+
+def _mlp(x: jnp.ndarray, lp: LayerParams, cfg: ModelConfig,
+         layer_idx: int) -> jnp.ndarray:
+    if lp.moe is not None and cfg.layer_is_moe(layer_idx):
+        return moe_forward(x, lp.moe, cfg)
+    g = apply_linear(lp.gate, x)
+    u = apply_linear(lp.up, x)
+    return apply_linear(lp.down, _activation(g, cfg.activation) * u)
+
+
+AttnFn = Callable[[int, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
+# attn_fn(layer_idx, q[N,Hq,D], k_new[N,Hkv,D], v_new[N,Hkv,D]) -> [N,Hq,D]
+# The closure owns cache write + paged attention for its phase.
+
+
+def forward_hidden(
+    params: ModelParams,
+    cfg: ModelConfig,
+    tokens: jnp.ndarray,          # int32 [N]
+    positions: jnp.ndarray,       # int32 [N]
+    attn_fn: AttnFn,
+    *,
+    inv_freq_global: jnp.ndarray,
+    inv_freq_local: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Token ids → final-norm hidden states [N, hidden].
+
+    Shared trunk for prefill and decode; the phase-specific paged
+    attention (including the KV append) is injected via `attn_fn`
+    (the reference's unified_forward shape, qwen3_moe_forward_unified.rs).
+    """
+    gemma = cfg.family == "gemma3"
+    h = params.embed[tokens]
+    if cfg.embedding_multiplier is not None:
+        h = (h.astype(jnp.float32) * cfg.embedding_multiplier).astype(h.dtype)
+
+    cos_g, sin_g = rope_cos_sin(positions, inv_freq_global)
+    if inv_freq_local is not None:
+        cos_l, sin_l = rope_cos_sin(positions, inv_freq_local)
+
+    residual = h
+    for li, lp in enumerate(params.layers):
+        x = rms_norm(residual, lp.input_norm, cfg.rms_norm_eps, gemma_style=gemma)
+
+        q = apply_linear(lp.q, x).reshape(-1, cfg.num_heads, cfg.head_dim)
+        k = apply_linear(lp.k, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
+        v = apply_linear(lp.v, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
+
+        if lp.q_norm is not None:  # qwen3/gemma3 per-head qk-norm before rope
+            q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps, gemma_style=gemma)
+            k = rms_norm(k, lp.k_norm, cfg.rms_norm_eps, gemma_style=gemma)
+
+        local = gemma and cfg.layer_sliding_window(li) is not None \
+            and inv_freq_local is not None
+        cos, sin = (cos_l, sin_l) if local else (cos_g, sin_g)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        attn = attn_fn(li, q, k, v)
+        attn = apply_linear(lp.o, attn.reshape(attn.shape[0], cfg.q_size))
+        if lp.post_attn_norm is not None:  # gemma3 sandwich
+            attn = rms_norm(attn, lp.post_attn_norm, cfg.rms_norm_eps,
+                            gemma_style=gemma)
+
+        x, residual = fused_add_rms_norm(
+            attn, residual, lp.pre_mlp_norm, cfg.rms_norm_eps, gemma_style=gemma)
+
+        mlp = _mlp(x, lp, cfg, li)
+        if lp.post_mlp_norm is not None:
+            mlp = rms_norm(mlp, lp.post_mlp_norm, cfg.rms_norm_eps,
+                           gemma_style=gemma)
+        residual = (residual.astype(jnp.float32)
+                    + mlp.astype(jnp.float32)).astype(residual.dtype)
+
+    return rms_norm(residual, params.final_norm, cfg.rms_norm_eps,
+                    gemma_style=gemma)
+
+
+def logits_from_hidden(params: ModelParams, cfg: ModelConfig,
+                       h: jnp.ndarray) -> jnp.ndarray:
+    """hidden [N, H] → logits f32 [N, vocab]."""
+    if params.lm_head is not None:
+        logits = apply_linear(params.lm_head, h).astype(jnp.float32)
+    else:
+        logits = jnp.dot(h, params.embed.T,
+                         preferred_element_type=jnp.float32)
+    if cfg.final_logit_softcap:
+        logits = cfg.final_logit_softcap * jnp.tanh(
+            logits / cfg.final_logit_softcap)
+    return logits
+
+
+# ---------------------------------------------------------------------------
+# Phase entry points (jnp-reference attention; the engine swaps in Pallas)
+# ---------------------------------------------------------------------------
+
+def make_rope_tables(cfg: ModelConfig):
+    inv_g = jnp.asarray(rope_inv_freq(cfg.head_dim, cfg.rope_theta,
+                                      cfg.rope_scaling))
+    inv_l = None
+    if cfg.family == "gemma3":
+        inv_l = jnp.asarray(rope_inv_freq(cfg.head_dim, cfg.rope_local_theta))
+    return inv_g, inv_l
+
+
+def decode_forward(
+    params: ModelParams, cfg: ModelConfig, kv: PagedKvCache,
+    tokens: jnp.ndarray,         # int32 [S]
+    positions: jnp.ndarray,      # int32 [S] (== context_lens - 1; pad slots OOB)
+    block_tables: jnp.ndarray,   # int32 [S, max_pages]
+    context_lens: jnp.ndarray,   # int32 [S] incl. the new token
+    flat_slots: jnp.ndarray,     # int32 [S] cache write position (OOB = drop)
+    *, ctx_pad: int,
+    attn_impl: str = "ref",
+) -> Tuple[jnp.ndarray, PagedKvCache]:
+    """One batched decode step → (hidden [S, H], updated kv)."""
+    inv_g, inv_l = make_rope_tables(cfg)
+    nb, page = kv.num_blocks, kv.page
+    hkv, d = kv.kv_heads, kv.head_dim
+    k_all, v_all = kv.k, kv.v
+
+    new_k = [None] * cfg.num_layers
+    new_v = [None] * cfg.num_layers
+
+    def attn(li, q, k_new, v_new):
+        kc = k_all[li].reshape(nb, page, hkv, d)
+        vc = v_all[li].reshape(nb, page, hkv, d)
+        kc, vc = kv_cache_append(kc, vc, k_new, v_new, flat_slots)
+        new_k[li] = kc.reshape(nb, page, hkv * d)
+        new_v[li] = vc.reshape(nb, page, hkv * d)
+        sw = cfg.layer_sliding_window(li)
+        if attn_impl == "pallas":
+            from ..ops.pallas.paged_attention import paged_decode_attention
+            return paged_decode_attention(
+                q, kc, vc, block_tables, context_lens,
+                scale=cfg.attn_scale, sliding_window=sw,
+                softcap=cfg.attn_logit_softcap)
+        return paged_decode_attention_ref(
+            q, kc, vc, block_tables, context_lens, ctx_pad=ctx_pad,
+            scale=cfg.attn_scale, sliding_window=sw,
+            softcap=cfg.attn_logit_softcap)
+
+    h = forward_hidden(params, cfg, tokens, positions, attn,
+                       inv_freq_global=inv_g, inv_freq_local=inv_l)
+    kv2 = PagedKvCache(k=jnp.stack(new_k), v=jnp.stack(new_v), page=page,
+                       kv_heads=hkv, head_dim=d)
+    return h, kv2
+
+
+def prefill_forward(
+    params: ModelParams, cfg: ModelConfig, kv: PagedKvCache,
+    tokens: jnp.ndarray,         # int32 [T] — one sequence's chunk (padded)
+    positions: jnp.ndarray,      # int32 [T] absolute; pads point past total_len
+    block_table: jnp.ndarray,    # int32 [max_pages]
+    total_len: jnp.ndarray,      # int32 scalar: prefix + real chunk tokens
+    flat_slots: jnp.ndarray,     # int32 [T] (OOB = drop for pads)
+    *, ctx_pad: int,
+    attn_impl: str = "ref",
+) -> Tuple[jnp.ndarray, PagedKvCache]:
+    """One chunked-prefill step for one sequence → (hidden [T,H], kv)."""
+    inv_g, inv_l = make_rope_tables(cfg)
+    nb, page = kv.num_blocks, kv.page
+    hkv, d = kv.kv_heads, kv.head_dim
+    k_all, v_all = kv.k, kv.v
+    new_k = [None] * cfg.num_layers
+    new_v = [None] * cfg.num_layers
+
+    def attn(li, q, k_new, v_new):
+        kc = k_all[li].reshape(nb, page, hkv, d)
+        vc = v_all[li].reshape(nb, page, hkv, d)
+        kc, vc = kv_cache_append(kc, vc, k_new, v_new, flat_slots)
+        new_k[li] = kc.reshape(nb, page, hkv * d)
+        new_v[li] = vc.reshape(nb, page, hkv * d)
+        sw = cfg.layer_sliding_window(li)
+        return paged_prefill_attention_ref(
+            q, kc, vc, block_table, positions, total_len, ctx_pad=ctx_pad,
+            scale=cfg.attn_scale, sliding_window=sw,
+            softcap=cfg.attn_logit_softcap)
+
+    h = forward_hidden(params, cfg, tokens, positions, attn,
+                       inv_freq_global=inv_g, inv_freq_local=inv_l)
+    kv2 = PagedKvCache(k=jnp.stack(new_k), v=jnp.stack(new_v), page=page,
+                       kv_heads=hkv, head_dim=d)
+    return h, kv2
+
+
+# ---------------------------------------------------------------------------
+# Random init (tests / benches; real weights come from loaders)
+# ---------------------------------------------------------------------------
+
+def init_random_params(cfg: ModelConfig, seed: int = 0,
+                       dtype=jnp.bfloat16) -> ModelParams:
+    rng = np.random.default_rng(seed)
+
+    def lin(i, o, bias=False, std=0.02):
+        w = rng.normal(0.0, std, (i, o)).astype(np.float32)
+        b = rng.normal(0.0, std, (o,)).astype(np.float32) if bias else None
+        return DenseLinearParams(
+            w=jnp.asarray(w, dtype=dtype),
+            bias=None if b is None else jnp.asarray(b, dtype=dtype))
+
+    layers = []
+    for li in range(cfg.num_layers):
+        use_moe = cfg.layer_is_moe(li)
+        moe = None
+        gate = up = down = None
+        if use_moe:
+            m = cfg.moe
+            moe = MoeLayerParams(
+                router=lin(cfg.hidden_size, m.num_experts),
+                gate=jnp.asarray(rng.normal(0, 0.02,
+                    (m.num_experts, cfg.hidden_size, m.moe_intermediate_size)
+                    ).astype(np.float32), dtype=dtype),
+                up=jnp.asarray(rng.normal(0, 0.02,
+                    (m.num_experts, cfg.hidden_size, m.moe_intermediate_size)
+                    ).astype(np.float32), dtype=dtype),
+                down=jnp.asarray(rng.normal(0, 0.02,
+                    (m.num_experts, m.moe_intermediate_size, cfg.hidden_size)
+                    ).astype(np.float32), dtype=dtype),
+            )
+        else:
+            gate = lin(cfg.hidden_size, cfg.intermediate_size)
+            up = lin(cfg.hidden_size, cfg.intermediate_size)
+            down = lin(cfg.intermediate_size, cfg.hidden_size)
+        layers.append(LayerParams(
+            input_norm=jnp.ones(cfg.hidden_size, dtype=dtype) if not cfg.sandwich_norms
+            else jnp.zeros(cfg.hidden_size, dtype=dtype),
+            q=lin(cfg.hidden_size, cfg.q_size, bias=cfg.attention_bias),
+            k=lin(cfg.hidden_size, cfg.kv_size, bias=cfg.attention_bias),
+            v=lin(cfg.hidden_size, cfg.kv_size, bias=cfg.attention_bias),
+            o=lin(cfg.q_size, cfg.hidden_size),
+            q_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm and not cfg.sandwich_norms
+            else (jnp.zeros(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None),
+            k_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm and not cfg.sandwich_norms
+            else (jnp.zeros(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None),
+            post_attn_norm=jnp.zeros(cfg.hidden_size, dtype=dtype)
+            if cfg.sandwich_norms else None,
+            pre_mlp_norm=jnp.ones(cfg.hidden_size, dtype=dtype)
+            if not cfg.sandwich_norms else jnp.zeros(cfg.hidden_size, dtype=dtype),
+            post_mlp_norm=jnp.zeros(cfg.hidden_size, dtype=dtype)
+            if cfg.sandwich_norms else None,
+            gate=gate, up=up, down=down, moe=moe,
+        ))
+
+    embed = jnp.asarray(
+        rng.normal(0, 0.02, (cfg.vocab_size, cfg.hidden_size)).astype(np.float32),
+        dtype=dtype)
+    lm_head = None if cfg.tie_word_embeddings else lin(
+        cfg.hidden_size, cfg.vocab_size)
+    return ModelParams(
+        embed=embed, layers=layers,
+        final_norm=jnp.ones(cfg.hidden_size, dtype=dtype) if not cfg.sandwich_norms
+        else jnp.zeros(cfg.hidden_size, dtype=dtype),
+        lm_head=lm_head)

@@ -1,0 +1,151 @@
+"""Paged-KV attention — pure-jnp reference implementations.
+
+TPU-native analog of the reference's paged attention kernel family
+(crates/ferrum-kernels/kernels/{paged_decode_attention,
+batched_flash_decode_attention,paged_varlen_attention}.cu and the
+vendored vLLM paged_attention_v2.cu): decode attention over a paged KV
+cache, and chunked-prefill attention where a chunk of new tokens attends
+to its cached prefix plus itself causally.
+
+These jnp versions are the correctness oracle (the reference's `_eq`
+pattern) and the fallback path; the performance path is the Pallas
+ragged paged-attention kernel in ops/pallas/paged_attention.py. All
+shapes are static: callers pad the batch to a bucket and the visible
+context to `ctx_pad` tokens (a multiple of the page size), the TPU
+analog of the reference's padded-batch CUDA-graph keys.
+
+Cache layout: k/v each [num_blocks, page, kv_heads, head_dim]; block
+tables int32 [S, max_pages] map (seq, page_idx) → physical block.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _maybe_softcap(scores: jnp.ndarray, cap: Optional[float]) -> jnp.ndarray:
+    if cap is None:
+        return scores
+    return cap * jnp.tanh(scores / cap)
+
+
+def gather_kv(cache: jnp.ndarray, block_tables: jnp.ndarray,
+              ctx_pad: int, page: int) -> jnp.ndarray:
+    """Gather the first ctx_pad cached tokens per sequence.
+
+    cache: [num_blocks, page, Hkv, D]; block_tables: int32 [S, max_pages].
+    Returns [S, ctx_pad, Hkv, D].
+    """
+    n_pages = ctx_pad // page
+    tables = block_tables[:, :n_pages]                       # [S, n_pages]
+    g = cache[tables]                                        # [S, n_pages, page, Hkv, D]
+    s = tables.shape[0]
+    return g.reshape(s, ctx_pad, cache.shape[2], cache.shape[3])
+
+
+def paged_decode_attention_ref(
+    q: jnp.ndarray,               # [S, Hq, D] (one new token per slot)
+    k_cache: jnp.ndarray,         # [num_blocks, page, Hkv, D]
+    v_cache: jnp.ndarray,
+    block_tables: jnp.ndarray,    # int32 [S, max_pages]
+    context_lens: jnp.ndarray,    # int32 [S] — includes the new token
+    *,
+    ctx_pad: int,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """GQA decode attention over the paged cache. Returns [S, Hq, D].
+
+    The new token's K/V must already be appended to the cache (write-
+    then-attend, matching the reference's fused append+attend ordering).
+    """
+    s, hq, d = q.shape
+    page = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    rep = hq // hkv
+
+    k = gather_kv(k_cache, block_tables, ctx_pad, page)       # [S, C, Hkv, D]
+    v = gather_kv(v_cache, block_tables, ctx_pad, page)
+
+    qf = q.astype(jnp.float32).reshape(s, hkv, rep, d)
+    kf = k.astype(jnp.float32)
+    scores = jnp.einsum("shrd,schd->shrc", qf * scale, kf)    # [S,Hkv,rep,C]
+
+    pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
+    valid = pos < context_lens[:, None]
+    if sliding_window is not None:
+        valid &= pos >= (context_lens[:, None] - sliding_window)
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("shrc,schd->shrd", probs, v.astype(jnp.float32))
+    return out.reshape(s, hq, d).astype(q.dtype)
+
+
+def paged_prefill_attention_ref(
+    q: jnp.ndarray,               # [T, Hq, D] — chunk queries (one sequence)
+    k_cache: jnp.ndarray,         # [num_blocks, page, Hkv, D]
+    v_cache: jnp.ndarray,
+    block_table: jnp.ndarray,     # int32 [max_pages] — this sequence's table
+    q_positions: jnp.ndarray,     # int32 [T] — absolute positions (pad = large)
+    total_len: jnp.ndarray,       # int32 scalar — prefix + real chunk length
+    *,
+    ctx_pad: int,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Chunked-prefill attention for one sequence. Returns [T, Hq, D].
+
+    The chunk's K/V are already written into the cache; queries at
+    absolute position p attend to cached positions <= p (causal over
+    prefix + chunk), ref: paged_varlen_attention.cu semantics.
+    """
+    t, hq, d = q.shape
+    page = k_cache.shape[1]
+    hkv = k_cache.shape[2]
+    rep = hq // hkv
+
+    k = gather_kv(k_cache, block_table[None, :], ctx_pad, page)[0]  # [C,Hkv,D]
+    v = gather_kv(v_cache, block_table[None, :], ctx_pad, page)[0]
+
+    qf = q.astype(jnp.float32).reshape(t, hkv, rep, d)
+    scores = jnp.einsum("thrd,chd->thrc", qf * scale, k.astype(jnp.float32))
+
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx_pad), 1)
+    qpos = q_positions[:, None]
+    valid = (kpos <= qpos) & (kpos < total_len)
+    if sliding_window is not None:
+        valid &= kpos > (qpos - sliding_window)
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("thrc,chd->thrd", probs, v.astype(jnp.float32))
+    return out.reshape(t, hq, d).astype(q.dtype)
+
+
+def kv_cache_append(
+    k_cache: jnp.ndarray,          # [num_blocks, page, Hkv, D]
+    v_cache: jnp.ndarray,
+    k_new: jnp.ndarray,            # [T, Hkv, D]
+    v_new: jnp.ndarray,
+    flat_slots: jnp.ndarray,       # int32 [T] — block * page + offset; OOB = drop
+):
+    """Scatter new K/V rows into the paged cache (fused-append analog,
+    ref: kernels/kv_cache_append.cu). Returns updated (k_cache, v_cache).
+
+    Padding tokens use flat_slots >= num_blocks*page, which XLA scatter
+    drops (out-of-bounds update semantics: skipped).
+    """
+    nb, page, hkv, d = k_cache.shape
+    kf = k_cache.reshape(nb * page, hkv, d)
+    vf = v_cache.reshape(nb * page, hkv, d)
+    kf = kf.at[flat_slots].set(k_new.astype(kf.dtype), mode="drop")
+    vf = vf.at[flat_slots].set(v_new.astype(vf.dtype), mode="drop")
+    return kf.reshape(nb, page, hkv, d), vf.reshape(nb, page, hkv, d)

@@ -1,0 +1,110 @@
+"""Sparse MoE MLP: top-k routing + expert dispatch.
+
+TPU-native analog of the reference's fused-MoE stack: router
+(kernels/moe_router.cu: softmax top-k + renorm), block-aligned dispatch
+(kernels/moe_align_block_size.cu), Marlin expert-stack GEMMs
+(kernels/vllm_marlin_moe/) and weighted combine (kernels/moe_combine.cu).
+
+Design: instead of translating the CUDA bucketing machinery, dispatch is
+sort-based over static shapes — the XLA-friendly form of
+"moe_align_block_size": sort the T*k (token, expert) assignments by
+expert, run grouped matmuls with `jax.lax.ragged_dot` (MXU-tiled grouped
+GEMM), and segment-sum back. A one-hot einsum reference (`moe_mlp_ref`)
+is the parity oracle for tests.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING, Tuple
+
+import jax
+import jax.numpy as jnp
+
+if TYPE_CHECKING:
+    from ..models.configs import ModelConfig
+    from ..models.llama_family import MoeLayerParams
+
+
+def route_topk(router_logits: jnp.ndarray, k: int,
+               renorm: bool) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Softmax routing → (weights [T,k] f32, expert_ids [T,k] int32).
+
+    ref: moe_router.cu — softmax over experts, top-k, optional renorm.
+    """
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    weights, ids = jax.lax.top_k(probs, k)
+    if renorm:
+        weights = weights / jnp.sum(weights, axis=-1, keepdims=True)
+    return weights, ids.astype(jnp.int32)
+
+
+def moe_mlp_ref(x: jnp.ndarray, p: "MoeLayerParams",
+                cfg: "ModelConfig") -> jnp.ndarray:
+    """One-hot reference: computes every expert for every token. O(T·E·…),
+    test-sized configs only — the correctness oracle."""
+    from ..ops.linear import apply_linear
+
+    m = cfg.moe
+    logits = apply_linear(p.router, x)
+    weights, ids = route_topk(logits, m.num_experts_per_tok, m.norm_topk_prob)
+    # combine[t, e] = routing weight of expert e for token t (0 if unrouted)
+    combine = jnp.zeros((x.shape[0], m.num_experts), jnp.float32).at[
+        jnp.arange(x.shape[0])[:, None], ids].add(weights)
+
+    xf = x.astype(jnp.float32)
+    g = jnp.einsum("th,ehi->tei", xf, p.gate.astype(jnp.float32))
+    u = jnp.einsum("th,ehi->tei", xf, p.up.astype(jnp.float32))
+    act = jax.nn.silu(g) * u
+    y = jnp.einsum("tei,eih->teh", act, p.down.astype(jnp.float32))
+    out = jnp.einsum("te,teh->th", combine, y)
+    return out.astype(x.dtype)
+
+
+def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
+            cfg: "ModelConfig") -> jnp.ndarray:
+    """Sort + ragged_dot dispatch (production path).
+
+    T*k assignments are sorted by expert id; `group_sizes[e]` counts
+    tokens routed to expert e; ragged_dot runs the grouped GEMMs without
+    materializing per-token expert weights.
+    """
+    from ..ops.linear import apply_linear
+    from ..ops.quant import QuantLinearParams
+
+    m = cfg.moe
+    t = x.shape[0]
+    k = m.num_experts_per_tok
+    e = m.num_experts
+
+    logits = apply_linear(p.router, x)
+    weights, ids = route_topk(logits, k, m.norm_topk_prob)   # [T,k]
+
+    flat_ids = ids.reshape(-1)                               # [A], A = T*k
+    flat_w = weights.reshape(-1)
+    order = jnp.argsort(flat_ids)                            # stable enough
+    sorted_ids = flat_ids[order]
+    token_of = order // k                                    # source token
+    group_sizes = jnp.bincount(sorted_ids, length=e).astype(jnp.int32)
+
+    xs = x[token_of]                                         # [A, hidden]
+
+    if isinstance(p.gate, QuantLinearParams):
+        from .pallas.quant_matmul import quant_grouped_matmul
+        g = quant_grouped_matmul(xs, p.gate, sorted_ids, group_sizes)
+        u = quant_grouped_matmul(xs, p.up, sorted_ids, group_sizes)
+        act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+               ).astype(x.dtype)
+        y = quant_grouped_matmul(act, p.down, sorted_ids, group_sizes)
+    else:
+        g = jax.lax.ragged_dot(xs, p.gate, group_sizes,
+                               preferred_element_type=jnp.float32)
+        u = jax.lax.ragged_dot(xs, p.up, group_sizes,
+                               preferred_element_type=jnp.float32)
+        act = (jax.nn.silu(g) * u).astype(x.dtype)
+        y = jax.lax.ragged_dot(act, p.down, group_sizes,
+                               preferred_element_type=jnp.float32)
+
+    # Weighted combine back to token order (moe_combine.cu analog).
+    yw = y.astype(jnp.float32) * flat_w[order][:, None]
+    out = jnp.zeros((t, x.shape[1]), jnp.float32).at[token_of].add(yw)
+    return out.astype(x.dtype)

@@ -1,0 +1,176 @@
+"""Weight-only INT4 quantization: packing, repacking, jnp reference matmul.
+
+TPU-native analog of the reference's Marlin INT4 stack
+(crates/ferrum-kernels/kernels/marlin_cuda_kernel.cu, vllm_marlin/
+gptq_marlin_repack.cu) and GGUF Q4_K Metal kernels. Same contract,
+different layout: weights are stored as packed 4-bit nibbles in HBM and
+dequantized on the fly inside a fused Pallas matmul kernel
+(ops/pallas/quant_matmul.py); this module owns the storage format, the
+GPTQ/GGUF → native repack, and the pure-jnp reference implementation
+used as the parity oracle (the reference's `_eq` test pattern).
+
+Native packed layout ("TPU repack", the Marlin-repack equivalent):
+  qweight : uint8 [in/2, out]  — two nibbles per byte packed along the
+            *input* (sublane) axis. Within every group of `group_size`
+            input rows, byte row j holds original rows (g*G + j) in its
+            LOW nibble and (g*G + G/2 + j) in its HIGH nibble, so the
+            kernel dequantizes a group tile with two masks and ONE
+            sublane concatenate — no interleave shuffles on the VPU.
+  scales  : bf16 [in/group, out]
+  zeros   : int8 [in/group, out]  — dequant w = (q - z) * s. GPTQ
+            symmetric ("u4b8") means z == 8 everywhere.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["qweight", "scales", "zeros", "bias"],
+         meta_fields=["in_features", "out_features", "group_size"])
+@dataclass
+class QuantLinearParams:
+    """Packed int4 linear weights in the native TPU layout."""
+
+    qweight: jnp.ndarray   # uint8 [in/2, out]
+    scales: jnp.ndarray    # bf16  [in/group, out]
+    zeros: jnp.ndarray     # int8  [in/group, out]
+    bias: Optional[jnp.ndarray]
+    in_features: int
+    out_features: int
+    group_size: int
+
+
+def pack_rows_np(q: np.ndarray, group_size: int) -> np.ndarray:
+    """Pack uint4 values [in, out] → uint8 [in/2, out] in the native layout."""
+    in_f, out_f = q.shape
+    assert in_f % group_size == 0 and group_size % 2 == 0
+    g = group_size
+    qg = q.reshape(in_f // g, g, out_f)
+    low = qg[:, : g // 2, :].astype(np.uint8)
+    high = qg[:, g // 2:, :].astype(np.uint8)
+    packed = (low & 0xF) | (high << 4)
+    return packed.reshape(in_f // 2, out_f)
+
+
+def unpack_rows(qweight: jnp.ndarray, group_size: int) -> jnp.ndarray:
+    """uint8 [in/2, out] → uint4-valued int32 [in, out] (inverse of pack)."""
+    half, out_f = qweight.shape
+    g = group_size
+    n_groups = (half * 2) // g
+    qg = qweight.reshape(n_groups, g // 2, out_f)
+    low = (qg & 0xF).astype(jnp.int32)
+    high = (qg >> 4).astype(jnp.int32)
+    return jnp.concatenate([low, high], axis=1).reshape(half * 2, out_f)
+
+
+def quantize_weight_np(
+    w: np.ndarray, group_size: int = 128, symmetric: bool = True,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Round-to-nearest group quantization of a [in, out] f32 weight.
+
+    Returns (qweight_packed uint8 [in/2,out], scales f32 [in/g,out],
+    zeros int8 [in/g,out]). This is the from-scratch quantizer used when
+    no GPTQ checkpoint is supplied; GPTQ checkpoints convert via
+    `repack_from_gptq` preserving their calibrated values bit-exactly.
+    """
+    in_f, out_f = w.shape
+    assert in_f % group_size == 0, (in_f, group_size)
+    wg = w.reshape(in_f // group_size, group_size, out_f)
+    if symmetric:
+        amax = np.abs(wg).max(axis=1)                       # [G, out]
+        scale = np.maximum(amax / 7.0, 1e-10)
+        zeros = np.full((in_f // group_size, out_f), 8, dtype=np.int8)
+        q = np.clip(np.round(wg / scale[:, None, :]) + 8, 0, 15)
+    else:
+        wmin = wg.min(axis=1)
+        wmax = wg.max(axis=1)
+        scale = np.maximum((wmax - wmin) / 15.0, 1e-10)
+        zeros = np.clip(np.round(-wmin / scale), 0, 15).astype(np.int8)
+        q = np.clip(np.round(wg / scale[:, None, :]) + zeros[:, None, :], 0, 15)
+    packed = pack_rows_np(q.astype(np.uint8).reshape(in_f, out_f), group_size)
+    return packed, scale.astype(np.float32), zeros
+
+
+def repack_from_gptq(
+    qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
+    g_idx: Optional[np.ndarray] = None, bits: int = 4,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """GPTQ checkpoint tensors → native layout (the repack step).
+
+    GPTQ stores qweight int32 [in/8, out] (8 nibbles along in) and
+    qzeros int32 [in/group, out/8]; scales f16 [in/group, out]. GPTQ's
+    stored zero is (z - 1) in most exporters — the AutoGPTQ convention —
+    so we add 1 back. act-order (g_idx) is handled by materializing the
+    row permutation before repacking (ref: vllm_marlin repack handles
+    g_idx the same way, gptq_marlin_repack.cu).
+    """
+    assert bits == 4, "only 4-bit GPTQ supported"
+    in8, out_f = qweight.shape
+    in_f = in8 * 8
+    shifts = np.arange(8, dtype=np.uint32) * 4
+    q = ((qweight.astype(np.uint32)[:, None, :] >> shifts[None, :, None]) & 0xF)
+    q = q.reshape(in_f, out_f).astype(np.uint8)
+
+    n_groups = qzeros.shape[0]
+    group_size = in_f // n_groups
+    zshift = np.arange(8, dtype=np.uint32) * 4
+    z = ((qzeros.astype(np.uint32)[:, :, None] >> zshift[None, None, :]) & 0xF)
+    z = z.reshape(n_groups, qzeros.shape[1] * 8).astype(np.int16) + 1
+    z = np.clip(z, 0, 15).astype(np.int8)
+
+    if g_idx is not None and len(g_idx) and not np.array_equal(
+            g_idx, np.arange(in_f) // group_size):
+        # act-order: rows were processed in g_idx order; sort rows so each
+        # group's rows are contiguous, and remember the permutation must
+        # also be applied to the activation — here we instead materialize
+        # the inverse permutation into the weight itself.
+        perm = np.argsort(g_idx, kind="stable")
+        q = q[perm]
+        # After permutation, row r belongs to group g_idx[perm[r]] == sorted.
+    packed = pack_rows_np(q, group_size)
+    return packed, scales.astype(np.float32), z, group_size
+
+
+def make_quant_linear(
+    w: np.ndarray, group_size: int = 128, bias: Optional[np.ndarray] = None,
+    symmetric: bool = True, dtype=jnp.bfloat16,
+) -> QuantLinearParams:
+    """Quantize an [in, out] float weight into device QuantLinearParams."""
+    packed, scales, zeros = quantize_weight_np(
+        np.asarray(w, dtype=np.float32), group_size, symmetric)
+    return QuantLinearParams(
+        qweight=jnp.asarray(packed),
+        scales=jnp.asarray(scales, dtype=dtype),
+        zeros=jnp.asarray(zeros),
+        bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
+        in_features=w.shape[0], out_features=w.shape[1], group_size=group_size,
+    )
+
+
+def dequantize(p: QuantLinearParams, dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Full dequantization [in, out] — reference path and load-time tool."""
+    q = unpack_rows(p.qweight, p.group_size)                      # [in, out]
+    in_f = p.in_features
+    g = p.group_size
+    qg = q.reshape(in_f // g, g, p.out_features)
+    w = (qg - p.zeros[:, None, :].astype(jnp.int32)).astype(jnp.float32)
+    w = w * p.scales[:, None, :].astype(jnp.float32)
+    return w.reshape(in_f, p.out_features).astype(dtype)
+
+
+def quant_matmul_ref(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
+    """jnp reference: dequantize then matmul. Parity oracle for the
+    Pallas fused kernel (ops/pallas/quant_matmul.py)."""
+    w = dequantize(p, dtype=x.dtype)
+    out = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+    if p.bias is not None:
+        out = out + p.bias
+    return out

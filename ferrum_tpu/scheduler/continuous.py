@@ -1,0 +1,267 @@
+"""Continuous-batching scheduler: token budgets, chunked prefill, preemption.
+
+TPU-native analog of the reference's `ContinuousBatchScheduler`
+(crates/ferrum-scheduler/src/implementations/continuous.rs:178): one
+`next_batch()` call per engine iteration produces a mixed batch of
+decode slots + chunked-prefill slices under `max_num_batched_tokens`,
+with KV-pressure preemption (recompute policy) and capacity-deferred
+re-admission. FIFO and priority policies are admission-order variants
+(implementations/{fifo,priority}.rs).
+
+Host-only code — it runs once per iteration; the device step has static
+shapes regardless of what this schedules (slots not scheduled this
+iteration are masked inside the compiled step).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Deque, Dict, List, Optional, Tuple
+from collections import deque
+
+from ..config import EngineConfig
+from ..kv.block_pool import BlockPool, SequenceBlocks
+from ..kv.prefix_cache import PrefixCache
+from ..types import CapacityError
+from .sequence import Phase, Sequence
+
+
+@dataclass
+class PrefillChunk:
+    seq: Sequence
+    start: int            # first prompt position in this chunk
+    tokens: List[int]     # token ids for this chunk
+    # True when this chunk completes the prompt → sample the first output
+    # token from its last hidden state.
+    is_last: bool = False
+
+
+@dataclass
+class ScheduledBatch:
+    prefill_chunks: List[PrefillChunk] = field(default_factory=list)
+    decode_seqs: List[Sequence] = field(default_factory=list)
+    preempted: List[Sequence] = field(default_factory=list)
+    admitted: List[Sequence] = field(default_factory=list)
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.prefill_chunks and not self.decode_seqs
+
+
+@dataclass
+class SchedulerStats:
+    iterations: int = 0
+    submitted: int = 0
+    finished: int = 0
+    preemptions: int = 0
+    tokens_prefilled_scheduled: int = 0
+    tokens_decoded_scheduled: int = 0
+
+
+class ContinuousBatchScheduler:
+    """policy: 'continuous' (arrival order), 'fifo' (no chunking — full
+    prefill before decode admission), 'priority' (request.priority then
+    arrival)."""
+
+    def __init__(self, cfg: EngineConfig, pool: BlockPool,
+                 prefix_cache: Optional[PrefixCache] = None,
+                 policy: str = "continuous"):
+        self.cfg = cfg
+        self.pool = pool
+        self.prefix_cache = prefix_cache
+        self.policy = policy
+        self.waiting: Deque[Sequence] = deque()
+        self.running: List[Sequence] = []     # admission order
+        self._free_slots: List[int] = list(range(cfg.max_num_seqs - 1, -1, -1))
+        self.stats = SchedulerStats()
+        self._trace_fh = None
+        if cfg.scheduler_trace_path:
+            self._trace_fh = open(cfg.scheduler_trace_path, "a")
+
+    # ------------------------------------------------------------------
+    def submit(self, seq: Sequence) -> None:
+        if seq.num_prompt_tokens + seq.request.sampling.max_tokens \
+                > self.cfg.max_model_len:
+            raise CapacityError(
+                f"prompt ({seq.num_prompt_tokens}) + max_tokens "
+                f"({seq.request.sampling.max_tokens}) exceeds max_model_len "
+                f"{self.cfg.max_model_len}")
+        seq.phase = Phase.WAITING
+        if self.policy == "priority":
+            # Stable insert by priority (higher first), then arrival.
+            idx = len(self.waiting)
+            for i, s in enumerate(self.waiting):
+                if seq.request.priority > s.request.priority:
+                    idx = i
+                    break
+            self.waiting.insert(idx, seq)
+        else:
+            self.waiting.append(seq)
+        self.stats.submitted += 1
+
+    def finish(self, seq: Sequence) -> None:
+        """Release a finished sequence's slot + KV blocks."""
+        if seq in self.running:
+            self.running.remove(seq)
+        if seq.slot is not None:
+            self._free_slots.append(seq.slot)
+            seq.slot = None
+        if seq.blocks is not None:
+            if self.prefix_cache is not None and seq.num_prompt_tokens \
+                    >= self.pool.page_size:
+                self.prefix_cache.insert(seq.prompt_tokens, seq.blocks.blocks)
+            seq.blocks.release()
+            seq.blocks = None
+        seq.phase = Phase.FINISHED
+        self.stats.finished += 1
+
+    # ------------------------------------------------------------------
+    def _try_alloc(self, seq: Sequence, tokens: int) -> bool:
+        """Ensure KV capacity for `tokens` total tokens, evicting prefix-
+        cache blocks under pressure. False if still impossible."""
+        need = seq.blocks.blocks_needed_for(tokens)
+        if need == 0:
+            return True
+        if need > self.pool.num_free and self.prefix_cache is not None:
+            self.prefix_cache.evict(min_free_target=need)
+        if need > self.pool.num_free:
+            return False
+        seq.blocks.ensure_capacity(tokens)
+        return True
+
+    def _preempt_victim(self, batch: ScheduledBatch,
+                        exclude: Sequence) -> Optional[Sequence]:
+        """Drop the most-recently-admitted running seq (LIFO victim,
+        ref: preempt_victim batch.rs:998) and recompute it later."""
+        for victim in reversed(self.running):
+            if victim is exclude:
+                continue
+            self.running.remove(victim)
+            if victim.slot is not None:
+                self._free_slots.append(victim.slot)
+            victim.blocks.release()
+            victim.blocks = None
+            victim.reset_for_recompute()
+            self.waiting.appendleft(victim)
+            batch.preempted.append(victim)
+            self.stats.preemptions += 1
+            return victim
+        return None
+
+    # ------------------------------------------------------------------
+    def next_batch(self) -> ScheduledBatch:
+        cfg = self.cfg
+        batch = ScheduledBatch()
+        budget = cfg.max_num_batched_tokens
+        self.stats.iterations += 1
+
+        # --- 1. decode set: every running seq that finished its prefill ---
+        decode_candidates = [s for s in self.running if s.phase == Phase.DECODING]
+        for seq in list(decode_candidates):
+            if seq.phase != Phase.DECODING or seq.blocks is None:
+                continue  # preempted as a victim earlier this iteration
+            # Each decode consumes 1 budget token + maybe a new block.
+            if budget <= 0:
+                break
+            while not self._try_alloc(seq, seq.total_tokens + 1):
+                if self._preempt_victim(batch, exclude=seq) is None:
+                    # Cannot free anything: defer this decode to a later
+                    # iteration ("defer_decode_to_waiting_for_capacity").
+                    break
+            else:
+                batch.decode_seqs.append(seq)
+                budget -= 1
+        self.stats.tokens_decoded_scheduled += len(batch.decode_seqs)
+
+        # --- 2. ongoing prefills (chunked) ---
+        chunk_cap = cfg.prefill_chunk_size if cfg.enable_chunked_prefill \
+            else cfg.max_num_batched_tokens
+        for seq in [s for s in self.running if s.phase == Phase.PREFILLING]:
+            if budget <= 0:
+                break
+            t = min(seq.prompt_remaining, chunk_cap, budget)
+            if t <= 0:
+                continue
+            if not self._try_alloc(seq, seq.prefilled + t):
+                continue  # retry next iteration
+            chunk = PrefillChunk(
+                seq=seq, start=seq.prefilled,
+                tokens=seq.prompt_tokens[seq.prefilled:seq.prefilled + t],
+                is_last=(seq.prefilled + t == seq.num_prompt_tokens))
+            batch.prefill_chunks.append(chunk)
+            budget -= t
+            self.stats.tokens_prefilled_scheduled += t
+
+        # --- 3. admit waiting requests while slots + budget remain ---
+        while self.waiting and self._free_slots and budget > 0:
+            seq = self.waiting[0]
+            first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
+            if self.policy == "fifo" and first_chunk < seq.prompt_remaining \
+                    and seq.prompt_remaining <= cfg.max_num_batched_tokens:
+                # fifo: avoid chunking when the whole prompt fits a batch.
+                if first_chunk < seq.prompt_remaining:
+                    break
+            if first_chunk <= 0:
+                break
+            blocks = SequenceBlocks(self.pool)
+            seq.blocks = blocks
+            reused_blocks: List[int] = []
+            reused = 0
+            if self.prefix_cache is not None and seq.prefilled == 0:
+                reused_blocks, reused = self.prefix_cache.match_prefix(
+                    seq.prompt_tokens)
+            if reused:
+                blocks.append_shared_prefix(reused_blocks, reused)
+                seq.prefilled = reused
+                seq.prefix_reused_tokens = reused
+                first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
+            if not self._try_alloc(seq, seq.prefilled + first_chunk):
+                # No KV room for even the first chunk → stop admitting.
+                blocks.release()
+                seq.blocks = None
+                seq.prefilled = 0
+                break
+            self.waiting.popleft()
+            seq.slot = self._free_slots.pop()
+            seq.phase = Phase.PREFILLING
+            self.running.append(seq)
+            batch.admitted.append(seq)
+            chunk = PrefillChunk(
+                seq=seq, start=seq.prefilled,
+                tokens=seq.prompt_tokens[seq.prefilled:seq.prefilled + first_chunk],
+                is_last=(seq.prefilled + first_chunk == seq.num_prompt_tokens))
+            batch.prefill_chunks.append(chunk)
+            budget -= first_chunk
+            self.stats.tokens_prefilled_scheduled += first_chunk
+
+        self._trace(batch, budget)
+        return batch
+
+    def note_prefill_done(self, chunk: PrefillChunk) -> None:
+        """Engine callback after a chunk's device step ran."""
+        seq = chunk.seq
+        seq.prefilled += len(chunk.tokens)
+        if seq.is_prefill_done:
+            seq.phase = Phase.DECODING
+
+    # ------------------------------------------------------------------
+    def _trace(self, batch: ScheduledBatch, budget_left: int) -> None:
+        if self._trace_fh is None:
+            return
+        rec = {
+            "t": time.time(),
+            "iteration": self.stats.iterations,
+            "decode": len(batch.decode_seqs),
+            "prefill_chunks": [[c.seq.request.request_id, c.start,
+                                len(c.tokens)] for c in batch.prefill_chunks],
+            "admitted": [s.request.request_id for s in batch.admitted],
+            "preempted": [s.request.request_id for s in batch.preempted],
+            "waiting": len(self.waiting),
+            "running": len(self.running),
+            "free_blocks": self.pool.num_free,
+            "budget_left": budget_left,
+        }
+        self._trace_fh.write(json.dumps(rec) + "\n")
+        self._trace_fh.flush()
