@@ -1,0 +1,125 @@
+"""EngineBuilder + component registry.
+
+TPU-native analog of the reference's EngineBuilder/ComponentRegistry
+(crates/ferrum-engine/src/{builder.rs:228,registry.rs:209}): resolves a
+model source (local checkpoint dir, preset name, or explicit
+params/config for tests), autosizes the KV pool from free device memory,
+and assembles tokenizer + runner + engine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EngineConfig, install_runtime_snapshot
+from ..models.configs import ModelConfig, config_from_hf_json, preset
+from ..models.llama_family import ModelParams, PagedKvCache, init_random_params
+from ..tokenizer import FerrumTokenizer, make_byte_tokenizer
+from ..types import ModelLoadError
+from .engine import ContinuousBatchEngine
+from .runner import ModelRunner
+
+
+def autosize_kv_blocks(model_cfg: ModelConfig, engine_cfg: EngineConfig,
+                       params_bytes: int, hbm_bytes: Optional[int] = None,
+                       reserve_frac: float = 0.12) -> int:
+    """VRAM→HBM autosizing (ref: gpu_mem_autosize.rs): fit the KV pool in
+    free HBM after weights, keeping a reserve for activations/compiler
+    scratch."""
+    if hbm_bytes is None:
+        try:
+            stats = jax.devices()[0].memory_stats()
+            hbm_bytes = stats.get("bytes_limit") if stats else None
+        except Exception:
+            hbm_bytes = None
+        if not hbm_bytes:
+            hbm_bytes = 16 * (1 << 30)  # v5e default
+    kv_dtype_bytes = 1 if engine_cfg.kv_dtype == "int8" else 2
+    block_bytes = (2 * model_cfg.num_layers * engine_cfg.kv_block_size
+                   * model_cfg.kv_size * kv_dtype_bytes)
+    free = hbm_bytes * (1.0 - reserve_frac) - params_bytes
+    blocks = int(free // block_bytes)
+    # At least enough for one full-length sequence; at most what
+    # max_num_seqs * max_model_len could ever use.
+    min_blocks = engine_cfg.max_blocks_per_seq + 1
+    max_blocks = engine_cfg.max_num_seqs * engine_cfg.max_blocks_per_seq + 1
+    if blocks < min_blocks:
+        raise ModelLoadError(
+            f"not enough HBM for KV: {blocks} blocks fit, need {min_blocks}")
+    return min(blocks, max_blocks)
+
+
+def params_nbytes(params) -> int:
+    return sum(x.nbytes for x in jax.tree_util.tree_leaves(params)
+               if hasattr(x, "nbytes"))
+
+
+class EngineBuilder:
+    def __init__(self, cfg: EngineConfig):
+        self.cfg = cfg
+        self.model_cfg: Optional[ModelConfig] = None
+        self.params: Optional[ModelParams] = None
+        self.tokenizer: Optional[FerrumTokenizer] = None
+        self.mesh = None
+        self.attn_impl = "auto"
+
+    def with_model(self, model_cfg: ModelConfig,
+                   params: ModelParams) -> "EngineBuilder":
+        self.model_cfg = model_cfg
+        self.params = params
+        return self
+
+    def with_tokenizer(self, tok: FerrumTokenizer) -> "EngineBuilder":
+        self.tokenizer = tok
+        return self
+
+    def with_mesh(self, mesh) -> "EngineBuilder":
+        self.mesh = mesh
+        return self
+
+    # ------------------------------------------------------------------
+    def _resolve_model(self) -> None:
+        if self.model_cfg is not None:
+            return
+        src = self.cfg.model
+        if os.path.isdir(src):
+            from ..models.loader import load_checkpoint
+            self.model_cfg, self.params, tok = load_checkpoint(
+                src, self.cfg)
+            if self.tokenizer is None:
+                self.tokenizer = tok
+            return
+        if src.startswith("random:"):
+            # "random:<preset>" — architecture-true random weights for
+            # benches (throughput is weight-value independent).
+            self.model_cfg = preset(src.split(":", 1)[1])
+            dtype = jnp.bfloat16 if self.cfg.dtype == "bf16" else jnp.float32
+            self.params = init_random_params(self.model_cfg, self.cfg.seed,
+                                             dtype=dtype)
+            return
+        raise ModelLoadError(f"cannot resolve model source {src!r}")
+
+    def build(self) -> ContinuousBatchEngine:
+        cfg = self.cfg
+        install_runtime_snapshot(cfg)
+        self._resolve_model()
+        if self.tokenizer is None:
+            extra = max(0, self.model_cfg.vocab_size - 258)
+            self.tokenizer = make_byte_tokenizer(vocab_extra=extra)
+
+        if cfg.kv_num_blocks:
+            num_blocks = cfg.kv_num_blocks
+        else:
+            num_blocks = autosize_kv_blocks(
+                self.model_cfg, cfg, params_nbytes(self.params))
+        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+                    "int8": jnp.int8}[cfg.kv_dtype]
+        kv = PagedKvCache.create(self.model_cfg, num_blocks,
+                                 cfg.kv_block_size, dtype=kv_dtype)
+        runner = ModelRunner(self.model_cfg, cfg, self.params, kv,
+                             mesh=self.mesh, attn_impl=self.attn_impl)
+        return ContinuousBatchEngine(cfg, runner, self.tokenizer)

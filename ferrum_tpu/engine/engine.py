@@ -1,0 +1,343 @@
+"""ContinuousBatchEngine — the serving core.
+
+TPU-native analog of the reference's engine crate
+(crates/ferrum-engine/src/continuous_engine.rs:3324 ContinuousBatchEngine,
+continuous_engine/inner.rs:365 run_iteration): a single background
+iteration loop drives scheduler → prefill chunks → batched decode →
+completion/stream emission. Requests are submitted from any thread and
+consume results via per-request queues (the reference's per-request mpsc
+channels).
+
+Differences from the reference, by TPU design:
+  - the whole decode batch is one compiled XLA call (no per-op launches);
+  - sampling happens on device; the host loop only sees token ids;
+  - the loop is a plain Python thread (host work per iteration is a few
+    hundred microseconds of bookkeeping; the device step dominates).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+import traceback
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..config import EngineConfig
+from ..kv.block_pool import BlockPool
+from ..kv.prefix_cache import PrefixCache
+from ..scheduler.continuous import ContinuousBatchScheduler, PrefillChunk
+from ..scheduler.sequence import Phase, Sequence
+from ..tokenizer import FerrumTokenizer
+from ..types import (
+    EngineMetricsSnapshot, EngineStoppedError, FinishReason,
+    InferenceRequest, InferenceResponse, InvalidRequestError, StreamChunk,
+)
+from .runner import ModelRunner
+
+
+class _RequestState:
+    def __init__(self, seq: Sequence):
+        self.seq = seq
+        self.out_queue: "queue.Queue[StreamChunk]" = queue.Queue()
+        self.submit_time = time.monotonic()
+        self.aborted = False
+
+
+class ContinuousBatchEngine:
+    def __init__(self, cfg: EngineConfig, runner: ModelRunner,
+                 tokenizer: FerrumTokenizer,
+                 pool: Optional[BlockPool] = None,
+                 prefix_cache: Optional[PrefixCache] = None):
+        self.cfg = cfg
+        self.runner = runner
+        self.tokenizer = tokenizer
+        self.pool = pool or BlockPool(
+            runner.kv.num_blocks, cfg.kv_block_size)
+        self.prefix_cache = prefix_cache if prefix_cache is not None else (
+            PrefixCache(self.pool, enabled=cfg.enable_prefix_cache))
+        self.scheduler = ContinuousBatchScheduler(
+            cfg, self.pool, self.prefix_cache, policy=cfg.scheduler)
+
+        self._requests: Dict[str, _RequestState] = {}
+        self._lock = threading.Lock()
+        self._work_event = threading.Event()
+        self._stop = False
+        self._loop_thread: Optional[threading.Thread] = None
+        self._loop_error: Optional[BaseException] = None
+        self.metrics = EngineMetricsSnapshot(
+            kv_blocks_total=self.pool.num_blocks)
+
+    # ------------------------------------------------------------------
+    # Public API (ref: infer/infer_stream continuous_engine.rs:3515,3593)
+    # ------------------------------------------------------------------
+    def submit(self, request: InferenceRequest) -> "queue.Queue[StreamChunk]":
+        if self._stop:
+            raise EngineStoppedError("engine is stopped")
+        request.sampling.validate()
+        if request.prompt_token_ids is not None:
+            ids = list(request.prompt_token_ids)
+        elif request.prompt is not None:
+            ids = self.tokenizer.encode(request.prompt)
+        else:
+            raise InvalidRequestError("prompt or prompt_token_ids required",
+                                      param="prompt")
+        if not ids:
+            raise InvalidRequestError("empty prompt", param="prompt")
+        if len(ids) + request.sampling.max_tokens > self.cfg.max_model_len:
+            # Clamp generation budget rather than reject (vLLM-compatible).
+            request.sampling.max_tokens = max(
+                1, self.cfg.max_model_len - len(ids))
+        if len(ids) >= self.cfg.max_model_len:
+            raise InvalidRequestError(
+                f"prompt length {len(ids)} exceeds max_model_len "
+                f"{self.cfg.max_model_len}", param="prompt")
+
+        seq = Sequence(request, ids)
+        if request.guided is not None:
+            from ..sampling.guided import build_guided_processor
+            seq.guided_processor = build_guided_processor(
+                request.guided, self.tokenizer)
+        state = _RequestState(seq)
+        with self._lock:
+            self._requests[request.request_id] = state
+            self.scheduler.submit(seq)
+            self.metrics.requests_submitted += 1
+        self.ensure_loop()
+        self._work_event.set()
+        return state.out_queue
+
+    def infer_stream(self, request: InferenceRequest
+                     ) -> Iterator[StreamChunk]:
+        q = self.submit(request)
+        while True:
+            chunk = q.get()
+            if self._loop_error is not None:
+                raise self._loop_error
+            yield chunk
+            if chunk.finished:
+                return
+
+    def infer(self, request: InferenceRequest) -> InferenceResponse:
+        t0 = time.monotonic()
+        text_parts: List[str] = []
+        token_ids: List[int] = []
+        ttft = None
+        last = None
+        for chunk in self.infer_stream(request):
+            if chunk.token_ids and ttft is None:
+                ttft = time.monotonic() - t0
+            text_parts.append(chunk.text)
+            token_ids.extend(chunk.token_ids)
+            last = chunk
+        return InferenceResponse(
+            request_id=request.request_id,
+            text="".join(text_parts),
+            token_ids=token_ids,
+            finish_reason=last.finish_reason or FinishReason.STOP,
+            prompt_tokens=last.prompt_tokens,
+            completion_tokens=last.completion_tokens,
+            ttft=ttft,
+            e2e_latency=time.monotonic() - t0)
+
+    def abort(self, request_id: str) -> None:
+        with self._lock:
+            state = self._requests.get(request_id)
+            if state is not None:
+                state.aborted = True
+        self._work_event.set()
+
+    def stop(self) -> None:
+        self._stop = True
+        self._work_event.set()
+        if self._loop_thread is not None:
+            self._loop_thread.join(timeout=30)
+
+    def metrics_snapshot(self) -> EngineMetricsSnapshot:
+        m = self.metrics
+        m.kv_blocks_free = self.pool.num_free
+        m.waiting_requests = len(self.scheduler.waiting)
+        m.running_requests = len(self.scheduler.running)
+        pc = self.prefix_cache
+        m.prefix_cache_hits = pc.stats.hits
+        m.prefix_cache_misses = pc.stats.misses
+        m.prefix_cache_saved_tokens = pc.stats.saved_prefill_tokens
+        return m
+
+    # ------------------------------------------------------------------
+    # Background loop (ref: ensure_bg_loop CAS continuous_engine.rs:3446)
+    # ------------------------------------------------------------------
+    def ensure_loop(self) -> None:
+        if self._loop_thread is None or not self._loop_thread.is_alive():
+            with self._lock:
+                if self._loop_thread is None or not self._loop_thread.is_alive():
+                    self._loop_thread = threading.Thread(
+                        target=self._loop, name="ferrum-engine-loop",
+                        daemon=True)
+                    self._loop_thread.start()
+
+    def _loop(self) -> None:
+        try:
+            while not self._stop:
+                did_work = self.run_iteration()
+                if not did_work:
+                    self._work_event.wait(timeout=0.05)
+                    self._work_event.clear()
+        except BaseException as e:  # propagate to waiters
+            self._loop_error = e
+            traceback.print_exc()
+            with self._lock:
+                for state in self._requests.values():
+                    state.out_queue.put(StreamChunk(
+                        request_id=state.seq.request.request_id, text="",
+                        token_ids=[], finished=True,
+                        finish_reason=FinishReason.ERROR))
+
+    # ------------------------------------------------------------------
+    def run_iteration(self) -> bool:
+        """One scheduler+device iteration (ref: run_iteration inner.rs:365).
+        Returns False when idle."""
+        self._drain_aborts()
+        with self._lock:
+            batch = self.scheduler.next_batch()
+            for seq in batch.admitted:
+                self.runner.admit_slot(seq)
+        if batch.is_empty:
+            return False
+        self.metrics.iterations_total += 1
+
+        # --- prefill chunks ---
+        for chunk in batch.prefill_chunks:
+            first_token = self._run_prefill_chunk(chunk)
+            self.scheduler.note_prefill_done(chunk)
+            self.metrics.tokens_prefilled += len(chunk.tokens)
+            if first_token is not None:
+                self._accept_token(chunk.seq, first_token)
+
+        # --- batched decode ---
+        decode_seqs = [s for s in batch.decode_seqs
+                       if s.phase == Phase.DECODING]
+        if decode_seqs:
+            guided = [s for s in decode_seqs if s.guided_processor is not None]
+            if guided:
+                tokens, logits = self.runner.run_decode(
+                    decode_seqs, return_logits=True)
+                for seq in guided:
+                    tokens[seq.request.request_id] = \
+                        self._guided_sample(seq, logits[seq.slot])
+            else:
+                tokens = self.runner.run_decode(decode_seqs)
+            self.metrics.tokens_decoded += len(decode_seqs)
+            for seq in decode_seqs:
+                self._accept_token(seq, tokens[seq.request.request_id])
+        return True
+
+    # ------------------------------------------------------------------
+    def _run_prefill_chunk(self, chunk: PrefillChunk) -> Optional[int]:
+        seq = chunk.seq
+        tok = self.runner.run_prefill(chunk)
+        if tok is not None and seq.guided_processor is not None:
+            # Guided requests: the device-sampled first token must obey
+            # the DFA; if it doesn't, replace it with an allowed token.
+            tok = self._advance_guided(seq, tok)
+        return tok
+
+    def _guided_sample(self, seq: Sequence, logits_row: np.ndarray) -> int:
+        from ..sampling.host import sample_host
+        mask = seq.guided_processor.allowed_mask(seq)
+        rng = np.random.default_rng(
+            (seq.request.sampling.seed or self.cfg.seed)
+            + seq.num_output_tokens)
+        tok = sample_host(logits_row, seq.request.sampling,
+                          seq.all_tokens, rng, mask=mask)
+        seq.guided_processor.advance(seq, tok)
+        return tok
+
+    def _advance_guided(self, seq: Sequence, tok: int) -> int:
+        gp = seq.guided_processor
+        mask = gp.allowed_mask(seq)
+        if mask is None or mask[tok]:
+            gp.advance(seq, tok)
+            return tok
+        # Device-sampled token not allowed by DFA: pick best allowed.
+        allowed = np.flatnonzero(mask)
+        tok2 = int(allowed[0]) if len(allowed) else tok
+        gp.advance(seq, tok2)
+        return tok2
+
+    # ------------------------------------------------------------------
+    def _accept_token(self, seq: Sequence, token: int) -> None:
+        state = self._requests.get(seq.request.request_id)
+        seq.output_tokens.append(token)
+        if seq.first_token_time is None:
+            seq.first_token_time = time.monotonic()
+
+        sp = seq.request.sampling
+        finish: Optional[FinishReason] = None
+        eos_ids = set(self.tokenizer.eos_token_ids) \
+            | set(sp.stop_token_ids)
+        if not sp.ignore_eos and token in eos_ids \
+                and seq.num_output_tokens >= sp.min_tokens:
+            finish = FinishReason.STOP
+        elif seq.num_output_tokens >= sp.max_tokens:
+            finish = FinishReason.LENGTH
+        elif seq.guided_processor is not None \
+                and seq.guided_processor.is_complete(seq):
+            finish = FinishReason.STOP
+
+        # Incremental detokenization (skip the EOS token itself).
+        text = ""
+        if finish is None or token not in eos_ids:
+            text, seq.detok_prefix_offset, seq.detok_read_offset = \
+                self.tokenizer.decode_incremental(
+                    seq.output_tokens, seq.detok_prefix_offset,
+                    seq.detok_read_offset)
+
+        # Stop strings: emit text up to (excluding) the stop match.
+        if finish is None and sp.stop and text:
+            emitted = seq.emitted_text_len
+            candidate = self._full_text(seq)
+            for stop_s in sp.stop:
+                idx = candidate.find(stop_s, max(0, emitted - len(stop_s)))
+                if idx >= 0:
+                    text = candidate[emitted:idx]
+                    finish = FinishReason.STOP
+                    break
+
+        seq.emitted_text_len += len(text)
+        if state is not None and (text or finish is not None):
+            state.out_queue.put(StreamChunk(
+                request_id=seq.request.request_id, text=text,
+                token_ids=[token], finished=finish is not None,
+                finish_reason=finish,
+                prompt_tokens=seq.num_prompt_tokens,
+                completion_tokens=seq.num_output_tokens))
+        if finish is not None:
+            seq.finish_reason = finish
+            with self._lock:
+                self.scheduler.finish(seq)
+                self._requests.pop(seq.request.request_id, None)
+                self.metrics.requests_completed += 1
+
+    def _full_text(self, seq: Sequence) -> str:
+        return self.tokenizer.decode(seq.output_tokens)
+
+    def _drain_aborts(self) -> None:
+        with self._lock:
+            dead = [s for s in self._requests.values() if s.aborted]
+            for state in dead:
+                seq = state.seq
+                if seq.phase in (Phase.PREFILLING, Phase.DECODING,
+                                 Phase.WAITING, Phase.PREEMPTED):
+                    if seq in self.scheduler.waiting:
+                        self.scheduler.waiting.remove(seq)
+                    self.scheduler.finish(seq)
+                state.out_queue.put(StreamChunk(
+                    request_id=seq.request.request_id, text="",
+                    token_ids=[], finished=True,
+                    finish_reason=FinishReason.ABORT,
+                    prompt_tokens=seq.num_prompt_tokens,
+                    completion_tokens=seq.num_output_tokens))
+                self._requests.pop(seq.request.request_id, None)

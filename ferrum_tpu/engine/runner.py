@@ -1,0 +1,292 @@
+"""ModelRunner: owns device state and the compiled prefill/decode steps.
+
+TPU-native analog of the reference's CudaDecodeRunner + LlmExecutor
+(crates/ferrum-kernels/src/backend/cuda/cuda_decode.rs:191,
+crates/ferrum-models/src/executor/llm_executor.rs:187) — with XLA
+compilation replacing CUDA-Graph capture:
+
+  - ONE jitted program per (phase, bucket): decode is compiled per
+    padded-context bucket; prefill per (chunk-pad, context) bucket.
+    Buckets are powers of two, so recompilation is rare and cached —
+    the TPU analog of the reference's graph cache keyed by padded batch
+    (llama_family.rs:36-38).
+  - KV cache, repetition-penalty counts and PRNG keys are donated
+    through every step → XLA updates them in place in HBM.
+  - Greedy/sampled tokens are chosen on device; only the [S] token ids
+    cross back to the host per step (ref: FERRUM_GREEDY_ARGMAX GPU
+    argmax fast path, traits.rs:1534).
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+import time
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EngineConfig
+from ..models.configs import ModelConfig
+from ..models.llama_family import (
+    ModelParams, PagedKvCache, decode_forward, logits_from_hidden,
+    prefill_forward,
+)
+from ..sampling.device import (
+    SlotSamplingParams, sample_step, update_counts,
+)
+from ..scheduler.continuous import PrefillChunk
+from ..scheduler.sequence import Sequence
+
+
+def _round_up_pow2(x: int, lo: int, hi: int) -> int:
+    x = max(x, lo)
+    return min(1 << (x - 1).bit_length(), hi)
+
+
+class ModelRunner:
+    def __init__(self, model_cfg: ModelConfig, engine_cfg: EngineConfig,
+                 params: ModelParams, kv: PagedKvCache,
+                 mesh=None, attn_impl: str = "auto"):
+        self.model_cfg = model_cfg
+        self.cfg = engine_cfg
+        self.params = params
+        self.kv = kv
+        self.mesh = mesh
+        if attn_impl == "auto":
+            attn_impl = "pallas" if jax.default_backend() == "tpu" else "ref"
+        self.attn_impl = attn_impl
+
+        s = engine_cfg.max_num_seqs
+        v = model_cfg.vocab_size
+        self.num_slots = s
+        self.max_pages = engine_cfg.max_blocks_per_seq
+        self.page = kv.page
+
+        # Device-resident per-slot state.
+        self.counts = jnp.zeros((s, v), jnp.int32)
+        base = jax.random.key_data(jax.random.PRNGKey(engine_cfg.seed))
+        self.keys = jnp.tile(base[None, :], (s, 1))
+
+        # Host mirrors of per-slot sampling params.
+        self._temps = np.zeros(s, np.float32)
+        self._top_ks = np.zeros(s, np.int32)
+        self._top_ps = np.ones(s, np.float32)
+        self._penalties = np.ones(s, np.float32)
+
+        self._decode_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
+        self._prefill_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
+        self._reset_fn = jax.jit(
+            lambda counts, keys, slot, key: (
+                counts.at[slot].set(0), keys.at[slot].set(key)),
+            donate_argnums=(0, 1))
+
+        # Perf counters (ref: per-op atomic counters llama_family.rs:42-66).
+        self.decode_steps = 0
+        self.prefill_steps = 0
+        self.compilations = 0
+        self.decode_device_time = 0.0
+        self.prefill_device_time = 0.0
+
+    # ------------------------------------------------------------------
+    # Slot lifecycle
+    # ------------------------------------------------------------------
+    def admit_slot(self, seq: Sequence) -> None:
+        sp = seq.request.sampling
+        slot = seq.slot
+        self._temps[slot] = sp.temperature
+        self._top_ks[slot] = sp.top_k
+        self._top_ps[slot] = sp.top_p
+        self._penalties[slot] = sp.repetition_penalty
+        seed = sp.seed if sp.seed is not None \
+            else (self.cfg.seed ^ (hash(seq.request.request_id) & 0x7FFFFFFF))
+        key = jax.random.key_data(jax.random.PRNGKey(seed))
+        self.counts, self.keys = self._reset_fn(
+            self.counts, self.keys, slot, key)
+
+    # ------------------------------------------------------------------
+    # Bucketing
+    # ------------------------------------------------------------------
+    def ctx_bucket(self, max_len: int) -> int:
+        lo = max(2 * self.page, 16)
+        return _round_up_pow2(max_len, lo, self.cfg.max_model_len)
+
+    def chunk_bucket(self, t: int) -> int:
+        lo = min(64, self.cfg.prefill_chunk_size)
+        return _round_up_pow2(t, lo, self.cfg.prefill_chunk_size)
+
+    # ------------------------------------------------------------------
+    # Compiled steps
+    # ------------------------------------------------------------------
+    def _get_decode_fn(self, ctx_pad: int, return_logits: bool):
+        key = (ctx_pad, return_logits)
+        fn = self._decode_fns.get(key)
+        if fn is not None:
+            return fn
+        eos_ids = self.model_cfg.eos_token_ids
+        mc = self.model_cfg
+        attn_impl = self.attn_impl
+
+        def step(params, kv, counts, keys, tokens, positions, block_tables,
+                 context_lens, flat_slots, temps, top_ks, top_ps, penalties,
+                 min_tok_active, active_slots):
+            h, kv = decode_forward(
+                params, mc, kv, tokens, positions, block_tables,
+                context_lens, flat_slots, ctx_pad=ctx_pad,
+                attn_impl=attn_impl)
+            logits = logits_from_hidden(params, mc, h)
+            sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
+                                    min_tok_active)
+            out_tokens, keys = sample_step(logits, sp, counts, keys, eos_ids)
+            counts = update_counts(counts, active_slots, out_tokens)
+            if return_logits:
+                return out_tokens, kv, counts, keys, logits
+            return out_tokens, kv, counts, keys
+
+        fn = jax.jit(step, donate_argnums=(1, 2, 3))
+        self._decode_fns[key] = fn
+        self.compilations += 1
+        return fn
+
+    def _get_prefill_fn(self, t_pad: int, ctx_pad: int, sample: bool):
+        key = (t_pad, ctx_pad, sample)
+        fn = self._prefill_fns.get(key)
+        if fn is not None:
+            return fn
+        eos_ids = self.model_cfg.eos_token_ids
+        mc = self.model_cfg
+        attn_impl = self.attn_impl
+
+        def step(params, kv, counts, keys, tokens, count_tokens, positions,
+                 block_table, total_len, flat_slots, slot, last_idx,
+                 temp, top_k, top_p, penalty, min_tok_active):
+            h, kv = prefill_forward(
+                params, mc, kv, tokens, positions, block_table, total_len,
+                flat_slots, ctx_pad=ctx_pad, attn_impl=attn_impl)
+            # Count prompt tokens for the repetition penalty (pads use
+            # id == vocab → dropped by the scatter).
+            counts = counts.at[slot, count_tokens].add(1, mode="drop")
+            if not sample:
+                return kv, counts
+            logits = logits_from_hidden(params, mc, h[last_idx][None, :])
+            sp = SlotSamplingParams(
+                temp[None], top_k[None], top_p[None], penalty[None],
+                min_tok_active[None])
+            tok, new_key = sample_step(
+                logits, sp, counts[slot][None, :], keys[slot][None, :],
+                eos_ids)
+            keys = keys.at[slot].set(new_key[0])
+            counts = counts.at[slot, tok[0]].add(1)
+            return tok[0], kv, counts, keys
+
+        fn = jax.jit(step, donate_argnums=(1, 2))
+        self._prefill_fns[key] = fn
+        self.compilations += 1
+        return fn
+
+    # ------------------------------------------------------------------
+    # Host-side batch assembly + execution
+    # ------------------------------------------------------------------
+    def _tables_for(self, seqs: Sequence) -> np.ndarray:
+        tables = np.zeros((self.num_slots, self.max_pages), np.int32)
+        for seq in seqs:
+            ids = seq.blocks.blocks
+            tables[seq.slot, :len(ids)] = ids
+        return tables
+
+    def run_decode(self, seqs: List[Sequence],
+                   return_logits: bool = False):
+        """One batched decode step. Each seq's input token is its most
+        recent token; returns {seq: sampled_token} (+ logits array)."""
+        s = self.num_slots
+        oob_flat = self.kv.num_blocks * self.page + 1
+        tokens = np.zeros(s, np.int32)
+        positions = np.zeros(s, np.int32)
+        lens = np.zeros(s, np.int32)
+        flat = np.full(s, oob_flat, np.int32)
+        active = np.full(s, s, np.int32)  # OOB slot id = inactive
+        min_tok = np.zeros(s, bool)
+        tables = self._tables_for(seqs)
+        max_len = 2
+        for seq in seqs:
+            sl = seq.slot
+            pos = seq.next_position()
+            tokens[sl] = seq.all_tokens[-1]
+            positions[sl] = pos
+            lens[sl] = pos + 1
+            flat[sl] = seq.blocks.flat_slot(pos)
+            active[sl] = sl
+            min_tok[sl] = (seq.num_output_tokens
+                           < seq.request.sampling.min_tokens)
+            max_len = max(max_len, pos + 1)
+
+        ctx_pad = self.ctx_bucket(max_len)
+        fn = self._get_decode_fn(ctx_pad, return_logits)
+        t0 = time.perf_counter()
+        out = fn(self.params, self.kv, self.counts, self.keys,
+                 jnp.asarray(tokens), jnp.asarray(positions),
+                 jnp.asarray(tables), jnp.asarray(lens), jnp.asarray(flat),
+                 jnp.asarray(self._temps), jnp.asarray(self._top_ks),
+                 jnp.asarray(self._top_ps), jnp.asarray(self._penalties),
+                 jnp.asarray(min_tok), jnp.asarray(active))
+        if return_logits:
+            out_tokens, self.kv, self.counts, self.keys, logits = out
+        else:
+            out_tokens, self.kv, self.counts, self.keys = out
+            logits = None
+        tok_host = np.asarray(out_tokens)
+        self.decode_device_time += time.perf_counter() - t0
+        self.decode_steps += 1
+        result = {seq.request.request_id: int(tok_host[seq.slot])
+                  for seq in seqs}
+        if return_logits:
+            return result, np.asarray(logits)
+        return result
+
+    def run_prefill(self, chunk: PrefillChunk) -> Optional[int]:
+        """Run one prefill chunk; if it completes the prompt, samples and
+        returns the first generated token."""
+        seq = chunk.seq
+        t = len(chunk.tokens)
+        t_pad = self.chunk_bucket(t)
+        total = chunk.start + t
+        ctx_pad = self.ctx_bucket(total)
+        v = self.model_cfg.vocab_size
+        oob_flat = self.kv.num_blocks * self.page + 1
+
+        tokens = np.zeros(t_pad, np.int32)
+        tokens[:t] = chunk.tokens
+        count_tokens = np.full(t_pad, v, np.int32)
+        count_tokens[:t] = chunk.tokens
+        positions = np.full(t_pad, self.cfg.max_model_len + ctx_pad, np.int32)
+        positions[:t] = np.arange(chunk.start, total)
+        table = np.zeros(self.max_pages, np.int32)
+        ids = seq.blocks.blocks
+        table[:len(ids)] = ids
+        flat = np.full(t_pad, oob_flat, np.int32)
+        flat[:t] = [seq.blocks.flat_slot(p) for p in range(chunk.start, total)]
+
+        sl = seq.slot
+        fn = self._get_prefill_fn(t_pad, ctx_pad, chunk.is_last)
+        t0 = time.perf_counter()
+        args = (self.params, self.kv, self.counts, self.keys,
+                jnp.asarray(tokens), jnp.asarray(count_tokens),
+                jnp.asarray(positions), jnp.asarray(table),
+                jnp.asarray(total, jnp.int32), jnp.asarray(flat),
+                sl, t - 1,
+                jnp.asarray(self._temps[sl]), jnp.asarray(self._top_ks[sl]),
+                jnp.asarray(self._top_ps[sl]),
+                jnp.asarray(self._penalties[sl]),
+                jnp.asarray(seq.request.sampling.min_tokens > 0))
+        if chunk.is_last:
+            tok, self.kv, self.counts, self.keys = fn(*args)
+            result = int(np.asarray(tok))
+        else:
+            self.kv, self.counts = fn(*args)
+            result = None
+        self.prefill_device_time += time.perf_counter() - t0
+        self.prefill_steps += 1
+        return result

@@ -1,0 +1,108 @@
+"""On-device batched sampling (runs inside the compiled decode step).
+
+TPU-native analog of the reference's logits-processor chain + GPU argmax
+fast path (ferrum-interfaces/src/sampler.rs:142-383, traits.rs:1534
+argmax-rows incl. the sparse repetition-penalty variant): temperature,
+repetition penalty, top-k, top-p and the final draw all execute on
+device over the whole slot batch, so greedy decoding never reads logits
+back to the host.
+
+Per-slot parameter arrays select behavior branchlessly:
+  temperature == 0  → greedy argmax (penalties still apply)
+  top_k == 0        → disabled; top_p == 1.0 → disabled
+
+Exactness: the sampled path draws from the top `TOPK_CAP` logits
+(static). With top_k <= cap this is exact; pure top-p sampling is
+truncated to the cap's probability mass (documented approximation; the
+host sampler in sampling/host.py is the exact oracle used by tests and
+by the guided-decoding path).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+TOPK_CAP = 256
+
+
+class SlotSamplingParams(NamedTuple):
+    """Per-slot device arrays, assembled by the engine at admission."""
+
+    temperature: jnp.ndarray        # f32 [S]
+    top_k: jnp.ndarray              # int32 [S] (0 = off)
+    top_p: jnp.ndarray              # f32 [S] (1.0 = off)
+    repetition_penalty: jnp.ndarray  # f32 [S] (1.0 = off)
+    min_tokens_active: jnp.ndarray  # bool [S] — suppress EOS while True
+
+
+def apply_repetition_penalty(logits: jnp.ndarray, counts: jnp.ndarray,
+                             penalty: jnp.ndarray) -> jnp.ndarray:
+    """HF/vLLM convention: for seen tokens, positive logits are divided
+    by p, negative multiplied by p (ref: RepetitionPenaltyProcessor)."""
+    seen = counts > 0
+    p = penalty[:, None]
+    penalized = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen, penalized, logits)
+
+
+def sample_step(
+    logits: jnp.ndarray,            # f32 [S, V]
+    params: SlotSamplingParams,
+    counts: jnp.ndarray,            # int32/uint8 [S, V] token-seen counts
+    keys: jnp.ndarray,              # uint32 [S, 2] per-slot PRNG keys
+    eos_ids: Tuple[int, ...],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Returns (tokens int32 [S], new_keys uint32 [S,2])."""
+    s, v = logits.shape
+    logits = apply_repetition_penalty(logits, counts,
+                                      params.repetition_penalty)
+    if eos_ids:
+        eos = jnp.zeros((v,), bool).at[jnp.asarray(eos_ids)].set(True)
+        logits = jnp.where(params.min_tokens_active[:, None] & eos[None, :],
+                           -jnp.inf, logits)
+
+    greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    # --- sampled path over top-cap candidates ---
+    temp = jnp.maximum(params.temperature, 1e-5)[:, None]
+    k_cap = min(TOPK_CAP, v)
+    vals, idx = jax.lax.top_k(logits / temp, k_cap)      # [S, cap] desc
+    rank = jax.lax.broadcasted_iota(jnp.int32, (s, k_cap), 1)
+    k_eff = jnp.where(params.top_k[:, None] > 0,
+                      params.top_k[:, None], k_cap)
+    vals = jnp.where(rank < k_eff, vals, -jnp.inf)
+    probs = jax.nn.softmax(vals, axis=-1)
+    # top-p: keep tokens while cumulative prob before them < top_p
+    # (always keep rank 0).
+    cum_before = jnp.cumsum(probs, axis=-1) - probs
+    keep = (cum_before < params.top_p[:, None]) | (rank == 0)
+    vals = jnp.where(keep, vals, -jnp.inf)
+
+    typed_keys = jax.vmap(jax.random.wrap_key_data)(keys)
+    draw_key, next_key = jax.vmap(lambda k: tuple(jax.random.split(k)))(
+        typed_keys)
+    gumbel = jax.vmap(
+        lambda k, sh=(k_cap,): jax.random.gumbel(k, sh))(draw_key)
+    choice = jnp.argmax(vals + gumbel, axis=-1)
+    sampled_tok = jnp.take_along_axis(idx, choice[:, None], axis=1)[:, 0]
+
+    tokens = jnp.where(params.temperature <= 0.0, greedy_tok,
+                       sampled_tok.astype(jnp.int32))
+    new_keys = jax.vmap(jax.random.key_data)(next_key)
+    return tokens, new_keys
+
+
+def update_counts(counts: jnp.ndarray, slot_ids: jnp.ndarray,
+                  tokens: jnp.ndarray) -> jnp.ndarray:
+    """Scatter-add observed tokens into the per-slot seen-count buffer.
+
+    slot_ids/tokens: int32 [N]; out-of-range slot_ids (padding) dropped.
+    """
+    return counts.at[slot_ids, tokens].add(1, mode="drop")
+
+
+def reset_slot_counts(counts: jnp.ndarray, slot: int) -> jnp.ndarray:
+    return counts.at[slot].set(0)

@@ -1,0 +1,192 @@
+"""End-to-end engine tests on a tiny model (CPU, hardware-free).
+
+Models the reference's keystone strategy (SURVEY §4.4): the full engine
+— scheduler, paged KV, runner, sampling, detokenization, streaming —
+driven by real device math on tiny shapes.
+"""
+
+import threading
+
+import numpy as np
+import pytest
+
+from ferrum_tpu.config import EngineConfig
+from ferrum_tpu.engine.builder import EngineBuilder
+from ferrum_tpu.models.configs import ModelConfig
+from ferrum_tpu.models.llama_family import init_random_params
+from ferrum_tpu.tokenizer import make_byte_tokenizer
+from ferrum_tpu.types import (
+    FinishReason, InferenceRequest, SamplingParams,
+)
+
+
+def tiny_engine(max_num_seqs=4, kv_blocks=64, max_model_len=256,
+                chunk=32, seed=0, prefix_cache=True):
+    cfg = EngineConfig(
+        model="test", max_num_seqs=max_num_seqs, kv_num_blocks=kv_blocks,
+        kv_block_size=8, max_model_len=max_model_len,
+        max_num_batched_tokens=128, prefill_chunk_size=chunk,
+        enable_prefix_cache=prefix_cache, dtype="f32", kv_dtype="f32",
+        seed=seed)
+    mc = ModelConfig(
+        family="qwen3", vocab_size=512, hidden_size=64, num_layers=2,
+        num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=128,
+        qk_norm=True, tie_word_embeddings=True, rope_theta=10000.0,
+        eos_token_ids=(257,))
+    import jax.numpy as jnp
+    params = init_random_params(mc, seed=0, dtype=jnp.float32)
+    tok = make_byte_tokenizer(vocab_extra=512 - 258)
+    return EngineBuilder(cfg).with_model(mc, params).with_tokenizer(tok).build()
+
+
+@pytest.fixture(scope="module")
+def engine():
+    eng = tiny_engine()
+    yield eng
+    eng.stop()
+
+
+def req(prompt="Hello world", max_tokens=8, **kw):
+    return InferenceRequest(prompt=prompt,
+                            sampling=SamplingParams(max_tokens=max_tokens, **kw))
+
+
+def test_basic_generation(engine):
+    r = engine.infer(req(max_tokens=6))
+    assert r.completion_tokens >= 1
+    assert r.finish_reason in (FinishReason.STOP, FinishReason.LENGTH)
+    assert len(r.token_ids) == r.completion_tokens
+    assert r.prompt_tokens > 0
+
+
+def test_greedy_determinism(engine):
+    """Greedy self-determinism: 100% token agreement across runs
+    (ref: quant_kl.rs self-determinism gate)."""
+    r1 = engine.infer(req(prompt="determinism test", max_tokens=10))
+    r2 = engine.infer(req(prompt="determinism test", max_tokens=10))
+    assert r1.token_ids == r2.token_ids
+
+
+def test_stream_equals_nonstream(engine):
+    """Release-ladder L3 invariant: stream == non-stream byte-for-byte."""
+    chunks = list(engine.infer_stream(req(prompt="stream parity", max_tokens=10)))
+    streamed = "".join(c.text for c in chunks)
+    r = engine.infer(req(prompt="stream parity", max_tokens=10))
+    assert streamed == r.text
+    assert chunks[-1].finished
+
+
+def test_concurrent_requests():
+    eng = tiny_engine(max_num_seqs=4)
+    try:
+        results = {}
+        def worker(i):
+            results[i] = eng.infer(req(prompt=f"request number {i}",
+                                       max_tokens=6))
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(8)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert len(results) == 8
+        for i, r in results.items():
+            assert r.completion_tokens >= 1
+        # Concurrency must not change greedy outputs vs solo run.
+        solo = eng.infer(req(prompt="request number 3", max_tokens=6))
+        assert solo.token_ids == results[3].token_ids
+    finally:
+        eng.stop()
+
+
+def test_long_prompt_chunked_prefill():
+    eng = tiny_engine(chunk=16, max_model_len=256)
+    try:
+        long_prompt = "abcdefgh" * 12  # 96 chars → 96 byte tokens
+        r = eng.infer(req(prompt=long_prompt, max_tokens=4))
+        assert r.prompt_tokens >= 96
+        assert r.completion_tokens >= 1
+        # Chunked result must equal non-chunked result.
+        eng2 = tiny_engine(chunk=128, max_model_len=256)
+        try:
+            r2 = eng2.infer(req(prompt=long_prompt, max_tokens=4))
+            assert r.token_ids == r2.token_ids
+        finally:
+            eng2.stop()
+    finally:
+        eng.stop()
+
+
+def test_prefix_cache_second_request_faster():
+    eng = tiny_engine(chunk=16)
+    try:
+        prompt = "shared prefix for the cache " * 3
+        r1 = eng.infer(req(prompt=prompt, max_tokens=4))
+        prefilled_before = eng.metrics.tokens_prefilled
+        r2 = eng.infer(req(prompt=prompt, max_tokens=4))
+        prefilled_delta = eng.metrics.tokens_prefilled - prefilled_before
+        assert r1.token_ids == r2.token_ids  # reuse must not change output
+        assert prefilled_delta < r1.prompt_tokens  # saved prefill work
+        assert eng.prefix_cache.stats.hits >= 1
+    finally:
+        eng.stop()
+
+
+def test_stop_strings(engine):
+    # Greedy output of this tiny random model is deterministic; find a
+    # substring of the output and use it as a stop string.
+    full = engine.infer(req(prompt="stop string test", max_tokens=12))
+    if len(full.text) < 4:
+        pytest.skip("tiny model emitted too little text")
+    stop_s = full.text[2:4]
+    r = engine.infer(req(prompt="stop string test", max_tokens=12,
+                         stop=[stop_s]))
+    assert stop_s not in r.text
+    assert r.finish_reason == FinishReason.STOP
+
+
+def test_max_tokens_respected(engine):
+    r = engine.infer(req(max_tokens=3))
+    assert r.completion_tokens <= 3
+    if r.finish_reason == FinishReason.LENGTH:
+        assert r.completion_tokens == 3
+
+
+def test_sampled_generation_seeded(engine):
+    r1 = engine.infer(req(prompt="sampling", max_tokens=8,
+                          temperature=1.0, top_p=0.9, seed=42))
+    r2 = engine.infer(req(prompt="sampling", max_tokens=8,
+                          temperature=1.0, top_p=0.9, seed=42))
+    r3 = engine.infer(req(prompt="sampling", max_tokens=8,
+                          temperature=1.0, top_p=0.9, seed=43))
+    assert r1.token_ids == r2.token_ids
+    assert isinstance(r3.token_ids, list)  # different seed may differ
+
+
+def test_abort():
+    eng = tiny_engine()
+    try:
+        r = InferenceRequest(prompt="abort me",
+                             sampling=SamplingParams(max_tokens=200))
+        q = eng.submit(r)
+        eng.abort(r.request_id)
+        chunks = []
+        while True:
+            c = q.get(timeout=60)
+            chunks.append(c)
+            if c.finished:
+                break
+        assert chunks[-1].finish_reason in (FinishReason.ABORT,
+                                            FinishReason.LENGTH,
+                                            FinishReason.STOP)
+    finally:
+        eng.stop()
+
+
+def test_metrics_snapshot(engine):
+    engine.infer(req(max_tokens=2))
+    m = engine.metrics_snapshot()
+    assert m.requests_completed >= 1
+    assert m.tokens_decoded >= 1
+    assert m.kv_blocks_total == 64
+    assert m.kv_blocks_free <= 64
