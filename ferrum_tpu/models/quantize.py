@@ -1,0 +1,89 @@
+"""Quantize a loaded ModelParams to packed int4 (RTN, group-wise).
+
+The from-scratch quantization path (when no GPTQ checkpoint exists):
+round-to-nearest symmetric int4 with per-group scales — the same device
+layout GPTQ checkpoints repack into (ops/quant.py), so the serving path
+is identical. ref: the reference's w4a16 dequant lane and
+quantize-on-load flows (crates/ferrum-quantization).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.linear import DenseLinearParams
+from ..ops.quant import QuantLinearParams, make_quant_linear, quantize_weight_np
+from .llama_family import LayerParams, ModelParams, MoeLayerParams
+
+
+def _quant_dense(lin: Optional[DenseLinearParams], group_size: int,
+                 dtype=jnp.bfloat16):
+    if lin is None:
+        return None
+    if not isinstance(lin, DenseLinearParams):
+        return lin  # already quantized
+    w = np.asarray(lin.w, dtype=np.float32)
+    if w.shape[0] % group_size:
+        return lin  # oddly-shaped linear stays dense
+    b = None if lin.bias is None else np.asarray(lin.bias, np.float32)
+    return make_quant_linear(w, group_size=group_size, bias=b, dtype=dtype)
+
+
+def _quant_expert_stack(w: jnp.ndarray, group_size: int,
+                        dtype=jnp.bfloat16) -> QuantLinearParams:
+    """Stack [E, in, out] → stacked QuantLinearParams with leading E dim."""
+    wn = np.asarray(w, dtype=np.float32)
+    e, in_f, out_f = wn.shape
+    packs, scales, zeros = [], [], []
+    for i in range(e):
+        p, s, z = quantize_weight_np(wn[i], group_size)
+        packs.append(p)
+        scales.append(s)
+        zeros.append(z)
+    return QuantLinearParams(
+        qweight=jnp.asarray(np.stack(packs)),
+        scales=jnp.asarray(np.stack(scales), dtype=dtype),
+        zeros=jnp.asarray(np.stack(zeros)),
+        bias=None, in_features=in_f, out_features=out_f,
+        group_size=group_size)
+
+
+def quantize_model_params(params: ModelParams, group_size: int = 128,
+                          dtype=jnp.bfloat16,
+                          quantize_experts: bool = True) -> ModelParams:
+    """Quantize all transformer linears (q/k/v/o, gate/up/down, expert
+    stacks) to int4; embeddings, norms and lm_head stay high-precision
+    (matching GPTQ checkpoint conventions)."""
+    layers = []
+    for lp in params.layers:
+        moe = None
+        if lp.moe is not None:
+            m = lp.moe
+            if quantize_experts and not isinstance(m.gate, QuantLinearParams):
+                moe = MoeLayerParams(
+                    router=m.router,
+                    gate=_quant_expert_stack(m.gate, group_size, dtype),
+                    up=_quant_expert_stack(m.up, group_size, dtype),
+                    down=_quant_expert_stack(m.down, group_size, dtype))
+            else:
+                moe = m
+        layers.append(LayerParams(
+            input_norm=lp.input_norm,
+            q=_quant_dense(lp.q, group_size, dtype),
+            k=_quant_dense(lp.k, group_size, dtype),
+            v=_quant_dense(lp.v, group_size, dtype),
+            o=_quant_dense(lp.o, group_size, dtype),
+            q_norm=lp.q_norm, k_norm=lp.k_norm,
+            post_attn_norm=lp.post_attn_norm,
+            pre_mlp_norm=lp.pre_mlp_norm,
+            post_mlp_norm=lp.post_mlp_norm,
+            gate=_quant_dense(lp.gate, group_size, dtype),
+            up=_quant_dense(lp.up, group_size, dtype),
+            down=_quant_dense(lp.down, group_size, dtype),
+            moe=moe))
+    return ModelParams(embed=params.embed, layers=layers,
+                       final_norm=params.final_norm,
+                       lm_head=params.lm_head)

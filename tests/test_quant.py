@@ -1,0 +1,117 @@
+"""Quantization correctness: packing, GPTQ repack, matmul accuracy,
+and the model-level quant-drift gate (ref: gptq_parity_test.rs,
+quant_kl.rs token-divergence < 0.10)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from ferrum_tpu.ops.quant import (
+    QuantLinearParams, dequantize, make_quant_linear, pack_rows_np,
+    quant_matmul_ref, quantize_weight_np, repack_from_gptq, unpack_rows,
+)
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self):
+        rng = np.random.default_rng(0)
+        q = rng.integers(0, 16, (256, 64)).astype(np.uint8)
+        packed = pack_rows_np(q, group_size=128)
+        assert packed.shape == (128, 64)
+        un = np.asarray(unpack_rows(jnp.asarray(packed), 128))
+        np.testing.assert_array_equal(un, q)
+
+    def test_rtn_quantization_error_bounded(self):
+        rng = np.random.default_rng(1)
+        w = rng.normal(0, 0.05, (256, 128)).astype(np.float32)
+        p = make_quant_linear(w, group_size=128, dtype=jnp.float32)
+        wq = np.asarray(dequantize(p, dtype=jnp.float32))
+        # max error <= scale/2 per group; scale = absmax/7
+        scales = np.abs(w.reshape(2, 128, 128)).max(axis=1) / 7.0
+        err = np.abs(wq - w).reshape(2, 128, 128)
+        assert (err <= scales[:, None, :] * 0.5 + 1e-6).all()
+
+    def test_matmul_ref_matches_dequant(self):
+        rng = np.random.default_rng(2)
+        w = rng.normal(0, 0.05, (256, 64)).astype(np.float32)
+        x = rng.normal(0, 1, (8, 256)).astype(np.float32)
+        p = make_quant_linear(w, group_size=128, dtype=jnp.float32)
+        got = np.asarray(quant_matmul_ref(jnp.asarray(x), p))
+        want = x @ np.asarray(dequantize(p, dtype=jnp.float32))
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+class TestGptqRepack:
+    def _make_gptq(self, in_f=256, out_f=64, group=128, seed=3):
+        """Emit AutoGPTQ-convention tensors for a known int4 weight."""
+        rng = np.random.default_rng(seed)
+        q = rng.integers(0, 16, (in_f, out_f)).astype(np.uint32)
+        scales = rng.uniform(0.01, 0.02, (in_f // group, out_f)
+                             ).astype(np.float32)
+        zeros = rng.integers(1, 15, (in_f // group, out_f)).astype(np.int32)
+        # qweight int32 [in/8, out]: 8 nibbles along in.
+        qw = np.zeros((in_f // 8, out_f), np.uint32)
+        for j in range(8):
+            qw |= q[j::8] << (4 * j)
+        # qzeros int32 [groups, out/8]: AutoGPTQ stores (z - 1).
+        qz = np.zeros((in_f // group, out_f // 8), np.uint32)
+        for j in range(8):
+            qz |= ((zeros[:, j::8] - 1).astype(np.uint32)) << (4 * j)
+        return (qw.astype(np.int32), qz.astype(np.int32), scales,
+                q, zeros)
+
+    def test_repack_dequant_matches_gptq_formula(self):
+        qw, qz, scales, q, zeros = self._make_gptq()
+        packed, sc, z, group = repack_from_gptq(qw, qz, scales)
+        assert group == 128
+        p = QuantLinearParams(
+            qweight=jnp.asarray(packed), scales=jnp.asarray(sc),
+            zeros=jnp.asarray(z), bias=None,
+            in_features=256, out_features=64, group_size=group)
+        got = np.asarray(dequantize(p, dtype=jnp.float32))
+        # GPTQ dequant: w[i,o] = (q[i,o] - z[g,o]) * s[g,o], g = i // 128.
+        want = np.zeros((256, 64), np.float32)
+        for g in range(2):
+            rows = slice(g * 128, (g + 1) * 128)
+            want[rows] = (q[rows].astype(np.float32)
+                          - zeros[g][None, :]) * scales[g][None, :]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+class TestModelQuantDrift:
+    def test_int4_logit_fidelity(self):
+        """INT4 model logits stay close to f32 logits on a tiny random
+        model: cosine >= 0.95 and per-position argmax agreement >= 0.8.
+
+        Note: the reference's production gate is greedy token divergence
+        < 0.10 on REAL trained checkpoints (quant_kl.rs:1-17); random
+        weights have near-degenerate logit gaps, so the structural
+        fidelity check here is the hardware-free CI analog, and the
+        token-divergence gate runs in the accuracy harness
+        (ferrum_tpu/bench/accuracy.py) against real models."""
+        from ferrum_tpu.models.configs import ModelConfig
+        from ferrum_tpu.models.llama_family import (
+            init_random_params, logits_from_hidden,
+        )
+        from ferrum_tpu.models.quantize import quantize_model_params
+        from tests.test_model_forward import make_cache, prefill_whole
+
+        mc = ModelConfig(
+            family="qwen3", vocab_size=512, hidden_size=128, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=32, intermediate_size=256,
+            qk_norm=True, tie_word_embeddings=True, rope_theta=10000.0)
+        params = init_random_params(mc, seed=0, dtype=jnp.float32)
+        qparams = quantize_model_params(params, group_size=128,
+                                        dtype=jnp.float32)
+        rng = np.random.default_rng(0)
+        toks = rng.integers(0, 512, 24).tolist()
+        blocks = list(range(6))
+        h1, _ = prefill_whole(params, mc, make_cache(mc), toks, blocks)
+        h2, _ = prefill_whole(qparams, mc, make_cache(mc), toks, blocks)
+        l1 = np.asarray(logits_from_hidden(params, mc, jnp.asarray(h1)))
+        l2 = np.asarray(logits_from_hidden(qparams, mc, jnp.asarray(h2)))
+        cos = (l1 * l2).sum(-1) / (
+            np.linalg.norm(l1, axis=-1) * np.linalg.norm(l2, axis=-1))
+        agree = (l1.argmax(-1) == l2.argmax(-1)).mean()
+        assert cos.min() >= 0.95, cos.min()
+        assert agree >= 0.8, agree
