@@ -55,6 +55,8 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_SPEC_K": ("spec_num_tokens", int, "speculative draft length"),
     "FERRUM_DECODE_BUCKETS": ("decode_bucket_spec", str,
                               "comma-separated decode batch buckets, e.g. 1,8,32"),
+    "FERRUM_DECODE_MULTI_STEP": ("decode_multi_step", int,
+                                 "decode tokens per device call (lax.scan)"),
 }
 
 
@@ -148,6 +150,12 @@ class EngineConfig:
     expert_parallel: int = 1
 
     # --- sampling / decoding ---
+    # Decode steps fused into one device call via lax.scan: sampled
+    # tokens feed back on device, so the host syncs once per
+    # `decode_multi_step` tokens instead of per token. Essential when
+    # dispatch latency is high; overshoot past EOS/stop within a window
+    # is discarded host-side.
+    decode_multi_step: int = 8
     seed: int = 0
     greedy_argmax_device: bool = True
     spec_draft_model: Optional[str] = None

@@ -222,16 +222,28 @@ class ContinuousBatchEngine:
         if decode_seqs:
             guided = [s for s in decode_seqs if s.guided_processor is not None]
             if guided:
+                # Guided sequences need per-token host masking → single
+                # step with logits readback.
                 tokens, logits = self.runner.run_decode(
                     decode_seqs, return_logits=True)
                 for seq in guided:
                     tokens[seq.request.request_id] = \
                         self._guided_sample(seq, logits[seq.slot])
+                self.metrics.tokens_decoded += len(decode_seqs)
+                for seq in decode_seqs:
+                    self._accept_token(seq, tokens[seq.request.request_id])
             else:
-                tokens = self.runner.run_decode(decode_seqs)
-            self.metrics.tokens_decoded += len(decode_seqs)
-            for seq in decode_seqs:
-                self._accept_token(seq, tokens[seq.request.request_id])
+                # Fused multi-step decode: one device call, T tokens.
+                t_steps = max(1, self.cfg.decode_multi_step)
+                token_lists = self.runner.run_decode_multi(
+                    decode_seqs, t_steps)
+                for step in range(t_steps):
+                    for seq in decode_seqs:
+                        if seq.phase != Phase.DECODING:
+                            continue  # finished earlier in window
+                        self._accept_token(
+                            seq, token_lists[seq.request.request_id][step])
+                        self.metrics.tokens_decoded += 1
         return True
 
     # ------------------------------------------------------------------

@@ -78,6 +78,7 @@ class ModelRunner:
         self._penalties = np.ones(s, np.float32)
 
         self._decode_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
+        self._decode_multi_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._prefill_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._reset_fn = jax.jit(
             lambda counts, keys, slot, key: (
@@ -150,6 +151,109 @@ class ModelRunner:
         self._decode_fns[key] = fn
         self.compilations += 1
         return fn
+
+    def _get_decode_multi_fn(self, ctx_pad: int, num_steps: int):
+        """T decode steps fused into one compiled program via lax.scan.
+
+        The sampled token of step t feeds step t+1 on device; positions,
+        context lengths and KV flat slots advance on device (flat slots
+        are looked up from the block tables, so sequences may cross
+        block boundaries mid-window — the scheduler pre-allocates
+        `num_steps` tokens of KV headroom). One host sync yields
+        [T, S] tokens. This is the TPU answer to both CUDA-Graph decode
+        capture AND launch/dispatch latency (ref: cuda_graph.rs '~550
+        launches → 1'): here it is ~T full steps per dispatch.
+        """
+        key = (ctx_pad, num_steps)
+        fn = self._decode_multi_fns.get(key)
+        if fn is not None:
+            return fn
+        eos_ids = self.model_cfg.eos_token_ids
+        mc = self.model_cfg
+        attn_impl = self.attn_impl
+        page = self.page
+
+        def step_fn(params, kv, counts, keys, tokens, positions,
+                    block_tables, context_lens, pos_limit, temps, top_ks,
+                    top_ps, penalties, min_tok_active, active_slots):
+            def body(carry, _):
+                tokens, positions, context_lens, kv, counts, keys = carry
+                # Device-side flat-slot lookup (kv_cache_append analog of
+                # the host's SequenceBlocks.flat_slot).
+                page_idx = positions // page
+                block = jnp.take_along_axis(
+                    block_tables, page_idx[:, None], axis=1)[:, 0]
+                flat = block * page + positions % page
+                # Inactive/overflow slots drop their writes.
+                oob = kv.num_blocks * page + 1
+                flat = jnp.where(
+                    (positions < pos_limit) & (active_slots < tokens.shape[0]),
+                    flat, oob)
+                h, kv = decode_forward(
+                    params, mc, kv, tokens, positions, block_tables,
+                    context_lens, flat, ctx_pad=ctx_pad,
+                    attn_impl=attn_impl)
+                logits = logits_from_hidden(params, mc, h)
+                sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
+                                        min_tok_active)
+                out_tokens, keys = sample_step(logits, sp, counts, keys,
+                                               eos_ids)
+                counts = update_counts(counts, active_slots, out_tokens)
+                return ((out_tokens, positions + 1, context_lens + 1,
+                         kv, counts, keys), out_tokens)
+
+            carry = (tokens, positions, context_lens, kv, counts, keys)
+            (tokens, positions, context_lens, kv, counts, keys), all_toks = \
+                jax.lax.scan(body, carry, None, length=num_steps)
+            return all_toks, kv, counts, keys
+
+        fn = jax.jit(step_fn, donate_argnums=(1, 2, 3))
+        self._decode_multi_fns[key] = fn
+        self.compilations += 1
+        return fn
+
+    def run_decode_multi(self, seqs: List[Sequence], num_steps: int
+                         ) -> Dict[str, List[int]]:
+        """Run `num_steps` fused decode steps; returns per-request token
+        lists (callers discard overshoot past EOS/stop/max_tokens)."""
+        s = self.num_slots
+        tokens = np.zeros(s, np.int32)
+        positions = np.zeros(s, np.int32)
+        lens = np.zeros(s, np.int32)
+        pos_limit = np.zeros(s, np.int32)
+        active = np.full(s, s, np.int32)
+        min_tok = np.zeros(s, bool)
+        tables = self._tables_for(seqs)
+        max_len = 2
+        for seq in seqs:
+            sl = seq.slot
+            pos = seq.next_position()
+            tokens[sl] = seq.all_tokens[-1]
+            positions[sl] = pos
+            lens[sl] = pos + 1
+            pos_limit[sl] = len(seq.blocks.blocks) * self.page
+            active[sl] = sl
+            # Conservative: suppress EOS through the whole window while
+            # under min_tokens (may overshoot by <= T-1, never under).
+            min_tok[sl] = (seq.num_output_tokens
+                           < seq.request.sampling.min_tokens)
+            max_len = max(max_len, pos + 1)
+
+        ctx_pad = self.ctx_bucket(max_len + num_steps)
+        fn = self._get_decode_multi_fn(ctx_pad, num_steps)
+        t0 = time.perf_counter()
+        all_toks, self.kv, self.counts, self.keys = fn(
+            self.params, self.kv, self.counts, self.keys,
+            jnp.asarray(tokens), jnp.asarray(positions),
+            jnp.asarray(tables), jnp.asarray(lens), jnp.asarray(pos_limit),
+            jnp.asarray(self._temps), jnp.asarray(self._top_ks),
+            jnp.asarray(self._top_ps), jnp.asarray(self._penalties),
+            jnp.asarray(min_tok), jnp.asarray(active))
+        tok_host = np.asarray(all_toks)          # [T, S] — the one sync
+        self.decode_device_time += time.perf_counter() - t0
+        self.decode_steps += num_steps
+        return {seq.request.request_id: tok_host[:, seq.slot].tolist()
+                for seq in seqs}
 
     def _get_prefill_fn(self, t_pad: int, ctx_pad: int, sample: bool):
         key = (t_pad, ctx_pad, sample)

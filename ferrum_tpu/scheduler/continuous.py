@@ -72,6 +72,9 @@ class ContinuousBatchScheduler:
         self.pool = pool
         self.prefix_cache = prefix_cache
         self.policy = policy
+        # KV headroom reserved per decode schedule: the engine decodes up
+        # to this many tokens per iteration on device (multi-step scan).
+        self.decode_lookahead = max(1, cfg.decode_multi_step)
         self.waiting: Deque[Sequence] = deque()
         self.running: List[Sequence] = []     # admission order
         self._free_slots: List[int] = list(range(cfg.max_num_seqs - 1, -1, -1))
@@ -165,7 +168,8 @@ class ContinuousBatchScheduler:
             # Each decode consumes 1 budget token + maybe a new block.
             if budget <= 0:
                 break
-            while not self._try_alloc(seq, seq.total_tokens + 1):
+            while not self._try_alloc(seq,
+                                      seq.total_tokens + self.decode_lookahead):
                 if self._preempt_victim(batch, exclude=seq) is None:
                     # Cannot free anything: defer this decode to a later
                     # iteration ("defer_decode_to_waiting_for_capacity").

@@ -101,7 +101,8 @@ class TestContinuousScheduler:
              policy="continuous", prefix=False):
         cfg = EngineConfig(max_num_seqs=max_num_seqs, kv_num_blocks=blocks,
                            kv_block_size=4, max_num_batched_tokens=budget,
-                           prefill_chunk_size=chunk, max_model_len=128)
+                           prefill_chunk_size=chunk, max_model_len=128,
+                           decode_multi_step=1)
         pool = BlockPool(blocks, cfg.kv_block_size)
         pc = PrefixCache(pool) if prefix else None
         return ContinuousBatchScheduler(cfg, pool, pc, policy=policy), pool
