@@ -32,8 +32,8 @@ import numpy as np
 from ..config import EngineConfig
 from ..models.configs import ModelConfig
 from ..models.llama_family import (
-    ModelParams, PagedKvCache, decode_forward, logits_from_hidden,
-    prefill_forward,
+    OOB_SENTINEL, ModelParams, PagedKvCache, decode_forward,
+    logits_from_hidden, prefill_forward,
 )
 from ..sampling.device import (
     SlotSamplingParams, sample_step, update_counts,
@@ -122,8 +122,9 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # Compiled steps
     # ------------------------------------------------------------------
-    def _get_decode_fn(self, ctx_pad: int, return_logits: bool):
-        key = (ctx_pad, return_logits)
+    def _get_decode_fn(self, ctx_pad: int, return_logits: bool,
+                       greedy: bool = False):
+        key = (ctx_pad, return_logits, greedy)
         fn = self._decode_fns.get(key)
         if fn is not None:
             return fn
@@ -141,7 +142,8 @@ class ModelRunner:
             logits = logits_from_hidden(params, mc, h)
             sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
                                     min_tok_active)
-            out_tokens, keys = sample_step(logits, sp, counts, keys, eos_ids)
+            out_tokens, keys = sample_step(logits, sp, counts, keys, eos_ids,
+                                           greedy_only=greedy)
             counts = update_counts(counts, active_slots, out_tokens)
             if return_logits:
                 return out_tokens, kv, counts, keys, logits
@@ -152,7 +154,8 @@ class ModelRunner:
         self.compilations += 1
         return fn
 
-    def _get_decode_multi_fn(self, ctx_pad: int, num_steps: int):
+    def _get_decode_multi_fn(self, ctx_pad: int, num_steps: int,
+                             greedy: bool = False):
         """T decode steps fused into one compiled program via lax.scan.
 
         The sampled token of step t feeds step t+1 on device; positions,
@@ -164,7 +167,7 @@ class ModelRunner:
         capture AND launch/dispatch latency (ref: cuda_graph.rs '~550
         launches → 1'): here it is ~T full steps per dispatch.
         """
-        key = (ctx_pad, num_steps)
+        key = (ctx_pad, num_steps, greedy)
         fn = self._decode_multi_fns.get(key)
         if fn is not None:
             return fn
@@ -185,7 +188,7 @@ class ModelRunner:
                     block_tables, page_idx[:, None], axis=1)[:, 0]
                 flat = block * page + positions % page
                 # Inactive/overflow slots drop their writes.
-                oob = kv.num_blocks * page + 1
+                oob = OOB_SENTINEL
                 flat = jnp.where(
                     (positions < pos_limit) & (active_slots < tokens.shape[0]),
                     flat, oob)
@@ -197,7 +200,7 @@ class ModelRunner:
                 sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
                                         min_tok_active)
                 out_tokens, keys = sample_step(logits, sp, counts, keys,
-                                               eos_ids)
+                                               eos_ids, greedy_only=greedy)
                 counts = update_counts(counts, active_slots, out_tokens)
                 return ((out_tokens, positions + 1, context_lens + 1,
                          kv, counts, keys), out_tokens)
@@ -240,7 +243,8 @@ class ModelRunner:
             max_len = max(max_len, pos + 1)
 
         ctx_pad = self.ctx_bucket(max_len + num_steps)
-        fn = self._get_decode_multi_fn(ctx_pad, num_steps)
+        greedy = bool(all(self._temps[seq.slot] == 0 for seq in seqs))
+        fn = self._get_decode_multi_fn(ctx_pad, num_steps, greedy)
         t0 = time.perf_counter()
         all_toks, self.kv, self.counts, self.keys = fn(
             self.params, self.kv, self.counts, self.keys,
@@ -255,8 +259,9 @@ class ModelRunner:
         return {seq.request.request_id: tok_host[:, seq.slot].tolist()
                 for seq in seqs}
 
-    def _get_prefill_fn(self, t_pad: int, ctx_pad: int, sample: bool):
-        key = (t_pad, ctx_pad, sample)
+    def _get_prefill_fn(self, t_pad: int, ctx_pad: int, sample: bool,
+                        greedy: bool = False):
+        key = (t_pad, ctx_pad, sample, greedy)
         fn = self._prefill_fns.get(key)
         if fn is not None:
             return fn
@@ -281,7 +286,7 @@ class ModelRunner:
                 min_tok_active[None])
             tok, new_key = sample_step(
                 logits, sp, counts[slot][None, :], keys[slot][None, :],
-                eos_ids)
+                eos_ids, greedy_only=greedy)
             keys = keys.at[slot].set(new_key[0])
             counts = counts.at[slot, tok[0]].add(1)
             return tok[0], kv, counts, keys
@@ -306,7 +311,7 @@ class ModelRunner:
         """One batched decode step. Each seq's input token is its most
         recent token; returns {seq: sampled_token} (+ logits array)."""
         s = self.num_slots
-        oob_flat = self.kv.num_blocks * self.page + 1
+        oob_flat = OOB_SENTINEL
         tokens = np.zeros(s, np.int32)
         positions = np.zeros(s, np.int32)
         lens = np.zeros(s, np.int32)
@@ -328,7 +333,8 @@ class ModelRunner:
             max_len = max(max_len, pos + 1)
 
         ctx_pad = self.ctx_bucket(max_len)
-        fn = self._get_decode_fn(ctx_pad, return_logits)
+        greedy = bool((self._temps == 0).all()) and not return_logits
+        fn = self._get_decode_fn(ctx_pad, return_logits, greedy)
         t0 = time.perf_counter()
         out = fn(self.params, self.kv, self.counts, self.keys,
                  jnp.asarray(tokens), jnp.asarray(positions),
@@ -359,7 +365,7 @@ class ModelRunner:
         total = chunk.start + t
         ctx_pad = self.ctx_bucket(total)
         v = self.model_cfg.vocab_size
-        oob_flat = self.kv.num_blocks * self.page + 1
+        oob_flat = OOB_SENTINEL
 
         tokens = np.zeros(t_pad, np.int32)
         tokens[:t] = chunk.tokens
@@ -374,7 +380,8 @@ class ModelRunner:
         flat[:t] = [seq.blocks.flat_slot(p) for p in range(chunk.start, total)]
 
         sl = seq.slot
-        fn = self._get_prefill_fn(t_pad, ctx_pad, chunk.is_last)
+        greedy = bool(self._temps[seq.slot] == 0)
+        fn = self._get_prefill_fn(t_pad, ctx_pad, chunk.is_last, greedy)
         t0 = time.perf_counter()
         args = (self.params, self.kv, self.counts, self.keys,
                 jnp.asarray(tokens), jnp.asarray(count_tokens),

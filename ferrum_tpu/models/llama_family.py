@@ -255,47 +255,61 @@ def make_rope_tables(cfg: ModelConfig):
     return inv_g, inv_l
 
 
+# Flat-slot sentinel for "drop this write": must stay out of range even
+# after the per-layer base offset is added (layer-merged cache indexing).
+OOB_SENTINEL = 1 << 30
+
+
 def decode_forward(
     params: ModelParams, cfg: ModelConfig, kv: PagedKvCache,
     tokens: jnp.ndarray,         # int32 [S]
     positions: jnp.ndarray,      # int32 [S] (== context_lens - 1; pad slots OOB)
     block_tables: jnp.ndarray,   # int32 [S, max_pages]
     context_lens: jnp.ndarray,   # int32 [S] incl. the new token
-    flat_slots: jnp.ndarray,     # int32 [S] cache write position (OOB = drop)
+    flat_slots: jnp.ndarray,     # int32 [S]; OOB_SENTINEL = drop
     *, ctx_pad: int,
     attn_impl: str = "ref",
 ) -> Tuple[jnp.ndarray, PagedKvCache]:
-    """One batched decode step → (hidden [S, H], updated kv)."""
+    """One batched decode step → (hidden [S, H], updated kv).
+
+    The KV pool is threaded through the layers as ONE flat array with
+    per-layer base offsets (layer li's blocks live at [li*NB, (li+1)*NB))
+    — scatters update it in place under donation; no per-step cache
+    copy (the stack-per-layer alternative copies the whole pool).
+    """
     inv_g, inv_l = make_rope_tables(cfg)
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
-    k_all, v_all = kv.k, kv.v
-
-    new_k = [None] * cfg.num_layers
-    new_v = [None] * cfg.num_layers
+    L = cfg.num_layers
+    # Merge layer dim into the block dim (free reshape).
+    kf = kv.k.reshape(L * nb, page, hkv, d)
+    vf = kv.v.reshape(L * nb, page, hkv, d)
+    state = {"k": kf, "v": vf}
 
     def attn(li, q, k_new, v_new):
-        kc = k_all[li].reshape(nb, page, hkv, d)
-        vc = v_all[li].reshape(nb, page, hkv, d)
-        kc, vc = kv_cache_append(kc, vc, k_new, v_new, flat_slots)
-        new_k[li] = kc.reshape(nb, page, hkv * d)
-        new_v[li] = vc.reshape(nb, page, hkv * d)
+        tables_l = block_tables + li * nb
+        flat_l = flat_slots + li * nb * page
+        kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,
+                                 flat_l)
+        state["k"], state["v"] = kc, vc
         sw = cfg.layer_sliding_window(li)
         if attn_impl == "pallas":
             from ..ops.pallas.paged_attention import paged_decode_attention
             return paged_decode_attention(
-                q, kc, vc, block_tables, context_lens,
+                q, kc, vc, tables_l, context_lens,
                 scale=cfg.attn_scale, sliding_window=sw,
                 softcap=cfg.attn_logit_softcap)
         return paged_decode_attention_ref(
-            q, kc, vc, block_tables, context_lens, ctx_pad=ctx_pad,
+            q, kc, vc, tables_l, context_lens, ctx_pad=ctx_pad,
             scale=cfg.attn_scale, sliding_window=sw,
             softcap=cfg.attn_logit_softcap)
 
     h = forward_hidden(params, cfg, tokens, positions, attn,
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
-    kv2 = PagedKvCache(k=jnp.stack(new_k), v=jnp.stack(new_v), page=page,
-                       kv_heads=hkv, head_dim=d)
+    kv2 = PagedKvCache(
+        k=state["k"].reshape(L, nb, page, hkv * d),
+        v=state["v"].reshape(L, nb, page, hkv * d),
+        page=page, kv_heads=hkv, head_dim=d)
     return h, kv2
 
 
@@ -313,26 +327,29 @@ def prefill_forward(
     inv_g, inv_l = make_rope_tables(cfg)
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
-    k_all, v_all = kv.k, kv.v
-    new_k = [None] * cfg.num_layers
-    new_v = [None] * cfg.num_layers
+    L = cfg.num_layers
+    kf = kv.k.reshape(L * nb, page, hkv, d)
+    vf = kv.v.reshape(L * nb, page, hkv, d)
+    state = {"k": kf, "v": vf}
 
     def attn(li, q, k_new, v_new):
-        kc = k_all[li].reshape(nb, page, hkv, d)
-        vc = v_all[li].reshape(nb, page, hkv, d)
-        kc, vc = kv_cache_append(kc, vc, k_new, v_new, flat_slots)
-        new_k[li] = kc.reshape(nb, page, hkv * d)
-        new_v[li] = vc.reshape(nb, page, hkv * d)
+        table_l = block_table + li * nb
+        flat_l = flat_slots + li * nb * page
+        kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,
+                                 flat_l)
+        state["k"], state["v"] = kc, vc
         sw = cfg.layer_sliding_window(li)
         return paged_prefill_attention_ref(
-            q, kc, vc, block_table, positions, total_len, ctx_pad=ctx_pad,
+            q, kc, vc, table_l, positions, total_len, ctx_pad=ctx_pad,
             scale=cfg.attn_scale, sliding_window=sw,
             softcap=cfg.attn_logit_softcap)
 
     h = forward_hidden(params, cfg, tokens, positions, attn,
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
-    kv2 = PagedKvCache(k=jnp.stack(new_k), v=jnp.stack(new_v), page=page,
-                       kv_heads=hkv, head_dim=d)
+    kv2 = PagedKvCache(
+        k=state["k"].reshape(L, nb, page, hkv * d),
+        v=state["v"].reshape(L, nb, page, hkv * d),
+        page=page, kv_heads=hkv, head_dim=d)
     return h, kv2
 
 

@@ -54,8 +54,15 @@ def sample_step(
     counts: jnp.ndarray,            # int32/uint8 [S, V] token-seen counts
     keys: jnp.ndarray,              # uint32 [S, 2] per-slot PRNG keys
     eos_ids: Tuple[int, ...],
+    greedy_only: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns (tokens int32 [S], new_keys uint32 [S,2])."""
+    """Returns (tokens int32 [S], new_keys uint32 [S,2]).
+
+    greedy_only (static): all slots are temperature==0 — skip the
+    top-k/top-p machinery entirely (a top_k over a 150k vocab is far
+    more expensive than the argmax; the runner picks this variant when
+    the whole batch is greedy — the FERRUM_GREEDY_ARGMAX fast path).
+    """
     s, v = logits.shape
     logits = apply_repetition_penalty(logits, counts,
                                       params.repetition_penalty)
@@ -65,6 +72,8 @@ def sample_step(
                            -jnp.inf, logits)
 
     greedy_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    if greedy_only:
+        return greedy_tok, keys
 
     # --- sampled path over top-cap candidates ---
     temp = jnp.maximum(params.temperature, 1e-5)[:, None]

@@ -22,6 +22,7 @@ from ferrum_tpu.models.loader import TensorSource, params_from_hf
 
 PAGE = 8
 NUM_BLOCKS = 32
+from ferrum_tpu.models.llama_family import OOB_SENTINEL as OOB
 CTX = 64
 MAXP = CTX // PAGE
 
@@ -38,7 +39,7 @@ def run_ours(cfg, params, tokens):
     toks = np.zeros(tpad, np.int32); toks[:t] = tokens
     pos = np.full(tpad, CTX + 99, np.int32); pos[:t] = np.arange(t)
     table = np.arange(MAXP, dtype=np.int32)
-    flat = np.full(tpad, NUM_BLOCKS * PAGE + 7, np.int32)
+    flat = np.full(tpad, OOB, np.int32)
     flat[:t] = np.arange(t)
     h, _ = prefill_forward(params, cfg, kv, jnp.asarray(toks),
                            jnp.asarray(pos), jnp.asarray(table),
@@ -175,7 +176,7 @@ def test_decode_path_parity_with_hf_generate():
     toks = np.zeros(tpad, np.int32); toks[:t] = prompt
     pos = np.full(tpad, CTX + 99, np.int32); pos[:t] = np.arange(t)
     table = np.arange(MAXP, dtype=np.int32)
-    flat = np.full(tpad, NUM_BLOCKS * PAGE + 7, np.int32)
+    flat = np.full(tpad, OOB, np.int32)
     flat[:t] = np.arange(t)
     h, kv = prefill_forward(params, cfg, kv, jnp.asarray(toks),
                             jnp.asarray(pos), jnp.asarray(table),
@@ -190,7 +191,7 @@ def test_decode_path_parity_with_hf_generate():
         pos_d = np.zeros(s, np.int32); pos_d[0] = cur
         tables = np.zeros((s, MAXP), np.int32); tables[0] = table
         lens = np.zeros(s, np.int32); lens[0] = cur + 1
-        flat_d = np.full(s, NUM_BLOCKS * PAGE + 7, np.int32)
+        flat_d = np.full(s, OOB, np.int32)
         flat_d[0] = cur
         h, kv = decode_forward(params, cfg, kv, jnp.asarray(toks_d),
                                jnp.asarray(pos_d), jnp.asarray(tables),

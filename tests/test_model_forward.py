@@ -17,6 +17,7 @@ from ferrum_tpu.models.llama_family import (
 
 PAGE = 4
 NUM_BLOCKS = 64
+from ferrum_tpu.models.llama_family import OOB_SENTINEL as OOB
 CTX = 64
 MAXP = CTX // PAGE
 
@@ -35,7 +36,7 @@ def prefill_whole(params, cfg, kv, tokens, block_ids):
     pos[:t] = np.arange(t)
     table = np.zeros(MAXP, np.int32)
     table[:len(block_ids)] = block_ids
-    flat = np.full(tpad, NUM_BLOCKS * PAGE + 7, np.int32)
+    flat = np.full(tpad, OOB, np.int32)
     flat[:t] = [block_ids[p // PAGE] * PAGE + p % PAGE for p in range(t)]
     h, kv = prefill_forward(
         params, cfg, kv, jnp.asarray(toks), jnp.asarray(pos),
@@ -72,7 +73,7 @@ def test_chunked_prefill_matches_whole(setup):
         pos[:n] = np.arange(start, start + n)
         table = np.zeros(MAXP, np.int32)
         table[:6] = block_ids
-        flat = np.full(16, NUM_BLOCKS * PAGE + 7, np.int32)
+        flat = np.full(16, OOB, np.int32)
         flat[:n] = [block_ids[p // PAGE] * PAGE + p % PAGE
                     for p in range(start, start + n)]
         h, kv = prefill_forward(
@@ -109,7 +110,7 @@ def test_decode_matches_prefill(setup):
     tables[0, :4] = block_ids
     lens = np.zeros(s, np.int32)
     lens[0] = 14
-    flat = np.full(s, NUM_BLOCKS * PAGE + 7, np.int32)
+    flat = np.full(s, OOB, np.int32)
     flat[0] = block_ids[13 // PAGE] * PAGE + 13 % PAGE
     h, kv = decode_forward(
         params, cfg, kv, jnp.asarray(toks), jnp.asarray(pos),
@@ -154,7 +155,7 @@ def test_batched_decode_isolation(setup):
     pos[0], pos[1] = 9, 6
     lens = np.zeros(s, np.int32)
     lens[0], lens[1] = 10, 7
-    flat = np.full(s, NUM_BLOCKS * PAGE + 7, np.int32)
+    flat = np.full(s, OOB, np.int32)
     flat[0] = b1[9 // PAGE] * PAGE + 1
     flat[1] = b2[6 // PAGE] * PAGE + 2
     both, _ = dec(toks, pos, tables, lens, flat, kv)
@@ -168,7 +169,7 @@ def test_batched_decode_isolation(setup):
     pos1[0] = 6
     lens1 = np.zeros(s, np.int32)
     lens1[0] = 7
-    flat1 = np.full(s, NUM_BLOCKS * PAGE + 7, np.int32)
+    flat1 = np.full(s, OOB, np.int32)
     flat1[0] = b2[6 // PAGE] * PAGE + 2
     solo2, _ = dec(toks1, pos1, tables1, lens1, flat1, kv)
     np.testing.assert_allclose(both[1], solo2[0], rtol=2e-5, atol=2e-5)
@@ -207,7 +208,7 @@ def test_sliding_window_masks_history(setup):
         pos = np.zeros(s, np.int32); pos[0] = 10
         tables = np.zeros((s, MAXP), np.int32); tables[0, :3] = blocks
         lens = np.zeros(s, np.int32); lens[0] = 11
-        flat = np.full(s, NUM_BLOCKS * PAGE + 7, np.int32)
+        flat = np.full(s, OOB, np.int32)
         flat[0] = blocks[2] * PAGE + 2
         h, _ = decode_forward(params, cfg_sw, kvx, jnp.asarray(toks),
                               jnp.asarray(pos), jnp.asarray(tables),

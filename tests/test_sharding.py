@@ -20,6 +20,7 @@ from ferrum_tpu.parallel.mesh import make_mesh, shard_kv, shard_params
 
 PAGE = 8
 NUM_BLOCKS = 16
+from ferrum_tpu.models.llama_family import OOB_SENTINEL as OOB
 CTX = 32
 MAXP = 8
 
@@ -42,7 +43,7 @@ def run_decode(cfg, params, kv):
     tables[0, 0] = 1
     tables[1, 0] = 2
     lens = np.zeros(s, np.int32); lens[0] = 4; lens[1] = 3
-    flat = np.full(s, NUM_BLOCKS * PAGE + 7, np.int32)
+    flat = np.full(s, OOB, np.int32)
     flat[0] = 1 * PAGE + 3
     flat[1] = 2 * PAGE + 2
     h, kv2 = decode_forward(params, cfg, kv, jnp.asarray(toks),
@@ -80,7 +81,7 @@ def test_tp_prefill_matches_single_device(setup):
         toks = np.zeros(tpad, np.int32); toks[:t] = tokens
         pos = np.full(tpad, CTX + 99, np.int32); pos[:t] = np.arange(t)
         table = np.zeros(MAXP, np.int32); table[:2] = [3, 4]
-        flat = np.full(tpad, NUM_BLOCKS * PAGE + 7, np.int32)
+        flat = np.full(tpad, OOB, np.int32)
         flat[:t] = [[3, 4][p_ // PAGE] * PAGE + p_ % PAGE for p_ in range(t)]
         h, _ = prefill_forward(p, cfg, kvx, jnp.asarray(toks),
                                jnp.asarray(pos), jnp.asarray(table),
