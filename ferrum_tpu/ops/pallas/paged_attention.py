@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
+N_BUF = 8  # DMA ring depth (pages of K+V in flight)
 
 
 def _decode_kernel(
@@ -76,10 +77,14 @@ def _decode_kernel(
                                   sems.at[slot, 1]),
         )
 
-    @pl.when(n_pages > first_page)
-    def _():
-        for d in page_dma(0, first_page):
-            d.start()
+    # Deep DMA ring: keep up to N_BUF pages' K+V copies in flight so the
+    # walk is bandwidth-bound, not DMA-latency-bound (double buffering
+    # alone leaves the engine idle between 64KB copies).
+    for b in range(N_BUF):
+        @pl.when(first_page + b < n_pages)
+        def _(b=b):
+            for d in page_dma(b, first_page + b):
+                d.start()
 
     acc_ref[:] = jnp.zeros_like(acc_ref)
     m_ref[:] = jnp.full_like(m_ref, NEG_INF)
@@ -89,13 +94,7 @@ def _decode_kernel(
 
     def body(i, _):
         p_idx = first_page + i
-        slot = jax.lax.rem(i, 2)
-        nxt = jax.lax.rem(i + 1, 2)
-
-        @pl.when(p_idx + 1 < n_pages)
-        def _():
-            for d in page_dma(nxt, p_idx + 1):
-                d.start()
+        slot = jax.lax.rem(i, N_BUF)
 
         for d in page_dma(slot, p_idx):
             d.wait()
@@ -143,6 +142,12 @@ def _decode_kernel(
                 preferred_element_type=jnp.float32))    # [rep, D]
         pv = jnp.concatenate(pv_parts, axis=0)          # [Hq, D]
         acc_ref[:] = acc_ref[:] * alpha + pv
+
+        # Refill the ring slot we just consumed with page i + N_BUF.
+        @pl.when(p_idx + N_BUF < n_pages)
+        def _():
+            for d in page_dma(slot, p_idx + N_BUF):
+                d.start()
         return 0
 
     jax.lax.fori_loop(0, n_pages - first_page, body, 0)
@@ -186,12 +191,12 @@ def paged_decode_attention(
         out_specs=pl.BlockSpec((1, hq, d), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, page, hkv * d), k_cache.dtype),
-            pltpu.VMEM((2, page, hkv * d), v_cache.dtype),
+            pltpu.VMEM((N_BUF, page, hkv * d), k_cache.dtype),
+            pltpu.VMEM((N_BUF, page, hkv * d), v_cache.dtype),
             pltpu.VMEM((hq, d), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
             pltpu.VMEM((hq, 128), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA((N_BUF, 2)),
         ],
     )
 

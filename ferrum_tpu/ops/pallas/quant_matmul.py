@@ -8,13 +8,15 @@ packed nibble bytes — the quantity that sets decode speed-of-light.
 
 Layout contract (ops/quant.py pack_rows_np): within every group of 128
 input rows, byte row j holds original row g*128+j in its LOW nibble and
-row g*128+64+j in its HIGH nibble → the kernel dequantizes a whole
-group with two masks and ONE sublane concatenate (the "TPU repack"
-trades the Marlin tile shuffle for this).
+row g*128+64+j in its HIGH nibble → a group dequantizes with two masks
+and one sublane concatenate (the "TPU repack" trades the Marlin tile
+shuffle for this).
 
-Grid: (N/bn, K/128) with K innermost, accumulating into a VMEM scratch
-and writing out on the last K step. A group (128 rows) per K step keeps
-scales/zeros scalar rows per tile.
+Grid: (N/BN, K/BK) with K innermost, BK=256 (2 quant groups per step),
+accumulating into VMEM scratch, output written on the last K step.
+qweight streams through blocked specs (Pallas auto-pipelines the HBM→
+VMEM loads across grid steps); scales/zeros are small and ride fully
+resident in VMEM, sliced per step.
 
 Fallback: jnp dequant+dot on non-TPU backends (parity oracle
 ops/quant.quant_matmul_ref; tests/test_pallas_kernels.py).
@@ -29,63 +31,96 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import quant as quant_ops
 from ..quant import QuantLinearParams, dequantize, quant_matmul_ref
 from . import on_tpu
 
 GROUP = 128
+BKB = 128                # packed byte rows per K step (= 256 weight rows)
 BN = 256
 
 
-def _qmm_kernel(x_ref, qw_ref, sc_ref, z_ref, o_ref, acc_ref, *,
-                n_k_steps: int, out_dtype):
-    k_step = pl.program_id(1)
+def _qmm_kernel(x_lo_ref, x_hi_ref, qw_ref, sc_ref, z_ref, o_ref, acc_ref,
+                *, n_k_steps: int, half_groups: int, bn: int, gpt: int,
+                out_dtype):
+    """Global-halves layout: qweight byte tile [BKB, bn] carries weight
+    rows [kk*BKB, (kk+1)*BKB) in its low nibbles (scale group kk) and
+    rows [K/2 + kk*BKB, ...) in its high nibbles (group G/2 + kk). Each
+    nibble plane contracts against its own x column slice — two MXU
+    calls, zero shuffle ops."""
+    j = pl.program_id(0)
+    kk = pl.program_id(1)
 
-    @pl.when(k_step == 0)
+    @pl.when(kk == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q8 = qw_ref[:]                                  # [64, bn] uint8
-    low = (q8 & 0xF).astype(jnp.int8)
-    high = (q8 >> 4).astype(jnp.int8)
-    qi = jnp.concatenate([low, high], axis=0)       # [128, bn] int8
-    z = z_ref[:].astype(jnp.int8)                   # [1, bn]
-    s = sc_ref[:].astype(jnp.float32)               # [1, bn]
-    w = (qi - z).astype(jnp.bfloat16) * s.astype(jnp.bfloat16)
+    bkb = qw_ref.shape[0]
+    qi = qw_ref[:].astype(jnp.int32)       # Mosaic: shifts need i32 lanes
+    low = qi & 0xF
+    high = qi >> 4
 
-    acc_ref[:] += jax.lax.dot(
-        x_ref[:], w, preferred_element_type=jnp.float32)
+    lane = pl.ds(j * bn, bn)
 
-    @pl.when(k_step == n_k_steps - 1)
+    def dequant(plane, g0):
+        # per-group scale rows broadcast over each GROUP-row stripe
+        qg = plane.reshape(gpt, GROUP, bn)
+        parts = []
+        for t in range(gpt):
+            st = sc_ref[g0 + t, :, lane].astype(jnp.bfloat16)   # [1, bn]
+            zt = z_ref[g0 + t, :, lane].astype(jnp.int32)
+            parts.append((qg[t] - zt).astype(jnp.bfloat16) * st)
+        if gpt == 1:
+            return parts[0]
+        return jnp.concatenate(parts, axis=0)
+
+    w_lo = dequant(low, kk * gpt)                           # [bkb, bn]
+    w_hi = dequant(high, half_groups + kk * gpt)
+
+    acc_ref[:] += jax.lax.dot(x_lo_ref[:], w_lo,
+                              preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot(x_hi_ref[:], w_hi,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(kk == n_k_steps - 1)
     def _():
         o_ref[:] = acc_ref[:].astype(out_dtype)
 
 
-def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
+def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams,
+                     bkb: int = None, bn: int = None) -> jnp.ndarray:
     m, k = x.shape
     n = p.out_features
-    assert k == p.in_features and k % GROUP == 0
-    assert p.group_size == GROUP, "kernel assumes group_size=128"
-    bn = BN if n % BN == 0 else (128 if n % 128 == 0 else None)
+    assert k == p.in_features
+    bkb = bkb or BKB
+    # Prefer the largest byte tile that divides k/2 (fewer grid steps —
+    # per-step overhead, not VPU math, is the measured floor).
+    while (k // 2) % bkb:
+        bkb //= 2
     if bn is None:
+        bn = BN if n % BN == 0 else 128
+    if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return quant_matmul_ref(x, p)
-    n_k = k // GROUP
+    n_k = (k // 2) // bkb                    # byte-row tiles
+    half_groups = (k // 2) // GROUP
 
+    sc3 = p.scales.reshape(-1, 1, n)         # [G, 1, N]: leading-dim index
+    z3 = p.zeros.reshape(-1, 1, n)
     kernel = functools.partial(_qmm_kernel, n_k_steps=n_k,
-                               out_dtype=x.dtype)
-    grid = (n // bn, n_k)
+                               half_groups=half_groups, bn=bn,
+                               gpt=bkb // GROUP, out_dtype=x.dtype)
     out = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n // bn, n_k),
         in_specs=[
-            pl.BlockSpec((m, GROUP), lambda j, kk: (0, kk),
+            pl.BlockSpec((m, bkb), lambda j, kk: (0, kk),
+                         memory_space=pltpu.VMEM),           # x low cols
+            pl.BlockSpec((m, bkb),
+                         lambda j, kk, nk=n_k: (0, nk + kk),
+                         memory_space=pltpu.VMEM),           # x high cols
+            pl.BlockSpec((bkb, bn), lambda j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((GROUP // 2, bn), lambda j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # scales (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # zeros (full)
         ],
         out_specs=pl.BlockSpec((m, bn), lambda j, kk: (0, j),
                                memory_space=pltpu.VMEM),
@@ -93,7 +128,11 @@ def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
         scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
-    )(x, p.qweight, p.scales, p.zeros)
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=p.qweight.nbytes + x.nbytes + 2 * m * n,
+            transcendentals=0),
+    )(x, x, p.qweight, sc3, z3)
     return out
 
 

@@ -11,11 +11,14 @@ used as the parity oracle (the reference's `_eq` test pattern).
 
 Native packed layout ("TPU repack", the Marlin-repack equivalent):
   qweight : uint8 [in/2, out]  — two nibbles per byte packed along the
-            *input* (sublane) axis. Within every group of `group_size`
-            input rows, byte row j holds original rows (g*G + j) in its
-            LOW nibble and (g*G + G/2 + j) in its HIGH nibble, so the
-            kernel dequantizes a group tile with two masks and ONE
-            sublane concatenate — no interleave shuffles on the VPU.
+            *input* (sublane) axis as GLOBAL HALVES: byte row r holds
+            original row r in its LOW nibble and row (in/2 + r) in its
+            HIGH nibble. The matmul kernel then contracts the low and
+            high nibble planes against two disjoint column slices of x
+            with NO interleave/concat shuffles on the VPU — the layout
+            choice is the TPU analog of the Marlin tile shuffle.
+            (Requires in/2 to be a multiple of group_size so each byte
+            tile maps to whole scale groups.)
   scales  : bf16 [in/group, out]
   zeros   : int8 [in/group, out]  — dequant w = (q - z) * s. GPTQ
             symmetric ("u4b8") means z == 8 everywhere.
@@ -49,26 +52,20 @@ class QuantLinearParams:
 
 
 def pack_rows_np(q: np.ndarray, group_size: int) -> np.ndarray:
-    """Pack uint4 values [in, out] → uint8 [in/2, out] in the native layout."""
+    """Pack uint4 values [in, out] → uint8 [in/2, out]: global halves
+    (byte row r = low nibble w[r] | high nibble w[in/2 + r])."""
     in_f, out_f = q.shape
-    assert in_f % group_size == 0 and group_size % 2 == 0
-    g = group_size
-    qg = q.reshape(in_f // g, g, out_f)
-    low = qg[:, : g // 2, :].astype(np.uint8)
-    high = qg[:, g // 2:, :].astype(np.uint8)
-    packed = (low & 0xF) | (high << 4)
-    return packed.reshape(in_f // 2, out_f)
+    half = in_f // 2
+    assert in_f % 2 == 0 and in_f % group_size == 0, (in_f, group_size)
+    low = q[:half].astype(np.uint8)
+    high = q[half:].astype(np.uint8)
+    return (low & 0xF) | (high << 4)
 
 
 def unpack_rows(qweight: jnp.ndarray, group_size: int) -> jnp.ndarray:
     """uint8 [in/2, out] → uint4-valued int32 [in, out] (inverse of pack)."""
-    half, out_f = qweight.shape
-    g = group_size
-    n_groups = (half * 2) // g
-    qg = qweight.reshape(n_groups, g // 2, out_f)
-    low = (qg & 0xF).astype(jnp.int32)
-    high = (qg >> 4).astype(jnp.int32)
-    return jnp.concatenate([low, high], axis=1).reshape(half * 2, out_f)
+    qi = qweight.astype(jnp.int32)
+    return jnp.concatenate([qi & 0xF, qi >> 4], axis=0)
 
 
 def quantize_weight_np(
