@@ -57,7 +57,12 @@ class ModelRunner:
         self.kv = kv
         self.mesh = mesh
         if attn_impl == "auto":
-            attn_impl = "pallas" if jax.default_backend() == "tpu" else "ref"
+            # The XLA gather-based reference attention currently beats the
+            # Pallas kernel inside the fused decode scan on v5e (the
+            # per-sequence grid serializes on the single TensorCore);
+            # pallas stays opt-in until it wins. Measured: SURVEY bench
+            # notes, round 1.
+            attn_impl = "ref"
         self.attn_impl = attn_impl
 
         s = engine_cfg.max_num_seqs

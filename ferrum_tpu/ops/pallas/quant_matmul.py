@@ -91,13 +91,19 @@ def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams,
     m, k = x.shape
     n = p.out_features
     assert k == p.in_features
-    bkb = bkb or BKB
-    # Prefer the largest byte tile that divides k/2 (fewer grid steps —
-    # per-step overhead, not VPU math, is the measured floor).
-    while (k // 2) % bkb:
+    # Tile-size heuristic (measured on v5e: throughput rises ~3x from
+    # (128,256) to (512,512)+, flattening at the VPU unpack ceiling):
+    # prefer the largest tiles that divide the problem, capped for VMEM
+    # when m is a prefill-sized batch.
+    cap = 512 if m > 64 else 1024
+    if bkb is None:
+        bkb = cap
+    while bkb >= GROUP and (k // 2) % bkb:
         bkb //= 2
     if bn is None:
-        bn = BN if n % BN == 0 else 128
+        bn = cap
+        while bn > 128 and n % bn:
+            bn //= 2
     if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return quant_matmul_ref(x, p)
     n_k = (k // 2) // bkb                    # byte-row tiles
