@@ -33,7 +33,9 @@ def main() -> None:
     from ferrum_tpu.bench.bench_engine import run_bench
     from ferrum_tpu.models.configs import preset
     from ferrum_tpu.models.llama_family import init_random_params
-    from ferrum_tpu.models.quantize import quantize_model_params
+    from ferrum_tpu.models.quantize import (
+        init_random_quant_params, quantize_model_params,
+    )
 
     t0 = time.time()
     model_name = os.environ.get("FERRUM_BENCH_MODEL", "llama-3.1-8b")
@@ -48,11 +50,14 @@ def main() -> None:
         max_model_len=1024, prefill_chunk_size=512, kv_block_size=32,
         dtype="bf16", kv_dtype="bf16", seed=0)
 
-    params = init_random_params(model_cfg, seed=0, dtype=jnp.bfloat16)
     label = f"{model_name}-random"
     if quant == "int4":
-        params = quantize_model_params(params, group_size=128)
+        # Direct packed-int4 random init: throughput is weight-value
+        # independent and this avoids minutes of float RNG on 8B values.
+        params = init_random_quant_params(model_cfg, seed=0)
         label += "-int4g128"
+    else:
+        params = init_random_params(model_cfg, seed=0, dtype=jnp.bfloat16)
 
     engine = (EngineBuilder(cfg)
               .with_model(model_cfg, params)

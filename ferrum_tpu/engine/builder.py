@@ -26,7 +26,7 @@ from .runner import ModelRunner
 
 def autosize_kv_blocks(model_cfg: ModelConfig, engine_cfg: EngineConfig,
                        params_bytes: int, hbm_bytes: Optional[int] = None,
-                       reserve_frac: float = 0.12) -> int:
+                       reserve_frac: float = 0.22) -> int:
     """VRAM→HBM autosizing (ref: gpu_mem_autosize.rs): fit the KV pool in
     free HBM after weights, keeping a reserve for activations/compiler
     scratch."""

@@ -79,6 +79,9 @@ class ModelConfig:
     sliding_window: Optional[int] = None
     # gemma3: every Nth layer is global, others sliding-window local.
     sliding_window_pattern: int = 0     # 0 = uniform (all global or all SWA)
+    # Explicit per-layer attention kinds (HF `layer_types`):
+    # "full_attention" | "sliding_attention"; overrides the pattern.
+    layer_types: Optional[Tuple[str, ...]] = None
     activation: str = "silu"            # silu | gelu_tanh
     # gemma3 extras
     query_pre_attn_scalar: Optional[float] = None
@@ -114,6 +117,9 @@ class ModelConfig:
         """
         if self.sliding_window is None:
             return None
+        if self.layer_types is not None:
+            return self.sliding_window \
+                if self.layer_types[layer_idx] == "sliding_attention" else None
         if self.sliding_window_pattern and self.sliding_window_pattern > 0:
             # Gemma3: every `pattern`-th layer (1-indexed) is global.
             if (layer_idx + 1) % self.sliding_window_pattern == 0:
@@ -194,6 +200,8 @@ def config_from_hf_dict(d: Dict[str, Any]) -> ModelConfig:
         cfg.qk_norm = True
     if family == "mistral":
         cfg.sliding_window = d.get("sliding_window")
+    if d.get("layer_types"):
+        cfg.layer_types = tuple(d["layer_types"])
     if family == "gemma3":
         cfg.qk_norm = True
         cfg.activation = "gelu_tanh"

@@ -287,6 +287,8 @@ def decode_forward(
     state = {"k": kf, "v": vf}
 
     def attn(li, q, k_new, v_new):
+        if attn_impl == "skip":  # diagnostic: no append, no attention
+            return q
         tables_l = block_tables + li * nb
         flat_l = flat_slots + li * nb * page
         kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,

@@ -51,6 +51,73 @@ def _quant_expert_stack(w: jnp.ndarray, group_size: int,
         group_size=group_size)
 
 
+def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
+                             dtype=jnp.bfloat16) -> ModelParams:
+    """Architecture-true random INT4 model, generated directly in packed
+    form (no float RNG over billions of values) — for benches, where
+    throughput is weight-value independent. Embeddings/norms/lm_head are
+    bf16 as in real GPTQ checkpoints."""
+    from .llama_family import init_random_params
+
+    rng = np.random.default_rng(seed)
+
+    def qlin(in_f, out_f):
+        packed = rng.integers(0, 256, (in_f // 2, out_f),
+                              dtype=np.uint8)
+        scales = np.full((in_f // group_size, out_f), 0.01, np.float32)
+        zeros = np.full((in_f // group_size, out_f), 8, np.int8)
+        return QuantLinearParams(
+            qweight=jnp.asarray(packed),
+            scales=jnp.asarray(scales, dtype=dtype),
+            zeros=jnp.asarray(zeros), bias=None,
+            in_features=in_f, out_features=out_f, group_size=group_size)
+
+    def qstack(e, in_f, out_f):
+        packed = rng.integers(0, 256, (e, in_f // 2, out_f), dtype=np.uint8)
+        scales = np.full((e, in_f // group_size, out_f), 0.01, np.float32)
+        zeros = np.full((e, in_f // group_size, out_f), 8, np.int8)
+        return QuantLinearParams(
+            qweight=jnp.asarray(packed),
+            scales=jnp.asarray(scales, dtype=dtype),
+            zeros=jnp.asarray(zeros), bias=None,
+            in_features=in_f, out_features=out_f, group_size=group_size)
+
+    h, qs, kvs, inter = (cfg.hidden_size, cfg.q_size, cfg.kv_size,
+                         cfg.intermediate_size)
+    layers = []
+    for li in range(cfg.num_layers):
+        moe = None
+        gate = up = down = None
+        if cfg.layer_is_moe(li):
+            m = cfg.moe
+            moe = MoeLayerParams(
+                router=DenseLinearParams(
+                    w=jnp.asarray(rng.standard_normal(
+                        (h, m.num_experts), dtype=np.float32) * 0.02,
+                        dtype=dtype), bias=None),
+                gate=qstack(m.num_experts, h, m.moe_intermediate_size),
+                up=qstack(m.num_experts, h, m.moe_intermediate_size),
+                down=qstack(m.num_experts, m.moe_intermediate_size, h))
+        else:
+            gate, up, down = qlin(h, inter), qlin(h, inter), qlin(inter, h)
+        layers.append(LayerParams(
+            input_norm=jnp.ones(h, dtype=dtype),
+            q=qlin(h, qs), k=qlin(h, kvs), v=qlin(h, kvs), o=qlin(qs, h),
+            q_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None,
+            k_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None,
+            post_attn_norm=None, pre_mlp_norm=jnp.ones(h, dtype=dtype),
+            post_mlp_norm=None, gate=gate, up=up, down=down, moe=moe))
+    embed = jnp.asarray(
+        rng.standard_normal((cfg.vocab_size, h), dtype=np.float32) * 0.02,
+        dtype=dtype)
+    lm_head = None if cfg.tie_word_embeddings else DenseLinearParams(
+        w=jnp.asarray(rng.standard_normal((h, cfg.vocab_size),
+                                          dtype=np.float32) * 0.02,
+                      dtype=dtype), bias=None)
+    return ModelParams(embed=embed, layers=layers,
+                       final_norm=jnp.ones(h, dtype=dtype), lm_head=lm_head)
+
+
 def quantize_model_params(params: ModelParams, group_size: int = 128,
                           dtype=jnp.bfloat16,
                           quantize_experts: bool = True) -> ModelParams:

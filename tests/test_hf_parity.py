@@ -200,3 +200,23 @@ def test_decode_path_parity_with_hf_generate():
         lg = np.asarray(logits_from_hidden(params, cfg, h[:1]))
         got.append(int(np.argmax(lg)))
     assert got == want
+
+
+def test_gemma3_parity():
+    """Gemma3: sandwich norms, gemma-style (1+w) RMS, GeGLU, qk-norm,
+    local/global layer_types, query_pre_attn_scalar, sqrt(H) embedding
+    scaling (ref: registry.rs:34-38 gemma3 lane)."""
+    from transformers import Gemma3TextConfig, Gemma3ForCausalLM
+    d = dict(architectures=["Gemma3ForCausalLM"], vocab_size=128,
+             hidden_size=64, num_hidden_layers=4, num_attention_heads=4,
+             num_key_value_heads=2, head_dim=16, intermediate_size=128,
+             rms_norm_eps=1e-6, rope_theta=10000.0,
+             rope_local_base_freq=10000.0, sliding_window=8,
+             query_pre_attn_scalar=16.0,
+             layer_types=["sliding_attention", "sliding_attention",
+                          "sliding_attention", "full_attention"],
+             max_position_embeddings=512, tie_word_embeddings=True)
+    torch.manual_seed(8)
+    m = Gemma3ForCausalLM(Gemma3TextConfig(
+        **{k: v for k, v in d.items() if k != "architectures"})).eval()
+    check_parity(m, d, n_tokens=24, rtol=6e-4, atol=6e-4)
