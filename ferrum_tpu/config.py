@@ -38,6 +38,7 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_ENABLE_CHUNKED_PREFILL": ("enable_chunked_prefill", bool, ""),
     "FERRUM_SCHEDULER": ("scheduler", str, "continuous|fifo|priority"),
     "FERRUM_KV_DTYPE": ("kv_dtype", str, "bf16|f32|int8"),
+    "FERRUM_KV_LAYOUT": ("kv_layout", str, "paged|linear"),
     "FERRUM_DTYPE": ("dtype", str, "activation/weight dtype: bf16|f32"),
     "FERRUM_QUANT": ("quantization", str, "none|gptq_int4|gguf_q4k"),
     "FERRUM_TP": ("tensor_parallel", int, "tensor-parallel degree (mesh 'model' axis)"),
@@ -138,6 +139,13 @@ class EngineConfig:
     kv_num_blocks: int = 0              # 0 = autosize from free HBM
     kv_block_size: int = 32
     kv_dtype: str = "bf16"              # bf16 | f32 | int8
+    # "paged": block-table indirection, CoW prefix sharing, preemption by
+    #          block pressure (the reference's vLLM-style layout).
+    # "linear": every slot owns a contiguous max_model_len region —
+    #          attention is a fused dense slice with no gather (the TPU
+    #          serving fast path); prefix sharing and KV-pressure
+    #          preemption don't apply (capacity is reserved per slot).
+    kv_layout: str = "paged"
     enable_prefix_cache: bool = True
 
     # --- numerics / quant ---
@@ -190,6 +198,8 @@ class EngineConfig:
             raise InvalidRequestError("unknown scheduler", param="scheduler")
         if self.kv_dtype not in ("bf16", "f32", "int8"):
             raise InvalidRequestError("unknown kv_dtype", param="kv_dtype")
+        if self.kv_layout not in ("paged", "linear"):
+            raise InvalidRequestError("unknown kv_layout", param="kv_layout")
         if self.quantization not in ("none", "gptq_int4", "gguf_q4k"):
             raise InvalidRequestError("unknown quantization", param="quantization")
 

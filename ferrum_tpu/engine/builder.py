@@ -111,7 +111,11 @@ class EngineBuilder:
             extra = max(0, self.model_cfg.vocab_size - 258)
             self.tokenizer = make_byte_tokenizer(vocab_extra=extra)
 
-        if cfg.kv_num_blocks:
+        if cfg.kv_layout == "linear":
+            # Every slot reserves a full-length region; block ids are the
+            # identity mapping slot*max_pages + i.
+            num_blocks = cfg.max_num_seqs * cfg.max_blocks_per_seq
+        elif cfg.kv_num_blocks:
             num_blocks = cfg.kv_num_blocks
         else:
             num_blocks = autosize_kv_blocks(

@@ -57,7 +57,9 @@ class ContinuousBatchEngine:
         self.pool = pool or BlockPool(
             runner.kv.num_blocks, cfg.kv_block_size)
         self.prefix_cache = prefix_cache if prefix_cache is not None else (
-            PrefixCache(self.pool, enabled=cfg.enable_prefix_cache))
+            PrefixCache(self.pool,
+                        enabled=cfg.enable_prefix_cache
+                        and cfg.kv_layout == "paged"))
         self.scheduler = ContinuousBatchScheduler(
             cfg, self.pool, self.prefix_cache, policy=cfg.scheduler)
 

@@ -56,12 +56,14 @@ class ModelRunner:
         self.params = params
         self.kv = kv
         self.mesh = mesh
-        if attn_impl == "auto":
-            # The XLA gather-based reference attention currently beats the
-            # Pallas kernel inside the fused decode scan on v5e (the
-            # per-sequence grid serializes on the single TensorCore);
-            # pallas stays opt-in until it wins. Measured: SURVEY bench
-            # notes, round 1.
+        if engine_cfg.kv_layout == "linear":
+            # Slot-contiguous layout: attention is a fused dense slice.
+            attn_impl = "linear"
+        elif attn_impl == "auto":
+            # For the paged layout the XLA gather-based reference
+            # attention currently beats the Pallas kernel inside the
+            # fused decode scan on v5e (the per-sequence grid serializes
+            # on the single TensorCore); pallas stays opt-in.
             attn_impl = "ref"
         self.attn_impl = attn_impl
 

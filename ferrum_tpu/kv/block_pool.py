@@ -117,3 +117,37 @@ class SequenceBlocks:
         """Position → flat device index (block * page + offset)."""
         page = self.pool.page_size
         return self.blocks[position // page] * page + position % page
+
+
+class SlotBlocks(SequenceBlocks):
+    """Slot-contiguous ("linear" kv_layout) block assignment: slot s owns
+    exactly blocks [s*max_pages, (s+1)*max_pages) — no pool interaction,
+    no sharing. The device exploits the identity mapping by reshaping the
+    pool per layer to [S, max_pages*page, ...] and slicing (no gather).
+    """
+
+    def __init__(self, pool: BlockPool, slot: int, max_pages: int):
+        super().__init__(pool)
+        self.slot = slot
+        self.max_pages = max_pages
+        self.is_linear = True
+
+    def ensure_capacity(self, num_tokens: int) -> List[int]:
+        page = self.pool.page_size
+        need_total = -(-num_tokens // page)
+        if need_total > self.max_pages:
+            raise CapacityError(
+                f"slot {self.slot}: {num_tokens} tokens exceed the "
+                f"reserved region ({self.max_pages} pages)")
+        base = self.slot * self.max_pages
+        new = [base + i for i in range(len(self.blocks), need_total)]
+        self.blocks.extend(new)
+        return new
+
+    def append_shared_prefix(self, block_ids: List[int], tokens: int) -> None:
+        raise CapacityError("linear kv_layout does not support block "
+                            "sharing (prefix cache requires paged)")
+
+    def release(self) -> None:
+        self.blocks.clear()
+        self.num_tokens = 0

@@ -295,6 +295,21 @@ def decode_forward(
                                  flat_l)
         state["k"], state["v"] = kc, vc
         sw = cfg.layer_sliding_window(li)
+        if attn_impl == "linear":
+            # Slot-contiguous layout (kv_layout="linear"): slot s owns
+            # blocks [s*maxp, (s+1)*maxp) → the per-layer cache reshapes
+            # to [S, maxp*page, Hkv, D] and attention is a fused dense
+            # slice — no gather materialization (the decisive decode
+            # bandwidth win; see dense_decode_attention_ref).
+            s_slots = block_tables.shape[0]
+            k_lin = kc[li * nb:(li + 1) * nb].reshape(
+                s_slots, -1, hkv, d)[:, :ctx_pad]
+            v_lin = vc[li * nb:(li + 1) * nb].reshape(
+                s_slots, -1, hkv, d)[:, :ctx_pad]
+            from ..ops.attention import dense_decode_attention_ref
+            return dense_decode_attention_ref(
+                q, k_lin, v_lin, context_lens, scale=cfg.attn_scale,
+                sliding_window=sw, softcap=cfg.attn_logit_softcap)
         if attn_impl == "pallas":
             from ..ops.pallas.paged_attention import paged_decode_attention
             return paged_decode_attention(
@@ -341,6 +356,20 @@ def prefill_forward(
                                  flat_l)
         state["k"], state["v"] = kc, vc
         sw = cfg.layer_sliding_window(li)
+        if attn_impl == "linear":
+            # Slot-contiguous: the slot's region starts at its first
+            # (identity-mapped) block; slice instead of gathering.
+            from ..ops.attention import dense_prefill_attention_ref
+            start = block_table[0] * page
+            kl = jax.lax.dynamic_slice_in_dim(
+                kc[li * nb:(li + 1) * nb].reshape(-1, hkv, d),
+                start, ctx_pad, axis=0)
+            vl = jax.lax.dynamic_slice_in_dim(
+                vc[li * nb:(li + 1) * nb].reshape(-1, hkv, d),
+                start, ctx_pad, axis=0)
+            return dense_prefill_attention_ref(
+                q, kl, vl, positions, total_len, scale=cfg.attn_scale,
+                sliding_window=sw, softcap=cfg.attn_logit_softcap)
         return paged_prefill_attention_ref(
             q, kc, vc, table_l, positions, total_len, ctx_pad=ctx_pad,
             scale=cfg.attn_scale, sliding_window=sw,

@@ -88,6 +88,68 @@ def paged_decode_attention_ref(
     return out.reshape(s, hq, d).astype(q.dtype)
 
 
+def dense_decode_attention_ref(
+    q: jnp.ndarray,               # [S, Hq, D]
+    k_lin: jnp.ndarray,           # [S, ctx_pad, Hkv, D] (slot-contiguous)
+    v_lin: jnp.ndarray,
+    context_lens: jnp.ndarray,    # int32 [S]
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Decode attention over a slot-contiguous KV slice — the linear
+    KV layout's hot path. Identical math to paged_decode_attention_ref,
+    but the cache is sliced (XLA fuses the slice into the matmuls; no
+    gather materialization). Returns [S, Hq, D]."""
+    s, hq, d = q.shape
+    ctx_pad = k_lin.shape[1]
+    hkv = k_lin.shape[2]
+    rep = hq // hkv
+    qf = q.astype(jnp.float32).reshape(s, hkv, rep, d)
+    scores = jnp.einsum("shrd,schd->shrc", qf * scale,
+                        k_lin.astype(jnp.float32))
+    pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
+    valid = pos < context_lens[:, None]
+    if sliding_window is not None:
+        valid &= pos >= (context_lens[:, None] - sliding_window)
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("shrc,schd->shrd", probs, v_lin.astype(jnp.float32))
+    return out.reshape(s, hq, d).astype(q.dtype)
+
+
+def dense_prefill_attention_ref(
+    q: jnp.ndarray,               # [T, Hq, D]
+    k_lin: jnp.ndarray,           # [ctx_pad, Hkv, D] — one slot's region
+    v_lin: jnp.ndarray,
+    q_positions: jnp.ndarray,     # int32 [T]
+    total_len: jnp.ndarray,       # int32 scalar
+    *,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Chunked-prefill attention over a slot-contiguous KV slice."""
+    t, hq, d = q.shape
+    ctx_pad, hkv, _ = k_lin.shape
+    rep = hq // hkv
+    qf = q.astype(jnp.float32).reshape(t, hkv, rep, d)
+    scores = jnp.einsum("thrd,chd->thrc", qf * scale,
+                        k_lin.astype(jnp.float32))
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx_pad), 1)
+    qpos = q_positions[:, None]
+    valid = (kpos <= qpos) & (kpos < total_len)
+    if sliding_window is not None:
+        valid &= kpos > (qpos - sliding_window)
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("thrc,chd->thrd", probs, v_lin.astype(jnp.float32))
+    return out.reshape(t, hq, d).astype(q.dtype)
+
+
 def paged_prefill_attention_ref(
     q: jnp.ndarray,               # [T, Hq, D] — chunk queries (one sequence)
     k_cache: jnp.ndarray,         # [num_blocks, page, Hkv, D]

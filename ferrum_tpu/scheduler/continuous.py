@@ -22,7 +22,7 @@ from typing import Callable, Deque, Dict, List, Optional, Tuple
 from collections import deque
 
 from ..config import EngineConfig
-from ..kv.block_pool import BlockPool, SequenceBlocks
+from ..kv.block_pool import BlockPool, SequenceBlocks, SlotBlocks
 from ..kv.prefix_cache import PrefixCache
 from ..types import CapacityError
 from .sequence import Phase, Sequence
@@ -124,6 +124,15 @@ class ContinuousBatchScheduler:
     def _try_alloc(self, seq: Sequence, tokens: int) -> bool:
         """Ensure KV capacity for `tokens` total tokens, evicting prefix-
         cache blocks under pressure. False if still impossible."""
+        if getattr(seq.blocks, "is_linear", False):
+            # Linear layout: the slot's region is pre-reserved; only the
+            # per-slot length bound can fail (never pool pressure).
+            try:
+                seq.blocks.ensure_capacity(min(tokens,
+                                               self.cfg.max_model_len))
+                return True
+            except CapacityError:
+                return False
         need = seq.blocks.blocks_needed_for(tokens)
         if need == 0:
             return True
@@ -199,6 +208,7 @@ class ContinuousBatchScheduler:
             self.stats.tokens_prefilled_scheduled += t
 
         # --- 3. admit waiting requests while slots + budget remain ---
+        linear = cfg.kv_layout == "linear"
         while self.waiting and self._free_slots and budget > 0:
             seq = self.waiting[0]
             first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
@@ -209,7 +219,11 @@ class ContinuousBatchScheduler:
                     break
             if first_chunk <= 0:
                 break
-            blocks = SequenceBlocks(self.pool)
+            if linear:
+                blocks = SlotBlocks(self.pool, self._free_slots[-1],
+                                    cfg.max_blocks_per_seq)
+            else:
+                blocks = SequenceBlocks(self.pool)
             seq.blocks = blocks
             reused_blocks: List[int] = []
             reused = 0

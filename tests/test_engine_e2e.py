@@ -190,3 +190,48 @@ def test_metrics_snapshot(engine):
     assert m.tokens_decoded >= 1
     assert m.kv_blocks_total == 64
     assert m.kv_blocks_free <= 64
+
+
+def test_linear_layout_matches_paged():
+    """kv_layout=linear (slot-contiguous dense attention) must produce
+    exactly the paged layout's greedy outputs."""
+    import dataclasses
+
+    def build(layout):
+        eng = tiny_engine(max_num_seqs=4, kv_blocks=64)
+        if layout == "paged":
+            return eng
+        eng.stop()
+        cfg = dataclasses.replace(eng.cfg, kv_layout="linear",
+                                  kv_num_blocks=0)
+        from ferrum_tpu.engine.builder import EngineBuilder
+        return EngineBuilder(cfg).with_model(
+            eng.runner.model_cfg, eng.runner.params).with_tokenizer(
+            eng.tokenizer).build()
+
+    e_paged = tiny_engine(max_num_seqs=4, kv_blocks=64)
+    import dataclasses as dc
+    from ferrum_tpu.engine.builder import EngineBuilder
+    cfg_lin = dc.replace(e_paged.cfg, kv_layout="linear", kv_num_blocks=0)
+    e_lin = EngineBuilder(cfg_lin).with_model(
+        e_paged.runner.model_cfg, e_paged.runner.params).with_tokenizer(
+        e_paged.tokenizer).build()
+    try:
+        assert e_lin.runner.attn_impl == "linear"
+        assert not e_lin.prefix_cache.enabled
+        for prompt in ("linear layout check", "second prompt xyz"):
+            r1 = e_paged.infer(req(prompt=prompt, max_tokens=8))
+            r2 = e_lin.infer(req(prompt=prompt, max_tokens=8))
+            assert r1.token_ids == r2.token_ids
+        # concurrency still works in linear mode
+        import threading
+        results = {}
+        def worker(i):
+            results[i] = e_lin.infer(req(prompt=f"par {i}", max_tokens=5))
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in ts: t.start()
+        for t in ts: t.join(timeout=120)
+        assert len(results) == 6
+    finally:
+        e_paged.stop()
+        e_lin.stop()
