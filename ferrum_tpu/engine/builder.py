@@ -106,6 +106,9 @@ class EngineBuilder:
     def build(self) -> ContinuousBatchEngine:
         cfg = self.cfg
         install_runtime_snapshot(cfg)
+        if cfg.profile_path:
+            from ..utils.profile import configure_global_profile
+            configure_global_profile(cfg.profile_path, entrypoint="serve")
         self._resolve_model()
         if self.tokenizer is None:
             extra = max(0, self.model_cfg.vocab_size - 258)

@@ -1,0 +1,65 @@
+"""Embedding engine: mean-pooled, L2-normalized text embeddings.
+
+TPU-native analog of the reference's embedding modality lane
+(crates/ferrum-engine/src/modality_engines embedding wrapper + BERT
+executor): wraps a loaded decoder model as an embedder (last-hidden-
+state mean pooling over real tokens) behind the same bucketed-compile
+discipline as the serving engine. A dedicated encoder family (BERT)
+plugs into the same interface.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.configs import ModelConfig
+from ..models.llama_family import ModelParams, encode_forward
+from ..tokenizer import FerrumTokenizer
+
+
+class EmbeddingEngine:
+    def __init__(self, model_cfg: ModelConfig, params: ModelParams,
+                 tokenizer: FerrumTokenizer, max_len: int = 512):
+        self.model_cfg = model_cfg
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_len = max_len
+        self._fns: Dict[int, "jax.stages.Wrapped"] = {}
+
+    def _fn(self, t_pad: int):
+        fn = self._fns.get(t_pad)
+        if fn is None:
+            mc = self.model_cfg
+
+            def run(params, tokens, t_real):
+                h = encode_forward(params, mc, tokens, t_real)
+                # mean over real tokens, L2 normalize (f32)
+                mask = (jnp.arange(t_pad) < t_real)[:, None]
+                hf = h.astype(jnp.float32) * mask
+                pooled = hf.sum(axis=0) / jnp.maximum(t_real, 1)
+                return pooled / jnp.maximum(
+                    jnp.linalg.norm(pooled), 1e-9)
+
+            fn = jax.jit(run)
+            self._fns[t_pad] = fn
+        return fn
+
+    def embed(self, texts: List[str]) -> Tuple[np.ndarray, int]:
+        """Returns (embeddings [N, H] f32, total_tokens)."""
+        out = []
+        total = 0
+        for text in texts:
+            ids = self.tokenizer.encode(text)[: self.max_len]
+            total += len(ids)
+            t = len(ids)
+            t_pad = max(16, 1 << (t - 1).bit_length())
+            toks = np.zeros(t_pad, np.int32)
+            toks[:t] = ids
+            vec = self._fn(t_pad)(self.params, jnp.asarray(toks),
+                                  jnp.asarray(t, jnp.int32))
+            out.append(np.asarray(vec))
+        return np.stack(out), total

@@ -201,6 +201,8 @@ class ContinuousBatchEngine:
     def run_iteration(self) -> bool:
         """One scheduler+device iteration (ref: run_iteration inner.rs:365).
         Returns False when idle."""
+        from ..utils import profile as _prof
+        iter_t0 = time.monotonic()
         self._drain_aborts()
         with self._lock:
             batch = self.scheduler.next_batch()
@@ -246,6 +248,10 @@ class ContinuousBatchEngine:
                         self._accept_token(
                             seq, token_lists[seq.request.request_id][step])
                         self.metrics.tokens_decoded += 1
+        _prof.emit("engine.iteration", time.monotonic() - iter_t0, {
+            "decode": len(decode_seqs),
+            "prefill_chunks": len(batch.prefill_chunks),
+        })
         return True
 
     # ------------------------------------------------------------------

@@ -452,3 +452,40 @@ def init_random_params(cfg: ModelConfig, seed: int = 0,
         final_norm=jnp.ones(cfg.hidden_size, dtype=dtype) if not cfg.sandwich_norms
         else jnp.zeros(cfg.hidden_size, dtype=dtype),
         lm_head=lm_head)
+
+
+def encode_forward(
+    params: ModelParams, cfg: ModelConfig,
+    tokens: jnp.ndarray,          # int32 [T_pad]
+    t_real: jnp.ndarray,          # int32 scalar — real token count
+) -> jnp.ndarray:
+    """Cache-free causal forward over one padded chunk → hidden [T, H].
+
+    Used by the embedding lane (mean-pooled sentence embeddings) and by
+    offline scoring; no KV cache is touched.
+    """
+    inv_g, inv_l = make_rope_tables(cfg)
+    t_pad = tokens.shape[0]
+    positions = jnp.minimum(jnp.arange(t_pad, dtype=jnp.int32), t_real - 1)
+
+    def attn(li, q, k, v):
+        hq = q.shape[1]
+        hkv = k.shape[1]
+        rep = hq // hkv
+        d = q.shape[2]
+        qf = q.astype(jnp.float32).reshape(t_pad, hkv, rep, d)
+        scores = jnp.einsum("thrd,chd->thrc", qf * cfg.attn_scale,
+                            k.astype(jnp.float32))
+        qpos = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 0)
+        kpos = jax.lax.broadcasted_iota(jnp.int32, (t_pad, t_pad), 1)
+        valid = (kpos <= qpos) & (kpos < t_real)
+        sw = cfg.layer_sliding_window(li)
+        if sw is not None:
+            valid &= kpos > (qpos - sw)
+        scores = jnp.where(valid[:, None, None, :], scores, -1e30)
+        probs = jax.nn.softmax(scores, axis=-1)
+        out = jnp.einsum("thrc,chd->thrd", probs, v.astype(jnp.float32))
+        return out.reshape(t_pad, hq, d).astype(q.dtype)
+
+    return forward_hidden(params, cfg, tokens, positions, attn,
+                          inv_freq_global=inv_g, inv_freq_local=inv_l)

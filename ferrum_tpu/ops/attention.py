@@ -100,24 +100,39 @@ def dense_decode_attention_ref(
 ) -> jnp.ndarray:
     """Decode attention over a slot-contiguous KV slice — the linear
     KV layout's hot path. Identical math to paged_decode_attention_ref,
-    but the cache is sliced (XLA fuses the slice into the matmuls; no
-    gather materialization). Returns [S, Hq, D]."""
+    but the cache is sliced (no gather materialization).
+
+    MXU shaping: the natural GQA einsum decomposes into S*Hkv tiny
+    [rep, D] x [D, C] matmuls (MXU-latency-bound). Instead we compute
+    ALL (q-head, kv-head) cross scores as S large [Hq, D] x [D, C*Hkv]
+    matmuls and select each q head's own kv head with a one-hot
+    contraction — 8x FLOP waste on an idle MXU beats 256 latency-bound
+    launches (same trade as the reference's padded-batch GEMMs).
+    Returns [S, Hq, D]."""
     s, hq, d = q.shape
     ctx_pad = k_lin.shape[1]
     hkv = k_lin.shape[2]
     rep = hq // hkv
-    qf = q.astype(jnp.float32).reshape(s, hkv, rep, d)
-    scores = jnp.einsum("shrd,schd->shrc", qf * scale,
-                        k_lin.astype(jnp.float32))
+    qf = q.astype(jnp.float32) * scale                       # [S, Hq, D]
+    kf = k_lin.astype(jnp.float32)                           # [S, C, Hkv, D]
+    # sel[qh, h] = 1 iff kv head h serves q head qh (contiguous groups).
+    qh_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // rep
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 1)
+    sel = (qh_ids == h_ids).astype(jnp.float32)
+    scores_all = jnp.einsum("sqd,schd->sqch", qf, kf)        # [S,Hq,C,Hkv]
+    scores = jnp.einsum("sqch,qh->sqc", scores_all, sel)
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
     valid = pos < context_lens[:, None]
     if sliding_window is not None:
         valid &= pos >= (context_lens[:, None] - sliding_window)
     scores = _maybe_softcap(scores, softcap)
-    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("shrc,schd->shrd", probs, v_lin.astype(jnp.float32))
-    return out.reshape(s, hq, d).astype(q.dtype)
+    scores = jnp.where(valid[:, None, None, :]
+                       .reshape(s, 1, ctx_pad), scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1)                  # [S, Hq, C]
+    p_all = probs[:, :, :, None] * sel[None, :, None, :]     # [S,Hq,C,Hkv]
+    out = jnp.einsum("sqch,schd->sqd", p_all,
+                     v_lin.astype(jnp.float32))
+    return out.astype(q.dtype)
 
 
 def dense_prefill_attention_ref(

@@ -73,10 +73,12 @@ class SessionCache:
 class FerrumServer:
     def __init__(self, engine: ContinuousBatchEngine, model_name: str,
                  chat_template: Optional[str] = None,
-                 api_key: Optional[str] = None):
+                 api_key: Optional[str] = None,
+                 embedding_engine=None):
         self.engine = engine
         self.model_name = model_name
         self.api_key = api_key
+        self.embedding_engine = embedding_engine
         family = engine.runner.model_cfg.family
         self.renderer = ChatTemplateRenderer(
             template=chat_template or engine.tokenizer.chat_template,
@@ -411,12 +413,38 @@ class FerrumServer:
     async def embeddings(self, request: web.Request) -> web.Response:
         req = await self._parse_json(request, EmbeddingsRequest)
         if req.encoding_format != "float":
+            # base64 rejected with param=encoding_format per the contract
+            # (docs/openai-api-compatibility.md modality table).
             raise InvalidRequestError(
                 "only encoding_format=float is supported",
                 param="encoding_format")
-        raise NotSupportedError(
-            "this server is not running an embedding model",
-            param="model")
+        if self.embedding_engine is None:
+            raise NotSupportedError(
+                "this server is not running an embedding model",
+                param="model")
+        # Accept: string | [string] | {"text": ...} | [{"text": ...}]
+        raw = req.input
+        items = raw if isinstance(raw, list) else [raw]
+        texts = []
+        for i, it in enumerate(items):
+            if isinstance(it, str):
+                texts.append(it)
+            elif isinstance(it, dict) and isinstance(it.get("text"), str):
+                texts.append(it["text"])
+            else:
+                raise InvalidRequestError(
+                    f"unsupported embeddings input item {i}", param="input")
+        loop = asyncio.get_running_loop()
+        vecs, total = await loop.run_in_executor(
+            None, self.embedding_engine.embed, texts)
+        return web.json_response({
+            "object": "list",
+            "model": self.model_name,
+            "data": [{"object": "embedding", "index": i,
+                      "embedding": v.tolist()}
+                     for i, v in enumerate(vecs)],
+            "usage": {"prompt_tokens": total, "total_tokens": total},
+        })
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response({"object": "list", "data": [{

@@ -217,3 +217,62 @@ class TestMisc:
         r = requests.post(f"{server.base}/v1/embeddings",
                           json={"model": "t", "input": "hi"})
         assert r.status_code == 400
+
+
+class TestEmbeddings:
+    @pytest.fixture(scope="class")
+    def embed_server(self):
+        from ferrum_tpu.engine.embedding import EmbeddingEngine
+
+        eng = tiny_engine(max_num_seqs=2)
+        emb = EmbeddingEngine(eng.runner.model_cfg, eng.runner.params,
+                              eng.tokenizer)
+
+        class H(ServerHandle):
+            def _run(self):
+                import asyncio as aio
+                from aiohttp import web
+                self._loop = aio.new_event_loop()
+                aio.set_event_loop(self._loop)
+                server = FerrumServer(self.engine, model_name="tiny-embed",
+                                      embedding_engine=emb)
+                runner = web.AppRunner(server.make_app())
+                self._loop.run_until_complete(runner.setup())
+                site = web.TCPSite(runner, "127.0.0.1", self.port)
+                self._loop.run_until_complete(site.start())
+                self._started.set()
+                self._loop.run_forever()
+
+        h = H(eng, port=18233)
+        yield h
+        h.stop()
+
+    def test_embed_string_and_list(self, embed_server):
+        r = requests.post(f"{embed_server.base}/v1/embeddings",
+                          json={"model": "e", "input": "hello world"})
+        assert r.status_code == 200, r.text
+        d = r.json()
+        assert len(d["data"]) == 1
+        v = d["data"][0]["embedding"]
+        assert abs(sum(x * x for x in v) - 1.0) < 1e-3  # L2 normalized
+        r2 = requests.post(f"{embed_server.base}/v1/embeddings",
+                           json={"model": "e",
+                                 "input": ["a b c", {"text": "d e"}]})
+        assert len(r2.json()["data"]) == 2
+        assert r2.json()["usage"]["prompt_tokens"] > 0
+
+    def test_base64_rejected(self, embed_server):
+        r = requests.post(f"{embed_server.base}/v1/embeddings",
+                          json={"model": "e", "input": "x",
+                                "encoding_format": "base64"})
+        assert r.status_code == 400
+        assert r.json()["error"]["param"] == "encoding_format"
+
+    def test_embeddings_deterministic(self, embed_server):
+        v1 = requests.post(f"{embed_server.base}/v1/embeddings",
+                           json={"model": "e", "input": "same text"}
+                           ).json()["data"][0]["embedding"]
+        v2 = requests.post(f"{embed_server.base}/v1/embeddings",
+                           json={"model": "e", "input": "same text"}
+                           ).json()["data"][0]["embedding"]
+        assert v1 == v2
