@@ -113,25 +113,29 @@ def dense_decode_attention_ref(
     ctx_pad = k_lin.shape[1]
     hkv = k_lin.shape[2]
     rep = hq // hkv
-    qf = q.astype(jnp.float32) * scale                       # [S, Hq, D]
-    kf = k_lin.astype(jnp.float32)                           # [S, C, Hkv, D]
+    # Keep the big KV operands in their storage dtype and let the MXU
+    # accumulate in f32 (astype would materialize a f32 copy of the
+    # whole visible cache per layer — measured 3x step-time regression).
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)     # [S, Hq, D]
     # sel[qh, h] = 1 iff kv head h serves q head qh (contiguous groups).
     qh_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // rep
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 1)
-    sel = (qh_ids == h_ids).astype(jnp.float32)
-    scores_all = jnp.einsum("sqd,schd->sqch", qf, kf)        # [S,Hq,C,Hkv]
-    scores = jnp.einsum("sqch,qh->sqc", scores_all, sel)
+    sel = (qh_ids == h_ids)
+    scores_all = jnp.einsum("sqd,schd->sqch", qf, k_lin,
+                            preferred_element_type=jnp.float32)
+    scores = jnp.sum(jnp.where(sel[None, :, None, :], scores_all, 0.0),
+                     axis=-1)                                # [S, Hq, C]
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
     valid = pos < context_lens[:, None]
     if sliding_window is not None:
         valid &= pos >= (context_lens[:, None] - sliding_window)
     scores = _maybe_softcap(scores, softcap)
-    scores = jnp.where(valid[:, None, None, :]
-                       .reshape(s, 1, ctx_pad), scores, NEG_INF)
+    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1)                  # [S, Hq, C]
-    p_all = probs[:, :, :, None] * sel[None, :, None, :]     # [S,Hq,C,Hkv]
-    out = jnp.einsum("sqch,schd->sqd", p_all,
-                     v_lin.astype(jnp.float32))
+    p_all = jnp.where(sel[None, :, None, :],
+                      probs[:, :, :, None], 0.0).astype(q.dtype)
+    out = jnp.einsum("sqch,schd->sqd", p_all, v_lin,
+                     preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
 
@@ -146,13 +150,18 @@ def dense_prefill_attention_ref(
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
 ) -> jnp.ndarray:
-    """Chunked-prefill attention over a slot-contiguous KV slice."""
+    """Chunked-prefill attention over a slot-contiguous KV slice.
+
+    Operands stay in storage dtype (MXU f32 accumulation); the chunk
+    dim T is the matmul M dim, so these are well-shaped GEMMs.
+    """
     t, hq, d = q.shape
     ctx_pad, hkv, _ = k_lin.shape
     rep = hq // hkv
-    qf = q.astype(jnp.float32).reshape(t, hkv, rep, d)
-    scores = jnp.einsum("thrd,chd->thrc", qf * scale,
-                        k_lin.astype(jnp.float32))
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype) \
+        .reshape(t, hkv, rep, d)
+    scores = jnp.einsum("thrd,chd->thrc", qf, k_lin,
+                        preferred_element_type=jnp.float32)
     kpos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx_pad), 1)
     qpos = q_positions[:, None]
     valid = (kpos <= qpos) & (kpos < total_len)
@@ -160,8 +169,9 @@ def dense_prefill_attention_ref(
         valid &= kpos > (qpos - sliding_window)
     scores = _maybe_softcap(scores, softcap)
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1)
-    out = jnp.einsum("thrc,chd->thrd", probs, v_lin.astype(jnp.float32))
+    probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("thrc,chd->thrd", probs, v_lin,
+                     preferred_element_type=jnp.float32)
     return out.reshape(t, hq, d).astype(q.dtype)
 
 
