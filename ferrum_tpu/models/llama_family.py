@@ -291,11 +291,16 @@ def decode_forward(
             return q
         tables_l = block_tables + li * nb
         flat_l = flat_slots + li * nb * page
-        kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,
-                                 flat_l)
-        state["k"], state["v"] = kc, vc
+        if attn_impl == "read_only":  # diagnostic: attention, no append
+            kc, vc = state["k"], state["v"]
+        else:
+            kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,
+                                     flat_l)
+            state["k"], state["v"] = kc, vc
         sw = cfg.layer_sliding_window(li)
-        if attn_impl == "linear":
+        if attn_impl == "append_only":  # diagnostic: append, no attention
+            return q
+        if attn_impl in ("linear", "read_only"):
             # Slot-contiguous layout (kv_layout="linear"): slot s owns
             # blocks [s*maxp, (s+1)*maxp) → the per-layer cache reshapes
             # to [S, maxp*page, Hkv, D] and attention is a fused dense

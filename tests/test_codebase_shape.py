@@ -1,0 +1,82 @@
+"""Codebase-shape + governance gates.
+
+Analog of the reference's structural invariants
+(crates/ferrum-types/tests/codebase_shape_test.rs) and the env-registry
+CI gate (scripts/check_ferrum_env_registry.py): the package keeps its
+layered layout, and runtime config is only read through the governed
+registry — no stray os.environ reads in model/engine code.
+"""
+
+import os
+import re
+
+import pytest
+
+PKG = os.path.join(os.path.dirname(os.path.dirname(__file__)), "ferrum_tpu")
+
+
+def _py_files(sub=""):
+    root = os.path.join(PKG, sub)
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".py"):
+                yield os.path.join(dirpath, f)
+
+
+def test_package_layout():
+    for sub in ("models", "ops", "ops/pallas", "kv", "scheduler", "engine",
+                "sampling", "server", "parallel", "bench", "utils"):
+        assert os.path.isdir(os.path.join(PKG, sub)), sub
+    for mod in ("config.py", "types.py", "tokenizer.py", "cli.py"):
+        assert os.path.isfile(os.path.join(PKG, mod)), mod
+
+
+def test_no_stray_environ_reads():
+    """Only config.py, cli.py, hf_download.py and pallas backend probing
+    may touch os.environ (the governed-registry rule; ceilings like the
+    reference's env-registry gate, ci.yml:73-81)."""
+    allowed = {"config.py", "cli.py", "hf_download.py"}
+    offenders = []
+    for path in _py_files():
+        name = os.path.basename(path)
+        if name in allowed:
+            continue
+        src = open(path).read()
+        if re.search(r"os\.environ|os\.getenv", src):
+            offenders.append(os.path.relpath(path, PKG))
+    assert not offenders, f"unregistered env reads in {offenders}"
+
+
+def test_layering_no_upward_imports():
+    """ops/ and models/ must not import from engine/ or server/ (strictly
+    downward dependencies, SURVEY §1)."""
+    offenders = []
+    for sub in ("ops", "models", "kv", "sampling"):
+        for path in _py_files(sub):
+            src = open(path).read()
+            if re.search(r"from \.\.(engine|server)|from ferrum_tpu\.(engine|server)",
+                         src):
+                offenders.append(os.path.relpath(path, PKG))
+    assert not offenders, offenders
+
+
+def test_every_pallas_kernel_has_reference_oracle():
+    """Each Pallas kernel module must reference its jnp parity oracle
+    (the `_eq` discipline)."""
+    pallas_dir = os.path.join(PKG, "ops", "pallas")
+    for f in os.listdir(pallas_dir):
+        if f in ("__init__.py",) or not f.endswith(".py"):
+            continue
+        src = open(os.path.join(pallas_dir, f)).read()
+        assert "_ref" in src, f"{f} lacks a reference-oracle fallback"
+
+
+def test_env_registry_covers_engine_config():
+    """Every env var maps to a real EngineConfig field."""
+    import dataclasses
+    from ferrum_tpu.config import ENV_REGISTRY, EngineConfig
+
+    fields = {f.name for f in dataclasses.fields(EngineConfig)}
+    for env_name, (field, ty, _) in ENV_REGISTRY.items():
+        assert field in fields, f"{env_name} -> unknown field {field}"
+        assert env_name.startswith("FERRUM_")
