@@ -285,27 +285,50 @@ def decode_forward(
     kf = kv.k.reshape(L * nb, page, hkv, d)
     vf = kv.v.reshape(L * nb, page, hkv, d)
     state = {"k": kf, "v": vf}
+    # Deferred append (linear/ref paths): the per-layer K/V of the new
+    # token are collected and written with ONE stacked scatter after the
+    # forward — XLA TPU scatters cost ~0.4 ms per call, so 2 calls/step
+    # instead of 2*L (measured: append alone was ~28 ms/step at L=32).
+    deferred = attn_impl in ("linear", "ref")
+    new_ks: List[jnp.ndarray] = []
+    new_vs: List[jnp.ndarray] = []
 
     def attn(li, q, k_new, v_new):
         if attn_impl == "skip":  # diagnostic: no append, no attention
             return q
         tables_l = block_tables + li * nb
         flat_l = flat_slots + li * nb * page
+        sw = cfg.layer_sliding_window(li)
+        if deferred:
+            new_ks.append(k_new)
+            new_vs.append(v_new)
+            kc, vc = state["k"], state["v"]
+            if attn_impl == "linear":
+                s_slots = block_tables.shape[0]
+                k_lin = kc[li * nb:(li + 1) * nb].reshape(
+                    s_slots, -1, hkv, d)[:, :ctx_pad]
+                v_lin = vc[li * nb:(li + 1) * nb].reshape(
+                    s_slots, -1, hkv, d)[:, :ctx_pad]
+                from ..ops.attention import dense_decode_attention_ref
+                return dense_decode_attention_ref(
+                    q, k_lin, v_lin, context_lens, scale=cfg.attn_scale,
+                    sliding_window=sw, softcap=cfg.attn_logit_softcap,
+                    k_self=k_new, v_self=v_new)
+            return paged_decode_attention_ref(
+                q, kc, vc, tables_l, context_lens, ctx_pad=ctx_pad,
+                scale=cfg.attn_scale, sliding_window=sw,
+                softcap=cfg.attn_logit_softcap,
+                k_self=k_new, v_self=v_new)
+        # Legacy write-then-attend paths (pallas + diagnostics).
         if attn_impl == "read_only":  # diagnostic: attention, no append
             kc, vc = state["k"], state["v"]
         else:
             kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,
                                      flat_l)
             state["k"], state["v"] = kc, vc
-        sw = cfg.layer_sliding_window(li)
         if attn_impl == "append_only":  # diagnostic: append, no attention
             return q
-        if attn_impl in ("linear", "read_only"):
-            # Slot-contiguous layout (kv_layout="linear"): slot s owns
-            # blocks [s*maxp, (s+1)*maxp) → the per-layer cache reshapes
-            # to [S, maxp*page, Hkv, D] and attention is a fused dense
-            # slice — no gather materialization (the decisive decode
-            # bandwidth win; see dense_decode_attention_ref).
+        if attn_impl == "read_only":
             s_slots = block_tables.shape[0]
             k_lin = kc[li * nb:(li + 1) * nb].reshape(
                 s_slots, -1, hkv, d)[:, :ctx_pad]
@@ -315,19 +338,31 @@ def decode_forward(
             return dense_decode_attention_ref(
                 q, k_lin, v_lin, context_lens, scale=cfg.attn_scale,
                 sliding_window=sw, softcap=cfg.attn_logit_softcap)
-        if attn_impl == "pallas":
-            from ..ops.pallas.paged_attention import paged_decode_attention
-            return paged_decode_attention(
-                q, kc, vc, tables_l, context_lens,
-                scale=cfg.attn_scale, sliding_window=sw,
-                softcap=cfg.attn_logit_softcap)
-        return paged_decode_attention_ref(
-            q, kc, vc, tables_l, context_lens, ctx_pad=ctx_pad,
+        from ..ops.pallas.paged_attention import paged_decode_attention
+        return paged_decode_attention(
+            q, kc, vc, tables_l, context_lens,
             scale=cfg.attn_scale, sliding_window=sw,
             softcap=cfg.attn_logit_softcap)
 
     h = forward_hidden(params, cfg, tokens, positions, attn,
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
+
+    if deferred and new_ks:
+        s_slots = flat_slots.shape[0]
+        # [L, S, hkv, d] → flat rows; per-layer base offsets on indices.
+        k_stack = jnp.stack(new_ks).reshape(L * s_slots, hkv, d)
+        v_stack = jnp.stack(new_vs).reshape(L * s_slots, hkv, d)
+        bases = (jnp.arange(L, dtype=jnp.int32) * (nb * page))[:, None]
+        idx = (bases + flat_slots[None, :]).reshape(-1)
+        idx = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
+                        OOB_SENTINEL, idx)
+        kflat = state["k"].reshape(L * nb * page, hkv, d)
+        vflat = state["v"].reshape(L * nb * page, hkv, d)
+        kflat = kflat.at[idx].set(k_stack.astype(kflat.dtype), mode="drop")
+        vflat = vflat.at[idx].set(v_stack.astype(vflat.dtype), mode="drop")
+        state["k"] = kflat.reshape(L * nb, page, hkv, d)
+        state["v"] = vflat.reshape(L * nb, page, hkv, d)
+
     kv2 = PagedKvCache(
         k=state["k"].reshape(L, nb, page, hkv * d),
         v=state["v"].reshape(L, nb, page, hkv * d),
@@ -345,7 +380,12 @@ def prefill_forward(
     *, ctx_pad: int,
     attn_impl: str = "ref",
 ) -> Tuple[jnp.ndarray, PagedKvCache]:
-    """One chunked-prefill step for one sequence → (hidden [T,H], kv)."""
+    """One chunked-prefill step for one sequence → (hidden [T,H], kv).
+
+    Appends are deferred: the chunk attends to the cached PREFIX plus
+    its own K/V in-activation, and all layers' cache writes batch into
+    one scatter at the end (XLA TPU scatters are per-call expensive).
+    """
     inv_g, inv_l = make_rope_tables(cfg)
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
@@ -353,18 +393,18 @@ def prefill_forward(
     kf = kv.k.reshape(L * nb, page, hkv, d)
     vf = kv.v.reshape(L * nb, page, hkv, d)
     state = {"k": kf, "v": vf}
+    new_ks: List[jnp.ndarray] = []
+    new_vs: List[jnp.ndarray] = []
+    from ..ops.attention import dense_prefill_attention_ref
 
     def attn(li, q, k_new, v_new):
-        table_l = block_table + li * nb
-        flat_l = flat_slots + li * nb * page
-        kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,
-                                 flat_l)
-        state["k"], state["v"] = kc, vc
+        new_ks.append(k_new)
+        new_vs.append(v_new)
+        kc, vc = state["k"], state["v"]
         sw = cfg.layer_sliding_window(li)
         if attn_impl == "linear":
             # Slot-contiguous: the slot's region starts at its first
             # (identity-mapped) block; slice instead of gathering.
-            from ..ops.attention import dense_prefill_attention_ref
             start = block_table[0] * page
             kl = jax.lax.dynamic_slice_in_dim(
                 kc[li * nb:(li + 1) * nb].reshape(-1, hkv, d),
@@ -372,19 +412,34 @@ def prefill_forward(
             vl = jax.lax.dynamic_slice_in_dim(
                 vc[li * nb:(li + 1) * nb].reshape(-1, hkv, d),
                 start, ctx_pad, axis=0)
-            return dense_prefill_attention_ref(
-                q, kl, vl, positions, total_len, scale=cfg.attn_scale,
-                sliding_window=sw, softcap=cfg.attn_logit_softcap)
-        return paged_prefill_attention_ref(
-            q, kc, vc, table_l, positions, total_len, ctx_pad=ctx_pad,
-            scale=cfg.attn_scale, sliding_window=sw,
-            softcap=cfg.attn_logit_softcap)
+        else:
+            from ..ops.attention import gather_kv
+            table_l = block_table + li * nb
+            kl = gather_kv(kc, table_l[None, :], ctx_pad, page)[0]
+            vl = gather_kv(vc, table_l[None, :], ctx_pad, page)[0]
+        return dense_prefill_attention_ref(
+            q, kl, vl, positions, total_len, scale=cfg.attn_scale,
+            sliding_window=sw, softcap=cfg.attn_logit_softcap,
+            k_new=k_new, v_new=v_new)
 
     h = forward_hidden(params, cfg, tokens, positions, attn,
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
+
+    t_pad = tokens.shape[0]
+    k_stack = jnp.stack(new_ks).reshape(L * t_pad, hkv, d)
+    v_stack = jnp.stack(new_vs).reshape(L * t_pad, hkv, d)
+    bases = (jnp.arange(L, dtype=jnp.int32) * (nb * page))[:, None]
+    idx = (bases + flat_slots[None, :]).reshape(-1)
+    idx = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
+                    OOB_SENTINEL, idx)
+    kflat = state["k"].reshape(L * nb * page, hkv, d)
+    vflat = state["v"].reshape(L * nb * page, hkv, d)
+    kflat = kflat.at[idx].set(k_stack.astype(kflat.dtype), mode="drop")
+    vflat = vflat.at[idx].set(v_stack.astype(vflat.dtype), mode="drop")
+
     kv2 = PagedKvCache(
-        k=state["k"].reshape(L, nb, page, hkv * d),
-        v=state["v"].reshape(L, nb, page, hkv * d),
+        k=kflat.reshape(L, nb, page, hkv * d),
+        v=vflat.reshape(L, nb, page, hkv * d),
         page=page, kv_heads=hkv, head_dim=d)
     return h, kv2
 

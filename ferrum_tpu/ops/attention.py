@@ -59,11 +59,14 @@ def paged_decode_attention_ref(
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    k_self: Optional[jnp.ndarray] = None,   # [S, Hkv, D] (deferred append)
+    v_self: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """GQA decode attention over the paged cache. Returns [S, Hq, D].
 
-    The new token's K/V must already be appended to the cache (write-
-    then-attend, matching the reference's fused append+attend ordering).
+    Without k_self/v_self the new token's K/V must already be in the
+    cache (write-then-attend); with them, the cache holds only history
+    and the current token joins via a self-term (deferred-append mode).
     """
     s, hq, d = q.shape
     page = k_cache.shape[1]
@@ -77,12 +80,29 @@ def paged_decode_attention_ref(
     kf = k.astype(jnp.float32)
     scores = jnp.einsum("shrd,schd->shrc", qf * scale, kf)    # [S,Hkv,rep,C]
 
+    hist_len = context_lens[:, None] - (0 if k_self is None else 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
-    valid = pos < context_lens[:, None]
+    valid = pos < hist_len
     if sliding_window is not None:
         valid &= pos >= (context_lens[:, None] - sliding_window)
     scores = _maybe_softcap(scores, softcap)
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+
+    if k_self is not None:
+        self_sc = jnp.einsum("shrd,shd->shr", qf * scale,
+                             k_self.astype(jnp.float32))      # [S,Hkv,rep]
+        self_sc = _maybe_softcap(self_sc, softcap)
+        m = jnp.maximum(jnp.max(scores, axis=-1), self_sc)
+        e_hist = jnp.exp(scores - m[..., None])
+        e_self = jnp.exp(self_sc - m)
+        denom = jnp.sum(e_hist, axis=-1) + e_self
+        p_hist = e_hist / denom[..., None]
+        out = jnp.einsum("shrc,schd->shrd", p_hist,
+                         v.astype(jnp.float32))
+        out = out + (e_self / denom)[..., None] \
+            * v_self.astype(jnp.float32)[:, :, None, :]
+        return out.reshape(s, hq, d).astype(q.dtype)
+
     probs = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("shrc,schd->shrd", probs, v.astype(jnp.float32))
     return out.reshape(s, hq, d).astype(q.dtype)
@@ -92,11 +112,13 @@ def dense_decode_attention_ref(
     q: jnp.ndarray,               # [S, Hq, D]
     k_lin: jnp.ndarray,           # [S, ctx_pad, Hkv, D] (slot-contiguous)
     v_lin: jnp.ndarray,
-    context_lens: jnp.ndarray,    # int32 [S]
+    context_lens: jnp.ndarray,    # int32 [S] — INCLUDING the current token
     *,
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    k_self: Optional[jnp.ndarray] = None,   # [S, Hkv, D] current token's K
+    v_self: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Decode attention over a slot-contiguous KV slice — the linear
     KV layout's hot path. Identical math to paged_decode_attention_ref,
@@ -108,6 +130,13 @@ def dense_decode_attention_ref(
     matmuls and select each q head's own kv head with a one-hot
     contraction — 8x FLOP waste on an idle MXU beats 256 latency-bound
     launches (same trade as the reference's padded-batch GEMMs).
+
+    Deferred-append mode: when k_self/v_self are given, the cache holds
+    only HISTORY (context_lens - 1 tokens); the current token's K/V join
+    via an explicit self-term. This lets the caller batch all layers'
+    cache writes into one scatter per step (XLA TPU scatters have a high
+    per-call cost — measured ~0.4 ms each).
+
     Returns [S, Hq, D]."""
     s, hq, d = q.shape
     ctx_pad = k_lin.shape[1]
@@ -115,7 +144,7 @@ def dense_decode_attention_ref(
     rep = hq // hkv
     # Keep the big KV operands in their storage dtype and let the MXU
     # accumulate in f32 (astype would materialize a f32 copy of the
-    # whole visible cache per layer — measured 3x step-time regression).
+    # whole visible cache per layer).
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype)     # [S, Hq, D]
     # sel[qh, h] = 1 iff kv head h serves q head qh (contiguous groups).
     qh_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // rep
@@ -125,12 +154,34 @@ def dense_decode_attention_ref(
                             preferred_element_type=jnp.float32)
     scores = jnp.sum(jnp.where(sel[None, :, None, :], scores_all, 0.0),
                      axis=-1)                                # [S, Hq, C]
+    hist_len = context_lens[:, None] - (0 if k_self is None else 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
-    valid = pos < context_lens[:, None]
+    valid = pos < hist_len
     if sliding_window is not None:
         valid &= pos >= (context_lens[:, None] - sliding_window)
     scores = _maybe_softcap(scores, softcap)
     scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+
+    if k_self is not None:
+        # self-term: score of the current token against itself.
+        self_sc = jnp.einsum("sqd,shd->sqh", qf, k_self,
+                             preferred_element_type=jnp.float32)
+        self_sc = jnp.sum(jnp.where(sel[None, :, :], self_sc, 0.0),
+                          axis=-1)                           # [S, Hq]
+        self_sc = _maybe_softcap(self_sc, softcap)
+        m = jnp.maximum(jnp.max(scores, axis=-1), self_sc)   # [S, Hq]
+        e_hist = jnp.exp(scores - m[:, :, None])
+        e_self = jnp.exp(self_sc - m)
+        denom = jnp.sum(e_hist, axis=-1) + e_self
+        p_hist = (e_hist / denom[:, :, None])
+        p_all = jnp.where(sel[None, :, None, :],
+                          p_hist[:, :, :, None], 0.0).astype(q.dtype)
+        out = jnp.einsum("sqch,schd->sqd", p_all, v_lin,
+                         preferred_element_type=jnp.float32)
+        v_rep = jnp.repeat(v_self.astype(jnp.float32), rep, axis=1)
+        out = out + (e_self / denom)[:, :, None] * v_rep
+        return out.astype(q.dtype)
+
     probs = jax.nn.softmax(scores, axis=-1)                  # [S, Hq, C]
     p_all = jnp.where(sel[None, :, None, :],
                       probs[:, :, :, None], 0.0).astype(q.dtype)
@@ -144,13 +195,19 @@ def dense_prefill_attention_ref(
     k_lin: jnp.ndarray,           # [ctx_pad, Hkv, D] — one slot's region
     v_lin: jnp.ndarray,
     q_positions: jnp.ndarray,     # int32 [T]
-    total_len: jnp.ndarray,       # int32 scalar
+    total_len: jnp.ndarray,       # int32 scalar (prefix + real chunk)
     *,
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    k_new: Optional[jnp.ndarray] = None,   # [T, Hkv, D] chunk K (deferred)
+    v_new: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Chunked-prefill attention over a slot-contiguous KV slice.
+
+    Deferred-append mode (k_new/v_new given): the cache holds only the
+    PREFIX; the chunk's own K/V are concatenated in-activation (per-seq
+    prefill, so the concat is small) and causally masked.
 
     Operands stay in storage dtype (MXU f32 accumulation); the chunk
     dim T is the matmul M dim, so these are well-shaped GEMMs.
@@ -158,19 +215,35 @@ def dense_prefill_attention_ref(
     t, hq, d = q.shape
     ctx_pad, hkv, _ = k_lin.shape
     rep = hq // hkv
+    qpos = q_positions[:, None]
+    if k_new is not None:
+        hist_len = total_len - jnp.sum(
+            (q_positions < total_len).astype(jnp.int32))  # prefix length
+        k_all = jnp.concatenate([k_lin, k_new.astype(k_lin.dtype)], axis=0)
+        v_all = jnp.concatenate([v_lin, v_new.astype(v_lin.dtype)], axis=0)
+        kpos = jnp.concatenate([
+            jax.lax.iota(jnp.int32, ctx_pad),
+            q_positions])                 # chunk K rows sit at their abs pos
+        valid_base = jnp.concatenate([
+            jax.lax.iota(jnp.int32, ctx_pad) < hist_len,
+            q_positions < total_len])
+        kpos_b = kpos[None, :]
+        valid = valid_base[None, :] & (kpos_b <= qpos)
+    else:
+        k_all, v_all = k_lin, v_lin
+        kpos_b = jax.lax.broadcasted_iota(jnp.int32, (t, ctx_pad), 1)
+        valid = (kpos_b <= qpos) & (kpos_b < total_len)
+    if sliding_window is not None:
+        valid &= kpos_b > (qpos - sliding_window)
+
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype) \
         .reshape(t, hkv, rep, d)
-    scores = jnp.einsum("thrd,chd->thrc", qf, k_lin,
+    scores = jnp.einsum("thrd,chd->thrc", qf, k_all,
                         preferred_element_type=jnp.float32)
-    kpos = jax.lax.broadcasted_iota(jnp.int32, (t, ctx_pad), 1)
-    qpos = q_positions[:, None]
-    valid = (kpos <= qpos) & (kpos < total_len)
-    if sliding_window is not None:
-        valid &= kpos > (qpos - sliding_window)
     scores = _maybe_softcap(scores, softcap)
     scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
     probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
-    out = jnp.einsum("thrc,chd->thrd", probs, v_lin,
+    out = jnp.einsum("thrc,chd->thrd", probs, v_all,
                      preferred_element_type=jnp.float32)
     return out.reshape(t, hq, d).astype(q.dtype)
 
