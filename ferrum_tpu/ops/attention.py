@@ -150,10 +150,13 @@ def dense_decode_attention_ref(
     qh_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // rep
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 1)
     sel = (qh_ids == h_ids)
-    scores_all = jnp.einsum("sqd,schd->sqch", qf, k_lin,
+    # Layout rule: every big intermediate keeps C (large) as the minor
+    # dim — an Hkv(=8)-minor output pads 128-wide lanes 16x and was the
+    # read-path bottleneck.
+    scores_all = jnp.einsum("sqd,schd->sqhc", qf, k_lin,
                             preferred_element_type=jnp.float32)
-    scores = jnp.sum(jnp.where(sel[None, :, None, :], scores_all, 0.0),
-                     axis=-1)                                # [S, Hq, C]
+    scores = jnp.sum(jnp.where(sel[None, :, :, None], scores_all, 0.0),
+                     axis=2)                                 # [S, Hq, C]
     hist_len = context_lens[:, None] - (0 if k_self is None else 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
     valid = pos < hist_len
@@ -174,18 +177,18 @@ def dense_decode_attention_ref(
         e_self = jnp.exp(self_sc - m)
         denom = jnp.sum(e_hist, axis=-1) + e_self
         p_hist = (e_hist / denom[:, :, None])
-        p_all = jnp.where(sel[None, :, None, :],
-                          p_hist[:, :, :, None], 0.0).astype(q.dtype)
-        out = jnp.einsum("sqch,schd->sqd", p_all, v_lin,
+        p_all = jnp.where(sel[None, :, :, None],
+                          p_hist[:, :, None, :], 0.0).astype(q.dtype)
+        out = jnp.einsum("sqhc,schd->sqd", p_all, v_lin,
                          preferred_element_type=jnp.float32)
         v_rep = jnp.repeat(v_self.astype(jnp.float32), rep, axis=1)
         out = out + (e_self / denom)[:, :, None] * v_rep
         return out.astype(q.dtype)
 
     probs = jax.nn.softmax(scores, axis=-1)                  # [S, Hq, C]
-    p_all = jnp.where(sel[None, :, None, :],
-                      probs[:, :, :, None], 0.0).astype(q.dtype)
-    out = jnp.einsum("sqch,schd->sqd", p_all, v_lin,
+    p_all = jnp.where(sel[None, :, :, None],
+                      probs[:, :, None, :], 0.0).astype(q.dtype)
+    out = jnp.einsum("sqhc,schd->sqd", p_all, v_lin,
                      preferred_element_type=jnp.float32)
     return out.astype(q.dtype)
 
