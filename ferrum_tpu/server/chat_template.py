@@ -21,22 +21,25 @@ from ..types import InvalidRequestError
 
 
 DEFAULT_TEMPLATES: Dict[str, str] = {
-    # ChatML (qwen2/qwen3 family default)
+    # ChatML (qwen2/qwen3 family default). Newlines emitted via
+    # expressions so Jinja block trimming can't eat them.
     "chatml": (
         "{%- for message in messages -%}"
-        "<|im_start|>{{ message.role }}\n{{ message.content }}<|im_end|>\n"
+        "{{ '<|im_start|>' + message.role + '\\n' + message.content"
+        " + '<|im_end|>\\n' }}"
         "{%- endfor -%}"
-        "{%- if add_generation_prompt -%}<|im_start|>assistant\n{%- endif -%}"
+        "{%- if add_generation_prompt -%}"
+        "{{ '<|im_start|>assistant\\n' }}{%- endif -%}"
     ),
     # Llama-3 instruct
     "llama3": (
         "{{- '<|begin_of_text|>' -}}"
         "{%- for message in messages -%}"
-        "<|start_header_id|>{{ message.role }}<|end_header_id|>\n\n"
-        "{{ message.content }}<|eot_id|>"
+        "{{ '<|start_header_id|>' + message.role + '<|end_header_id|>\\n\\n'"
+        " + message.content + '<|eot_id|>' }}"
         "{%- endfor -%}"
         "{%- if add_generation_prompt -%}"
-        "<|start_header_id|>assistant<|end_header_id|>\n\n"
+        "{{ '<|start_header_id|>assistant<|end_header_id|>\\n\\n' }}"
         "{%- endif -%}"
     ),
     # Gemma
@@ -45,16 +48,18 @@ DEFAULT_TEMPLATES: Dict[str, str] = {
         "{%- for message in messages -%}"
         "{%- set role = 'model' if message.role == 'assistant' "
         "else message.role -%}"
-        "<start_of_turn>{{ role }}\n{{ message.content }}<end_of_turn>\n"
+        "{{ '<start_of_turn>' + role + '\\n' + message.content"
+        " + '<end_of_turn>\\n' }}"
         "{%- endfor -%}"
-        "{%- if add_generation_prompt -%}<start_of_turn>model\n{%- endif -%}"
+        "{%- if add_generation_prompt -%}"
+        "{{ '<start_of_turn>model\\n' }}{%- endif -%}"
     ),
     # Plain fallback
     "plain": (
         "{%- for message in messages -%}"
-        "{{ message.role }}: {{ message.content }}\n"
+        "{{ message.role + ': ' + message.content + '\\n' }}"
         "{%- endfor -%}"
-        "{%- if add_generation_prompt -%}assistant: {%- endif -%}"
+        "{%- if add_generation_prompt -%}{{ 'assistant: ' }}{%- endif -%}"
     ),
 }
 
