@@ -123,8 +123,12 @@ class EngineBuilder:
         else:
             num_blocks = autosize_kv_blocks(
                 self.model_cfg, cfg, params_nbytes(self.params))
-        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
-                    "int8": jnp.int8}[cfg.kv_dtype]
+        if cfg.kv_dtype == "int8":
+            from ..types import NotSupportedError
+            raise NotSupportedError(
+                "int8 KV cache needs the scaled-quantization path "
+                "(planned); use bf16 or f32", param="kv_dtype")
+        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[cfg.kv_dtype]
         kv = PagedKvCache.create(self.model_cfg, num_blocks,
                                  cfg.kv_block_size, dtype=kv_dtype)
         runner = ModelRunner(self.model_cfg, cfg, self.params, kv,

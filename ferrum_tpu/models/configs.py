@@ -238,6 +238,13 @@ def config_from_hf_json(path: str) -> ModelConfig:
 
 def preset(name: str) -> ModelConfig:
     n = name.lower()
+    if n in ("tiny-test", "test-tiny"):
+        # Hardware-free smoke-test model (CLI/e2e tests).
+        return ModelConfig(
+            family="qwen3", vocab_size=512, hidden_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=128,
+            qk_norm=True, tie_word_embeddings=True, rope_theta=10000.0,
+            max_position_embeddings=2048, eos_token_ids=(257,))
     if n in ("llama-3.1-8b", "llama3.1:8b", "llama-8b"):
         return ModelConfig(
             family="llama", vocab_size=128256, hidden_size=4096, num_layers=32,

@@ -146,17 +146,71 @@ def dense_decode_attention_ref(
     # accumulate in f32 (astype would materialize a f32 copy of the
     # whole visible cache per layer).
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype)     # [S, Hq, D]
+    if DENSE_ALGO == "grouped":
+        return _dense_grouped(qf, k_lin, v_lin, context_lens, rep,
+                              sliding_window, softcap, k_self, v_self)
+    return _dense_crosshead(qf, k_lin, v_lin, context_lens, rep,
+                            sliding_window, softcap, k_self, v_self)
+
+
+# Decode-attention algorithm over the dense slice:
+#   grouped   — natural GQA batched einsum (S*Hkv matmuls of [rep,D]x[D,C])
+#   crosshead — all-head cross scores ([Hq,D]x[D,C*Hkv] per slot) + one-hot
+#               select; trades 8x FLOPs for fewer, larger MXU ops.
+DENSE_ALGO = "grouped"
+
+
+def _dense_grouped(qf, k_lin, v_lin, context_lens, rep, sliding_window,
+                   softcap, k_self, v_self):
+    s, hq, d = qf.shape
+    ctx_pad = k_lin.shape[1]
+    hkv = k_lin.shape[2]
+    qg = qf.reshape(s, hkv, rep, d)
+    scores = jnp.einsum("shrd,schd->shrc", qg, k_lin,
+                        preferred_element_type=jnp.float32)  # [S,Hkv,rep,C]
+    hist_len = context_lens[:, None] - (0 if k_self is None else 1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
+    valid = pos < hist_len
+    if sliding_window is not None:
+        valid &= pos >= (context_lens[:, None] - sliding_window)
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, None, :], scores, NEG_INF)
+
+    if k_self is not None:
+        self_sc = jnp.einsum("shrd,shd->shr", qg,
+                             k_self.astype(jnp.float32),
+                             preferred_element_type=jnp.float32)
+        self_sc = _maybe_softcap(self_sc, softcap)
+        m = jnp.maximum(jnp.max(scores, axis=-1), self_sc)
+        e_hist = jnp.exp(scores - m[..., None])
+        e_self = jnp.exp(self_sc - m)
+        denom = jnp.sum(e_hist, axis=-1) + e_self
+        p_hist = (e_hist / denom[..., None]).astype(k_lin.dtype)
+        out = jnp.einsum("shrc,schd->shrd", p_hist, v_lin,
+                         preferred_element_type=jnp.float32)
+        out = out + (e_self / denom)[..., None] \
+            * v_self.astype(jnp.float32)[:, :, None, :]
+        return out.reshape(s, hq, d).astype(qf.dtype)
+
+    probs = jax.nn.softmax(scores, axis=-1).astype(k_lin.dtype)
+    out = jnp.einsum("shrc,schd->shrd", probs, v_lin,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(s, hq, d).astype(qf.dtype)
+
+
+def _dense_crosshead(qf, k_lin, v_lin, context_lens, rep, sliding_window,
+                     softcap, k_self, v_self):
+    s, hq, d = qf.shape
+    ctx_pad = k_lin.shape[1]
+    hkv = k_lin.shape[2]
     # sel[qh, h] = 1 iff kv head h serves q head qh (contiguous groups).
     qh_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // rep
     h_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 1)
     sel = (qh_ids == h_ids)
-    # Layout rule: every big intermediate keeps C (large) as the minor
-    # dim — an Hkv(=8)-minor output pads 128-wide lanes 16x and was the
-    # read-path bottleneck.
-    scores_all = jnp.einsum("sqd,schd->sqhc", qf, k_lin,
+    scores_all = jnp.einsum("sqd,schd->sqch", qf, k_lin,
                             preferred_element_type=jnp.float32)
-    scores = jnp.sum(jnp.where(sel[None, :, :, None], scores_all, 0.0),
-                     axis=2)                                 # [S, Hq, C]
+    scores = jnp.sum(jnp.where(sel[None, :, None, :], scores_all, 0.0),
+                     axis=-1)                                # [S, Hq, C]
     hist_len = context_lens[:, None] - (0 if k_self is None else 1)
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
     valid = pos < hist_len
@@ -166,7 +220,6 @@ def dense_decode_attention_ref(
     scores = jnp.where(valid[:, None, :], scores, NEG_INF)
 
     if k_self is not None:
-        # self-term: score of the current token against itself.
         self_sc = jnp.einsum("sqd,shd->sqh", qf, k_self,
                              preferred_element_type=jnp.float32)
         self_sc = jnp.sum(jnp.where(sel[None, :, :], self_sc, 0.0),
@@ -177,20 +230,20 @@ def dense_decode_attention_ref(
         e_self = jnp.exp(self_sc - m)
         denom = jnp.sum(e_hist, axis=-1) + e_self
         p_hist = (e_hist / denom[:, :, None])
-        p_all = jnp.where(sel[None, :, :, None],
-                          p_hist[:, :, None, :], 0.0).astype(q.dtype)
-        out = jnp.einsum("sqhc,schd->sqd", p_all, v_lin,
+        p_all = jnp.where(sel[None, :, None, :],
+                          p_hist[:, :, :, None], 0.0).astype(k_lin.dtype)
+        out = jnp.einsum("sqch,schd->sqd", p_all, v_lin,
                          preferred_element_type=jnp.float32)
         v_rep = jnp.repeat(v_self.astype(jnp.float32), rep, axis=1)
         out = out + (e_self / denom)[:, :, None] * v_rep
-        return out.astype(q.dtype)
+        return out.astype(qf.dtype)
 
     probs = jax.nn.softmax(scores, axis=-1)                  # [S, Hq, C]
-    p_all = jnp.where(sel[None, :, :, None],
-                      probs[:, :, None, :], 0.0).astype(q.dtype)
-    out = jnp.einsum("sqhc,schd->sqd", p_all, v_lin,
+    p_all = jnp.where(sel[None, :, None, :],
+                      probs[:, :, None, :], 0.0).astype(k_lin.dtype)
+    out = jnp.einsum("sqch,schd->sqd", p_all, v_lin,
                      preferred_element_type=jnp.float32)
-    return out.astype(q.dtype)
+    return out.astype(qf.dtype)
 
 
 def dense_prefill_attention_ref(
