@@ -348,6 +348,7 @@ def decode_forward(
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
 
     if deferred and new_ks:
+        from ..ops.pallas.kv_append import kv_append
         s_slots = flat_slots.shape[0]
         # [L, S, hkv, d] → flat rows; per-layer base offsets on indices.
         k_stack = jnp.stack(new_ks).reshape(L * s_slots, hkv, d)
@@ -356,10 +357,10 @@ def decode_forward(
         idx = (bases + flat_slots[None, :]).reshape(-1)
         idx = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
                         OOB_SENTINEL, idx)
-        kflat = state["k"].reshape(L * nb * page, hkv, d)
-        vflat = state["v"].reshape(L * nb * page, hkv, d)
-        kflat = kflat.at[idx].set(k_stack.astype(kflat.dtype), mode="drop")
-        vflat = vflat.at[idx].set(v_stack.astype(vflat.dtype), mode="drop")
+        kflat = kv_append(state["k"].reshape(L * nb * page, hkv, d),
+                          k_stack, idx)
+        vflat = kv_append(state["v"].reshape(L * nb * page, hkv, d),
+                          v_stack, idx)
         state["k"] = kflat.reshape(L * nb, page, hkv, d)
         state["v"] = vflat.reshape(L * nb, page, hkv, d)
 
@@ -425,6 +426,7 @@ def prefill_forward(
     h = forward_hidden(params, cfg, tokens, positions, attn,
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
 
+    from ..ops.pallas.kv_append import kv_append
     t_pad = tokens.shape[0]
     k_stack = jnp.stack(new_ks).reshape(L * t_pad, hkv, d)
     v_stack = jnp.stack(new_vs).reshape(L * t_pad, hkv, d)
@@ -432,10 +434,10 @@ def prefill_forward(
     idx = (bases + flat_slots[None, :]).reshape(-1)
     idx = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
                     OOB_SENTINEL, idx)
-    kflat = state["k"].reshape(L * nb * page, hkv, d)
-    vflat = state["v"].reshape(L * nb * page, hkv, d)
-    kflat = kflat.at[idx].set(k_stack.astype(kflat.dtype), mode="drop")
-    vflat = vflat.at[idx].set(v_stack.astype(vflat.dtype), mode="drop")
+    kflat = kv_append(state["k"].reshape(L * nb * page, hkv, d),
+                      k_stack, idx)
+    vflat = kv_append(state["v"].reshape(L * nb * page, hkv, d),
+                      v_stack, idx)
 
     kv2 = PagedKvCache(
         k=kflat.reshape(L, nb, page, hkv * d),
