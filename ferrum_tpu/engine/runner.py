@@ -123,8 +123,9 @@ class ModelRunner:
         return _round_up_pow2(max_len, lo, self.cfg.max_model_len)
 
     def chunk_bucket(self, t: int) -> int:
-        lo = min(64, self.cfg.prefill_chunk_size)
-        return _round_up_pow2(t, lo, self.cfg.prefill_chunk_size)
+        # t_pad must be a page multiple (whole-page prefill writes).
+        lo = max(self.page, min(64, self.cfg.prefill_chunk_size))
+        return _round_up_pow2(t, lo, max(self.cfg.prefill_chunk_size, lo))
 
     # ------------------------------------------------------------------
     # Compiled steps

@@ -272,23 +272,22 @@ def decode_forward(
 ) -> Tuple[jnp.ndarray, PagedKvCache]:
     """One batched decode step → (hidden [S, H], updated kv).
 
-    The KV pool is threaded through the layers as ONE flat array with
-    per-layer base offsets (layer li's blocks live at [li*NB, (li+1)*NB))
-    — scatters update it in place under donation; no per-step cache
-    copy (the stack-per-layer alternative copies the whole pool).
+    Layout discipline (profiler-driven, v5e):
+      - the cache keeps its flat [L*NB, page, F=Hkv*D] layout end to end;
+        splitting F re-tiles and copies the whole pool (~6.5 ms/2.2 GB);
+      - appends are deferred and written page-granularly by a Pallas
+        kernel (XLA scatter serializes ~14 us/row);
+      - the current token joins attention via an explicit self-term.
     """
     inv_g, inv_l = make_rope_tables(cfg)
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
+    f = hkv * d
     L = cfg.num_layers
-    # Merge layer dim into the block dim (free reshape).
-    kf = kv.k.reshape(L * nb, page, hkv, d)
-    vf = kv.v.reshape(L * nb, page, hkv, d)
-    state = {"k": kf, "v": vf}
-    # Deferred append (linear/ref paths): the per-layer K/V of the new
-    # token are collected and written with ONE stacked scatter after the
-    # forward — XLA TPU scatters cost ~0.4 ms per call, so 2 calls/step
-    # instead of 2*L (measured: append alone was ~28 ms/step at L=32).
+    s_slots = block_tables.shape[0]
+    # Merge layer dim into the block dim (leading merge — layout-free).
+    state = {"k": kv.k.reshape(L * nb, page, f),
+             "v": kv.v.reshape(L * nb, page, f)}
     deferred = attn_impl in ("linear", "ref")
     new_ks: List[jnp.ndarray] = []
     new_vs: List[jnp.ndarray] = []
@@ -296,51 +295,51 @@ def decode_forward(
     def attn(li, q, k_new, v_new):
         if attn_impl == "skip":  # diagnostic: no append, no attention
             return q
-        tables_l = block_tables + li * nb
-        flat_l = flat_slots + li * nb * page
         sw = cfg.layer_sliding_window(li)
         if deferred:
             new_ks.append(k_new)
             new_vs.append(v_new)
-            kc, vc = state["k"], state["v"]
+            kc = state["k"][li * nb:(li + 1) * nb]
+            vc = state["v"][li * nb:(li + 1) * nb]
             if attn_impl == "linear":
-                s_slots = block_tables.shape[0]
-                k_lin = kc[li * nb:(li + 1) * nb].reshape(
-                    s_slots, -1, hkv, d)[:, :ctx_pad]
-                v_lin = vc[li * nb:(li + 1) * nb].reshape(
-                    s_slots, -1, hkv, d)[:, :ctx_pad]
-                from ..ops.attention import dense_decode_attention_ref
-                return dense_decode_attention_ref(
-                    q, k_lin, v_lin, context_lens, scale=cfg.attn_scale,
-                    sliding_window=sw, softcap=cfg.attn_logit_softcap,
-                    k_self=k_new, v_self=v_new)
+                from ..ops.attention import flat_decode_attention
+                k_lin = kc.reshape(s_slots, -1, f)[:, :ctx_pad]
+                v_lin = vc.reshape(s_slots, -1, f)[:, :ctx_pad]
+                return flat_decode_attention(
+                    q, k_lin, v_lin, context_lens, k_new, v_new,
+                    hkv=hkv, scale=cfg.attn_scale, sliding_window=sw,
+                    softcap=cfg.attn_logit_softcap)
+            # paged reference (CPU oracle): gather via block tables.
             return paged_decode_attention_ref(
-                q, kc, vc, tables_l, context_lens, ctx_pad=ctx_pad,
+                q, kc.reshape(nb, page, hkv, d),
+                vc.reshape(nb, page, hkv, d),
+                block_tables, context_lens, ctx_pad=ctx_pad,
                 scale=cfg.attn_scale, sliding_window=sw,
                 softcap=cfg.attn_logit_softcap,
                 k_self=k_new, v_self=v_new)
-        # Legacy write-then-attend paths (pallas + diagnostics).
-        if attn_impl == "read_only":  # diagnostic: attention, no append
-            kc, vc = state["k"], state["v"]
-        else:
-            kc, vc = kv_cache_append(state["k"], state["v"], k_new, v_new,
-                                     flat_l)
-            state["k"], state["v"] = kc, vc
-        if attn_impl == "append_only":  # diagnostic: append, no attention
+        # Legacy write-then-attend (pallas + diagnostics); pays the
+        # re-tiling copy — opt-in only.
+        flat_l = flat_slots + li * nb * page
+        k4 = state["k"].reshape(L * nb, page, hkv, d)
+        v4 = state["v"].reshape(L * nb, page, hkv, d)
+        if attn_impl != "read_only":
+            k4, v4 = kv_cache_append(k4, v4, k_new, v_new, flat_l)
+            state["k"] = k4.reshape(L * nb, page, f)
+            state["v"] = v4.reshape(L * nb, page, f)
+        if attn_impl == "append_only":
             return q
         if attn_impl == "read_only":
-            s_slots = block_tables.shape[0]
-            k_lin = kc[li * nb:(li + 1) * nb].reshape(
-                s_slots, -1, hkv, d)[:, :ctx_pad]
-            v_lin = vc[li * nb:(li + 1) * nb].reshape(
-                s_slots, -1, hkv, d)[:, :ctx_pad]
             from ..ops.attention import dense_decode_attention_ref
+            k_lin = state["k"][li * nb:(li + 1) * nb].reshape(
+                s_slots, -1, hkv, d)[:, :ctx_pad]
+            v_lin = state["v"][li * nb:(li + 1) * nb].reshape(
+                s_slots, -1, hkv, d)[:, :ctx_pad]
             return dense_decode_attention_ref(
                 q, k_lin, v_lin, context_lens, scale=cfg.attn_scale,
                 sliding_window=sw, softcap=cfg.attn_logit_softcap)
         from ..ops.pallas.paged_attention import paged_decode_attention
         return paged_decode_attention(
-            q, kc, vc, tables_l, context_lens,
+            q, k4, v4, block_tables + li * nb, context_lens,
             scale=cfg.attn_scale, sliding_window=sw,
             softcap=cfg.attn_logit_softcap)
 
@@ -348,25 +347,23 @@ def decode_forward(
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
 
     if deferred and new_ks:
-        from ..ops.pallas.kv_append import kv_append
-        s_slots = flat_slots.shape[0]
-        # [L, S, hkv, d] → flat rows; per-layer base offsets on indices.
-        k_stack = jnp.stack(new_ks).reshape(L * s_slots, hkv, d)
-        v_stack = jnp.stack(new_vs).reshape(L * s_slots, hkv, d)
-        bases = (jnp.arange(L, dtype=jnp.int32) * (nb * page))[:, None]
-        idx = (bases + flat_slots[None, :]).reshape(-1)
-        idx = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
-                        OOB_SENTINEL, idx)
-        kflat = kv_append(state["k"].reshape(L * nb * page, hkv, d),
-                          k_stack, idx)
-        vflat = kv_append(state["v"].reshape(L * nb * page, hkv, d),
-                          v_stack, idx)
-        state["k"] = kflat.reshape(L * nb, page, hkv, d)
-        state["v"] = vflat.reshape(L * nb, page, hkv, d)
+        from ..ops.pallas.kv_append import append_rows
+        # [L, S, hkv, d] → [L*S, F]; per-layer block bases on indices.
+        k_stack = jnp.stack(new_ks).reshape(L * s_slots, f)
+        v_stack = jnp.stack(new_vs).reshape(L * s_slots, f)
+        blk = flat_slots // page                         # [S]
+        off = flat_slots % page
+        bases = (jnp.arange(L, dtype=jnp.int32) * nb)[:, None]
+        blk_all = (bases + blk[None, :]).reshape(-1)
+        blk_all = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
+                            OOB_SENTINEL, blk_all)
+        off_all = jnp.tile(off, L)
+        state["k"] = append_rows(state["k"], k_stack, blk_all, off_all)
+        state["v"] = append_rows(state["v"], v_stack, blk_all, off_all)
 
     kv2 = PagedKvCache(
-        k=state["k"].reshape(L, nb, page, hkv * d),
-        v=state["v"].reshape(L, nb, page, hkv * d),
+        k=state["k"].reshape(L, nb, page, f),
+        v=state["v"].reshape(L, nb, page, f),
         page=page, kv_heads=hkv, head_dim=d)
     return h, kv2
 
@@ -383,65 +380,70 @@ def prefill_forward(
 ) -> Tuple[jnp.ndarray, PagedKvCache]:
     """One chunked-prefill step for one sequence → (hidden [T,H], kv).
 
-    Appends are deferred: the chunk attends to the cached PREFIX plus
-    its own K/V in-activation, and all layers' cache writes batch into
-    one scatter at the end (XLA TPU scatters are per-call expensive).
+    Same layout discipline as decode_forward: flat [.., page, F] cache,
+    deferred append via whole-page Pallas writes (chunk starts are
+    page-aligned by the scheduler), chunk K/V joins attention
+    in-activation.
     """
     inv_g, inv_l = make_rope_tables(cfg)
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
+    f = hkv * d
     L = cfg.num_layers
-    kf = kv.k.reshape(L * nb, page, hkv, d)
-    vf = kv.v.reshape(L * nb, page, hkv, d)
-    state = {"k": kf, "v": vf}
+    t_pad = tokens.shape[0]
+    maxp = block_table.shape[0]
+    state = {"k": kv.k.reshape(L * nb, page, f),
+             "v": kv.v.reshape(L * nb, page, f)}
     new_ks: List[jnp.ndarray] = []
     new_vs: List[jnp.ndarray] = []
-    from ..ops.attention import dense_prefill_attention_ref
+    from ..ops.attention import flat_prefill_attention
 
     def attn(li, q, k_new, v_new):
         new_ks.append(k_new)
         new_vs.append(v_new)
-        kc, vc = state["k"], state["v"]
+        kc = state["k"][li * nb:(li + 1) * nb]          # [nb, page, F]
+        vc = state["v"][li * nb:(li + 1) * nb]
         sw = cfg.layer_sliding_window(li)
         if attn_impl == "linear":
-            # Slot-contiguous: the slot's region starts at its first
-            # (identity-mapped) block; slice instead of gathering.
             start = block_table[0] * page
             kl = jax.lax.dynamic_slice_in_dim(
-                kc[li * nb:(li + 1) * nb].reshape(-1, hkv, d),
-                start, ctx_pad, axis=0)
+                kc.reshape(-1, f), start, ctx_pad, axis=0)
             vl = jax.lax.dynamic_slice_in_dim(
-                vc[li * nb:(li + 1) * nb].reshape(-1, hkv, d),
-                start, ctx_pad, axis=0)
+                vc.reshape(-1, f), start, ctx_pad, axis=0)
         else:
-            from ..ops.attention import gather_kv
-            table_l = block_table + li * nb
-            kl = gather_kv(kc, table_l[None, :], ctx_pad, page)[0]
-            vl = gather_kv(vc, table_l[None, :], ctx_pad, page)[0]
-        return dense_prefill_attention_ref(
-            q, kl, vl, positions, total_len, scale=cfg.attn_scale,
-            sliding_window=sw, softcap=cfg.attn_logit_softcap,
-            k_new=k_new, v_new=v_new)
+            n_pages = ctx_pad // page
+            kl = kc[block_table[:n_pages]].reshape(ctx_pad, f)
+            vl = vc[block_table[:n_pages]].reshape(ctx_pad, f)
+        return flat_prefill_attention(
+            q, kl, vl, positions, total_len, k_new, v_new,
+            hkv=hkv, scale=cfg.attn_scale, sliding_window=sw,
+            softcap=cfg.attn_logit_softcap)
 
     h = forward_hidden(params, cfg, tokens, positions, attn,
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
 
-    from ..ops.pallas.kv_append import kv_append
-    t_pad = tokens.shape[0]
-    k_stack = jnp.stack(new_ks).reshape(L * t_pad, hkv, d)
-    v_stack = jnp.stack(new_vs).reshape(L * t_pad, hkv, d)
-    bases = (jnp.arange(L, dtype=jnp.int32) * (nb * page))[:, None]
-    idx = (bases + flat_slots[None, :]).reshape(-1)
-    idx = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
-                    OOB_SENTINEL, idx)
-    kflat = kv_append(state["k"].reshape(L * nb * page, hkv, d),
-                      k_stack, idx)
-    vflat = kv_append(state["v"].reshape(L * nb * page, hkv, d),
-                      v_stack, idx)
+    from ..ops.pallas.kv_append import append_pages
+    # Whole-page writes: chunk start is page-aligned (scheduler invariant)
+    # and t_pad is a page multiple, so [L, t_pad, F] reshapes into
+    # [L * t_pad/page, page, F] page blocks for free.
+    n_pg = t_pad // page
+    k_pages = jnp.stack(new_ks).reshape(L * n_pg, page, f)
+    v_pages = jnp.stack(new_vs).reshape(L * n_pg, page, f)
+    # Each chunk page's target block comes from its FIRST token's flat
+    # slot (valid for scattered paged blocks AND linear regions; pages
+    # whose first token is a pad carry the OOB sentinel and are dropped).
+    first_flat = flat_slots.reshape(n_pg, page)[:, 0]
+    blk_row = jnp.where(first_flat >= OOB_SENTINEL, OOB_SENTINEL,
+                        first_flat // page)
+    bases = (jnp.arange(L, dtype=jnp.int32) * nb)[:, None]
+    blk_all = jnp.where(blk_row[None, :] >= OOB_SENTINEL, OOB_SENTINEL,
+                        bases + blk_row[None, :]).reshape(-1)
+    state["k"] = append_pages(state["k"], k_pages, blk_all)
+    state["v"] = append_pages(state["v"], v_pages, blk_all)
 
     kv2 = PagedKvCache(
-        k=kflat.reshape(L, nb, page, hkv * d),
-        v=vflat.reshape(L, nb, page, hkv * d),
+        k=state["k"].reshape(L, nb, page, f),
+        v=state["v"].reshape(L, nb, page, f),
         page=page, kv_heads=hkv, head_dim=d)
     return h, kv2
 

@@ -365,3 +365,123 @@ def kv_cache_append(
     kf = kf.at[flat_slots].set(k_new.astype(kf.dtype), mode="drop")
     vf = vf.at[flat_slots].set(v_new.astype(vf.dtype), mode="drop")
     return kf.reshape(nb, page, hkv, d), vf.reshape(nb, page, hkv, d)
+
+
+# ---------------------------------------------------------------------------
+# Flat-layout attention (cache minor dim stays F = Hkv*D; no reshape/copy)
+# ---------------------------------------------------------------------------
+
+def _mask_q_flat(q: jnp.ndarray, hkv: int) -> jnp.ndarray:
+    """q [N, Hq, D] → block-diagonal [N, Hq, Hkv*D]: each q head's values
+    sit in its own kv head's lane block, zeros elsewhere. Contracting
+    this against the flat cache [C, Hkv*D] yields per-own-head scores in
+    ONE large matmul — no cache reshape, no cross-head select."""
+    n, hq, d = q.shape
+    rep = hq // hkv
+    qh_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // rep
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 1)
+    sel = (qh_ids == h_ids)                                  # [Hq, Hkv]
+    qt = jnp.where(sel[None, :, :, None], q[:, :, None, :], 0)
+    return qt.reshape(n, hq, hkv * d)
+
+
+def _unmask_out_flat(out_all: jnp.ndarray, hq: int, hkv: int,
+                     d: int) -> jnp.ndarray:
+    """out_all [N, Hq, Hkv*D] (pv over ALL heads' lanes) → [N, Hq, D]
+    selecting each q head's own lane block."""
+    n = out_all.shape[0]
+    rep = hq // hkv
+    qh_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 0) // rep
+    h_ids = jax.lax.broadcasted_iota(jnp.int32, (hq, hkv), 1)
+    sel = (qh_ids == h_ids)
+    o4 = out_all.reshape(n, hq, hkv, d)
+    return jnp.sum(jnp.where(sel[None, :, :, None], o4, 0), axis=2)
+
+
+def flat_decode_attention(
+    q: jnp.ndarray,               # [S, Hq, D]
+    k_flat: jnp.ndarray,          # [S, C, F] slot-contiguous, F = Hkv*D
+    v_flat: jnp.ndarray,
+    context_lens: jnp.ndarray,    # int32 [S] incl. current token
+    k_self: jnp.ndarray,          # [S, Hkv, D]
+    v_self: jnp.ndarray,
+    *,
+    hkv: int,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Deferred-append decode attention over the flat cache layout."""
+    s, hq, d = q.shape
+    ctx_pad = k_flat.shape[1]
+    rep = hq // hkv
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qt = _mask_q_flat(qf, hkv)                               # [S, Hq, F]
+    scores = jnp.einsum("sqf,scf->sqc", qt, k_flat,
+                        preferred_element_type=jnp.float32)  # [S, Hq, C]
+    hist_len = context_lens[:, None] - 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
+    valid = pos < hist_len
+    if sliding_window is not None:
+        valid &= pos >= (context_lens[:, None] - sliding_window)
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+
+    self_sc = jnp.einsum("sqf,sf->sq", qt,
+                         k_self.reshape(s, hkv * d),
+                         preferred_element_type=jnp.float32)  # [S, Hq]
+    self_sc = _maybe_softcap(self_sc, softcap)
+    m = jnp.maximum(jnp.max(scores, axis=-1), self_sc)
+    e_hist = jnp.exp(scores - m[:, :, None])
+    e_self = jnp.exp(self_sc - m)
+    denom = jnp.sum(e_hist, axis=-1) + e_self
+    p_hist = (e_hist / denom[:, :, None]).astype(k_flat.dtype)
+    out_all = jnp.einsum("sqc,scf->sqf", p_hist, v_flat,
+                         preferred_element_type=jnp.float32)  # [S, Hq, F]
+    out = _unmask_out_flat(out_all, hq, hkv, d)
+    v_rep = jnp.repeat(v_self.astype(jnp.float32), rep, axis=1)
+    out = out + (e_self / denom)[:, :, None] * v_rep
+    return out.astype(q.dtype)
+
+
+def flat_prefill_attention(
+    q: jnp.ndarray,               # [T, Hq, D] — one slot's chunk
+    k_flat: jnp.ndarray,          # [C, F] slot region (prefix only)
+    v_flat: jnp.ndarray,
+    q_positions: jnp.ndarray,     # int32 [T]
+    total_len: jnp.ndarray,       # int32 scalar
+    k_new: jnp.ndarray,           # [T, Hkv, D] chunk K (not yet in cache)
+    v_new: jnp.ndarray,
+    *,
+    hkv: int,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
+) -> jnp.ndarray:
+    """Deferred-append chunked-prefill attention, flat layout."""
+    t, hq, d = q.shape
+    ctx_pad = k_flat.shape[0]
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qt = _mask_q_flat(qf, hkv)                               # [T, Hq, F]
+    k_all = jnp.concatenate(
+        [k_flat, k_new.reshape(t, hkv * d).astype(k_flat.dtype)], axis=0)
+    v_all = jnp.concatenate(
+        [v_flat, v_new.reshape(t, hkv * d).astype(v_flat.dtype)], axis=0)
+    hist_len = total_len - jnp.sum(
+        (q_positions < total_len).astype(jnp.int32))
+    kpos = jnp.concatenate([jax.lax.iota(jnp.int32, ctx_pad), q_positions])
+    valid_base = jnp.concatenate([
+        jax.lax.iota(jnp.int32, ctx_pad) < hist_len,
+        q_positions < total_len])
+    qpos = q_positions[:, None]
+    valid = valid_base[None, :] & (kpos[None, :] <= qpos)
+    if sliding_window is not None:
+        valid &= kpos[None, :] > (qpos - sliding_window)
+    scores = jnp.einsum("tqf,cf->tqc", qt, k_all,
+                        preferred_element_type=jnp.float32)
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+    probs = jax.nn.softmax(scores, axis=-1).astype(k_all.dtype)
+    out_all = jnp.einsum("tqc,cf->tqf", probs, v_all,
+                         preferred_element_type=jnp.float32)
+    return _unmask_out_flat(out_all, hq, hkv, d).astype(q.dtype)

@@ -191,10 +191,16 @@ class ContinuousBatchScheduler:
         # --- 2. ongoing prefills (chunked) ---
         chunk_cap = cfg.prefill_chunk_size if cfg.enable_chunked_prefill \
             else cfg.max_num_batched_tokens
+        page = cfg.kv_block_size
         for seq in [s for s in self.running if s.phase == Phase.PREFILLING]:
             if budget <= 0:
                 break
             t = min(seq.prompt_remaining, chunk_cap, budget)
+            if t < seq.prompt_remaining:
+                # Non-final chunks end on page boundaries so every chunk
+                # STARTS page-aligned (whole-page cache writes; device
+                # invariant of the prefill step).
+                t = (t // page) * page
             if t <= 0:
                 continue
             if not self._try_alloc(seq, seq.prefilled + t):
@@ -212,6 +218,9 @@ class ContinuousBatchScheduler:
         while self.waiting and self._free_slots and budget > 0:
             seq = self.waiting[0]
             first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
+            if first_chunk < seq.prompt_remaining:
+                first_chunk = (first_chunk // cfg.kv_block_size) \
+                    * cfg.kv_block_size
             if self.policy == "fifo" and first_chunk < seq.prompt_remaining \
                     and seq.prompt_remaining <= cfg.max_num_batched_tokens:
                 # fifo: avoid chunking when the whole prompt fits a batch.
@@ -235,6 +244,9 @@ class ContinuousBatchScheduler:
                 seq.prefilled = reused
                 seq.prefix_reused_tokens = reused
                 first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
+                if first_chunk < seq.prompt_remaining:
+                    first_chunk = (first_chunk // cfg.kv_block_size) \
+                        * cfg.kv_block_size
             if not self._try_alloc(seq, seq.prefilled + first_chunk):
                 # No KV room for even the first chunk → stop admitting.
                 blocks.release()
