@@ -48,6 +48,7 @@ def main() -> None:
     cfg = EngineConfig(
         model="bench", max_num_seqs=32, max_num_batched_tokens=2048,
         max_model_len=1024, prefill_chunk_size=512, kv_block_size=32,
+        kv_layout="linear",   # slot-contiguous serving fast path
         dtype="bf16", kv_dtype="bf16", seed=0)
 
     label = f"{model_name}-random"

@@ -212,13 +212,19 @@ class ContinuousBatchEngine:
             return False
         self.metrics.iterations_total += 1
 
-        # --- prefill chunks ---
+        # --- prefill chunks: dispatch all, fetch sampled tokens once ---
+        pending_first = []
         for chunk in batch.prefill_chunks:
-            first_token = self._run_prefill_chunk(chunk)
+            dev_tok = self.runner.run_prefill(chunk)
             self.scheduler.note_prefill_done(chunk)
             self.metrics.tokens_prefilled += len(chunk.tokens)
-            if first_token is not None:
-                self._accept_token(chunk.seq, first_token)
+            if dev_tok is not None:
+                pending_first.append((chunk.seq, dev_tok))
+        for seq, dev_tok in pending_first:
+            tok = int(np.asarray(dev_tok))
+            if seq.guided_processor is not None:
+                tok = self._advance_guided(seq, tok)
+            self._accept_token(seq, tok)
 
         # --- batched decode ---
         decode_seqs = [s for s in batch.decode_seqs
@@ -255,15 +261,6 @@ class ContinuousBatchEngine:
         return True
 
     # ------------------------------------------------------------------
-    def _run_prefill_chunk(self, chunk: PrefillChunk) -> Optional[int]:
-        seq = chunk.seq
-        tok = self.runner.run_prefill(chunk)
-        if tok is not None and seq.guided_processor is not None:
-            # Guided requests: the device-sampled first token must obey
-            # the DFA; if it doesn't, replace it with an allowed token.
-            tok = self._advance_guided(seq, tok)
-        return tok
-
     def _guided_sample(self, seq: Sequence, logits_row: np.ndarray) -> int:
         from ..sampling.host import sample_host
         mask = seq.guided_processor.allowed_mask(seq)

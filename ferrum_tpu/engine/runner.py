@@ -73,24 +73,44 @@ class ModelRunner:
         self.max_pages = engine_cfg.max_blocks_per_seq
         self.page = kv.page
 
-        # Device-resident per-slot state.
+        # Device-resident per-slot state. Everything a decode step needs
+        # lives on device; the host uploads ONE packed int array per call
+        # (each host→device transfer costs a dispatch round trip on
+        # tunneled backends).
         self.counts = jnp.zeros((s, v), jnp.int32)
         base = jax.random.key_data(jax.random.PRNGKey(engine_cfg.seed))
         self.keys = jnp.tile(base[None, :], (s, 1))
-
-        # Host mirrors of per-slot sampling params.
+        self.samp = {
+            "temps": jnp.zeros(s, jnp.float32),
+            "top_ks": jnp.zeros(s, jnp.int32),
+            "top_ps": jnp.ones(s, jnp.float32),
+            "pens": jnp.ones(s, jnp.float32),
+        }
+        # Host mirrors (greedy-variant selection only).
         self._temps = np.zeros(s, np.float32)
-        self._top_ks = np.zeros(s, np.int32)
-        self._top_ps = np.ones(s, np.float32)
-        self._penalties = np.ones(s, np.float32)
+
+        # Device-resident block tables with change tracking (static
+        # identity in linear mode → uploaded once).
+        self._tables_np = np.zeros((s, self.max_pages), np.int32)
+        self._tables_dev = jnp.asarray(self._tables_np)
 
         self._decode_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._decode_multi_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._prefill_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
-        self._reset_fn = jax.jit(
-            lambda counts, keys, slot, key: (
-                counts.at[slot].set(0), keys.at[slot].set(key)),
-            donate_argnums=(0, 1))
+
+        def _admit(counts, keys, samp, slot, key, svals):
+            counts = counts.at[slot].set(0)
+            keys = keys.at[slot].set(key)
+            samp = {
+                "temps": samp["temps"].at[slot].set(svals[0]),
+                "top_ks": samp["top_ks"].at[slot].set(
+                    svals[1].astype(jnp.int32)),
+                "top_ps": samp["top_ps"].at[slot].set(svals[2]),
+                "pens": samp["pens"].at[slot].set(svals[3]),
+            }
+            return counts, keys, samp
+
+        self._admit_fn = jax.jit(_admit, donate_argnums=(0, 1, 2))
 
         # Perf counters (ref: per-op atomic counters llama_family.rs:42-66).
         self.decode_steps = 0
@@ -106,14 +126,14 @@ class ModelRunner:
         sp = seq.request.sampling
         slot = seq.slot
         self._temps[slot] = sp.temperature
-        self._top_ks[slot] = sp.top_k
-        self._top_ps[slot] = sp.top_p
-        self._penalties[slot] = sp.repetition_penalty
         seed = sp.seed if sp.seed is not None \
             else (self.cfg.seed ^ (hash(seq.request.request_id) & 0x7FFFFFFF))
         key = jax.random.key_data(jax.random.PRNGKey(seed))
-        self.counts, self.keys = self._reset_fn(
-            self.counts, self.keys, slot, key)
+        svals = np.asarray([sp.temperature, float(sp.top_k), sp.top_p,
+                            sp.repetition_penalty], np.float32)
+        self.counts, self.keys, self.samp = self._admit_fn(
+            self.counts, self.keys, self.samp, slot, key,
+            jnp.asarray(svals))
 
     # ------------------------------------------------------------------
     # Bucketing
@@ -140,19 +160,21 @@ class ModelRunner:
         mc = self.model_cfg
         attn_impl = self.attn_impl
 
-        def step(params, kv, counts, keys, tokens, positions, block_tables,
-                 context_lens, flat_slots, temps, top_ks, top_ps, penalties,
-                 min_tok_active, active_slots):
+        def step(params, kv, counts, keys, packed, block_tables, samp,
+                 flat_slots):
+            # packed int32 [6, S]: tokens, positions, context_lens,
+            # pos_limit(unused here), active_slots, min_tokens_active
             h, kv = decode_forward(
-                params, mc, kv, tokens, positions, block_tables,
-                context_lens, flat_slots, ctx_pad=ctx_pad,
+                params, mc, kv, packed[0], packed[1], block_tables,
+                packed[2], flat_slots, ctx_pad=ctx_pad,
                 attn_impl=attn_impl)
             logits = logits_from_hidden(params, mc, h)
-            sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
-                                    min_tok_active)
+            sp = SlotSamplingParams(samp["temps"], samp["top_ks"],
+                                    samp["top_ps"], samp["pens"],
+                                    packed[5] == 1)
             out_tokens, keys = sample_step(logits, sp, counts, keys, eos_ids,
                                            greedy_only=greedy)
-            counts = update_counts(counts, active_slots, out_tokens)
+            counts = update_counts(counts, packed[4], out_tokens)
             if return_logits:
                 return out_tokens, kv, counts, keys, logits
             return out_tokens, kv, counts, keys
@@ -184,9 +206,16 @@ class ModelRunner:
         attn_impl = self.attn_impl
         page = self.page
 
-        def step_fn(params, kv, counts, keys, tokens, positions,
-                    block_tables, context_lens, pos_limit, temps, top_ks,
-                    top_ps, penalties, min_tok_active, active_slots):
+        def step_fn(params, kv, counts, keys, packed, block_tables, samp):
+            # packed int32 [6, S]: tokens, positions, context_lens,
+            # pos_limit, active_slots, min_tokens_active
+            tokens0 = packed[0]
+            pos_limit = packed[3]
+            active_slots = packed[4]
+            min_tok_active = packed[5] == 1
+            temps, top_ks = samp["temps"], samp["top_ks"]
+            top_ps, penalties = samp["top_ps"], samp["pens"]
+
             def body(carry, _):
                 tokens, positions, context_lens, kv, counts, keys = carry
                 # Device-side flat-slot lookup (kv_cache_append analog of
@@ -213,7 +242,7 @@ class ModelRunner:
                 return ((out_tokens, positions + 1, context_lens + 1,
                          kv, counts, keys), out_tokens)
 
-            carry = (tokens, positions, context_lens, kv, counts, keys)
+            carry = (tokens0, packed[1], packed[2], kv, counts, keys)
             (tokens, positions, context_lens, kv, counts, keys), all_toks = \
                 jax.lax.scan(body, carry, None, length=num_steps)
             return all_toks, kv, counts, keys
@@ -228,27 +257,23 @@ class ModelRunner:
         """Run `num_steps` fused decode steps; returns per-request token
         lists (callers discard overshoot past EOS/stop/max_tokens)."""
         s = self.num_slots
-        tokens = np.zeros(s, np.int32)
-        positions = np.zeros(s, np.int32)
-        lens = np.zeros(s, np.int32)
-        pos_limit = np.zeros(s, np.int32)
-        active = np.full(s, s, np.int32)
-        min_tok = np.zeros(s, bool)
-        tables = self._tables_for(seqs)
+        packed = np.zeros((6, s), np.int32)
+        packed[4] = s                            # inactive sentinel
         max_len = 2
         for seq in seqs:
             sl = seq.slot
             pos = seq.next_position()
-            tokens[sl] = seq.all_tokens[-1]
-            positions[sl] = pos
-            lens[sl] = pos + 1
-            pos_limit[sl] = len(seq.blocks.blocks) * self.page
-            active[sl] = sl
+            packed[0, sl] = seq.all_tokens[-1]
+            packed[1, sl] = pos
+            packed[2, sl] = pos + 1
+            packed[3, sl] = len(seq.blocks.blocks) * self.page
+            packed[4, sl] = sl
             # Conservative: suppress EOS through the whole window while
             # under min_tokens (may overshoot by <= T-1, never under).
-            min_tok[sl] = (seq.num_output_tokens
-                           < seq.request.sampling.min_tokens)
+            packed[5, sl] = int(seq.num_output_tokens
+                                < seq.request.sampling.min_tokens)
             max_len = max(max_len, pos + 1)
+        self._sync_tables(seqs)
 
         ctx_pad = self.ctx_bucket(max_len + num_steps)
         greedy = bool(all(self._temps[seq.slot] == 0 for seq in seqs))
@@ -256,11 +281,7 @@ class ModelRunner:
         t0 = time.perf_counter()
         all_toks, self.kv, self.counts, self.keys = fn(
             self.params, self.kv, self.counts, self.keys,
-            jnp.asarray(tokens), jnp.asarray(positions),
-            jnp.asarray(tables), jnp.asarray(lens), jnp.asarray(pos_limit),
-            jnp.asarray(self._temps), jnp.asarray(self._top_ks),
-            jnp.asarray(self._top_ps), jnp.asarray(self._penalties),
-            jnp.asarray(min_tok), jnp.asarray(active))
+            jnp.asarray(packed), self._tables_dev, self.samp)
         tok_host = np.asarray(all_toks)          # [T, S] — the one sync
         self.decode_device_time += time.perf_counter() - t0
         self.decode_steps += num_steps
@@ -277,21 +298,25 @@ class ModelRunner:
         mc = self.model_cfg
         attn_impl = self.attn_impl
 
-        def step(params, kv, counts, keys, tokens, count_tokens, positions,
-                 block_table, total_len, flat_slots, slot, last_idx,
-                 temp, top_k, top_p, penalty, min_tok_active):
+        def step(params, kv, counts, keys, packed, block_table, scalars,
+                 samp):
+            # packed int32 [4, t_pad]: tokens, count_tokens, positions,
+            # flat_slots; scalars int32 [4]: slot, last_idx, total_len,
+            # min_tokens_active
+            slot, last_idx, total_len = scalars[0], scalars[1], scalars[2]
             h, kv = prefill_forward(
-                params, mc, kv, tokens, positions, block_table, total_len,
-                flat_slots, ctx_pad=ctx_pad, attn_impl=attn_impl)
+                params, mc, kv, packed[0], packed[2], block_table,
+                total_len, packed[3], ctx_pad=ctx_pad, attn_impl=attn_impl)
             # Count prompt tokens for the repetition penalty (pads use
             # id == vocab → dropped by the scatter).
-            counts = counts.at[slot, count_tokens].add(1, mode="drop")
+            counts = counts.at[slot, packed[1]].add(1, mode="drop")
             if not sample:
                 return kv, counts
             logits = logits_from_hidden(params, mc, h[last_idx][None, :])
             sp = SlotSamplingParams(
-                temp[None], top_k[None], top_p[None], penalty[None],
-                min_tok_active[None])
+                samp["temps"][slot][None], samp["top_ks"][slot][None],
+                samp["top_ps"][slot][None], samp["pens"][slot][None],
+                (scalars[3] == 1)[None])
             tok, new_key = sample_step(
                 logits, sp, counts[slot][None, :], keys[slot][None, :],
                 eos_ids, greedy_only=greedy)
@@ -307,49 +332,48 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # Host-side batch assembly + execution
     # ------------------------------------------------------------------
-    def _tables_for(self, seqs: Sequence) -> np.ndarray:
-        tables = np.zeros((self.num_slots, self.max_pages), np.int32)
+    def _sync_tables(self, seqs: Sequence) -> None:
+        """Upload block tables only when they changed (they are the
+        static identity mapping in linear mode)."""
+        changed = False
         for seq in seqs:
             ids = seq.blocks.blocks
-            tables[seq.slot, :len(ids)] = ids
-        return tables
+            row = self._tables_np[seq.slot]
+            if not np.array_equal(row[:len(ids)], ids):
+                row[:len(ids)] = ids
+                changed = True
+        if changed:
+            self._tables_dev = jnp.asarray(self._tables_np)
 
     def run_decode(self, seqs: List[Sequence],
                    return_logits: bool = False):
         """One batched decode step. Each seq's input token is its most
         recent token; returns {seq: sampled_token} (+ logits array)."""
         s = self.num_slots
-        oob_flat = OOB_SENTINEL
-        tokens = np.zeros(s, np.int32)
-        positions = np.zeros(s, np.int32)
-        lens = np.zeros(s, np.int32)
-        flat = np.full(s, oob_flat, np.int32)
-        active = np.full(s, s, np.int32)  # OOB slot id = inactive
-        min_tok = np.zeros(s, bool)
-        tables = self._tables_for(seqs)
+        packed = np.zeros((6, s), np.int32)
+        packed[4] = s
+        flat = np.full(s, OOB_SENTINEL, np.int32)
         max_len = 2
         for seq in seqs:
             sl = seq.slot
             pos = seq.next_position()
-            tokens[sl] = seq.all_tokens[-1]
-            positions[sl] = pos
-            lens[sl] = pos + 1
+            packed[0, sl] = seq.all_tokens[-1]
+            packed[1, sl] = pos
+            packed[2, sl] = pos + 1
+            packed[4, sl] = sl
+            packed[5, sl] = int(seq.num_output_tokens
+                                < seq.request.sampling.min_tokens)
             flat[sl] = seq.blocks.flat_slot(pos)
-            active[sl] = sl
-            min_tok[sl] = (seq.num_output_tokens
-                           < seq.request.sampling.min_tokens)
             max_len = max(max_len, pos + 1)
+        self._sync_tables(seqs)
 
         ctx_pad = self.ctx_bucket(max_len)
         greedy = bool((self._temps == 0).all()) and not return_logits
         fn = self._get_decode_fn(ctx_pad, return_logits, greedy)
         t0 = time.perf_counter()
         out = fn(self.params, self.kv, self.counts, self.keys,
-                 jnp.asarray(tokens), jnp.asarray(positions),
-                 jnp.asarray(tables), jnp.asarray(lens), jnp.asarray(flat),
-                 jnp.asarray(self._temps), jnp.asarray(self._top_ks),
-                 jnp.asarray(self._top_ps), jnp.asarray(self._penalties),
-                 jnp.asarray(min_tok), jnp.asarray(active))
+                 jnp.asarray(packed), self._tables_dev, self.samp,
+                 jnp.asarray(flat))
         if return_logits:
             out_tokens, self.kv, self.counts, self.keys, logits = out
         else:
@@ -364,45 +388,42 @@ class ModelRunner:
             return result, np.asarray(logits)
         return result
 
-    def run_prefill(self, chunk: PrefillChunk) -> Optional[int]:
-        """Run one prefill chunk; if it completes the prompt, samples and
-        returns the first generated token."""
+    def run_prefill(self, chunk: PrefillChunk):
+        """Dispatch one prefill chunk; if it completes the prompt, returns
+        the first generated token as a DEVICE array (fetch deferred so
+        the engine syncs once per iteration, not per chunk)."""
         seq = chunk.seq
         t = len(chunk.tokens)
         t_pad = self.chunk_bucket(t)
         total = chunk.start + t
         ctx_pad = self.ctx_bucket(total)
         v = self.model_cfg.vocab_size
-        oob_flat = OOB_SENTINEL
 
-        tokens = np.zeros(t_pad, np.int32)
-        tokens[:t] = chunk.tokens
-        count_tokens = np.full(t_pad, v, np.int32)
-        count_tokens[:t] = chunk.tokens
-        positions = np.full(t_pad, self.cfg.max_model_len + ctx_pad, np.int32)
-        positions[:t] = np.arange(chunk.start, total)
+        packed = np.zeros((4, t_pad), np.int32)
+        packed[0, :t] = chunk.tokens
+        packed[1] = v
+        packed[1, :t] = chunk.tokens
+        packed[2] = self.cfg.max_model_len + ctx_pad
+        packed[2, :t] = np.arange(chunk.start, total)
+        packed[3] = OOB_SENTINEL
+        packed[3, :t] = [seq.blocks.flat_slot(p)
+                         for p in range(chunk.start, total)]
         table = np.zeros(self.max_pages, np.int32)
         ids = seq.blocks.blocks
         table[:len(ids)] = ids
-        flat = np.full(t_pad, oob_flat, np.int32)
-        flat[:t] = [seq.blocks.flat_slot(p) for p in range(chunk.start, total)]
+        scalars = np.asarray(
+            [seq.slot, t - 1, total,
+             int(seq.request.sampling.min_tokens > 0)], np.int32)
 
-        sl = seq.slot
         greedy = bool(self._temps[seq.slot] == 0)
         fn = self._get_prefill_fn(t_pad, ctx_pad, chunk.is_last, greedy)
         t0 = time.perf_counter()
         args = (self.params, self.kv, self.counts, self.keys,
-                jnp.asarray(tokens), jnp.asarray(count_tokens),
-                jnp.asarray(positions), jnp.asarray(table),
-                jnp.asarray(total, jnp.int32), jnp.asarray(flat),
-                sl, t - 1,
-                jnp.asarray(self._temps[sl]), jnp.asarray(self._top_ks[sl]),
-                jnp.asarray(self._top_ps[sl]),
-                jnp.asarray(self._penalties[sl]),
-                jnp.asarray(seq.request.sampling.min_tokens > 0))
+                jnp.asarray(packed), jnp.asarray(table),
+                jnp.asarray(scalars), self.samp)
         if chunk.is_last:
             tok, self.kv, self.counts, self.keys = fn(*args)
-            result = int(np.asarray(tok))
+            result = tok            # device scalar; caller fetches later
         else:
             self.kv, self.counts = fn(*args)
             result = None
