@@ -416,17 +416,17 @@ class ModelRunner:
              int(seq.request.sampling.min_tokens > 0)], np.int32)
 
         greedy = bool(self._temps[seq.slot] == 0)
-        fn = self._get_prefill_fn(t_pad, ctx_pad, chunk.is_last, greedy)
+        # Always compile the sampling variant (the sample branch is tiny);
+        # halves the number of prefill programs.
+        fn = self._get_prefill_fn(t_pad, ctx_pad, True, greedy)
         t0 = time.perf_counter()
         args = (self.params, self.kv, self.counts, self.keys,
                 jnp.asarray(packed), jnp.asarray(table),
                 jnp.asarray(scalars), self.samp)
-        if chunk.is_last:
-            tok, self.kv, self.counts, self.keys = fn(*args)
-            result = tok            # device scalar; caller fetches later
-        else:
-            self.kv, self.counts = fn(*args)
-            result = None
+        tok, self.kv, self.counts, self.keys = fn(*args)
+        # Device scalar; the engine fetches once per iteration. Non-final
+        # chunks discard it (their sampled token is meaningless).
+        result = tok if chunk.is_last else None
         self.prefill_device_time += time.perf_counter() - t0
         self.prefill_steps += 1
         return result

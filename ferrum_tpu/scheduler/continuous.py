@@ -196,11 +196,12 @@ class ContinuousBatchScheduler:
             if budget <= 0:
                 break
             t = min(seq.prompt_remaining, chunk_cap, budget)
-            if t < seq.prompt_remaining:
-                # Non-final chunks end on page boundaries so every chunk
-                # STARTS page-aligned (whole-page cache writes; device
-                # invariant of the prefill step).
-                t = (t // page) * page
+            if t < seq.prompt_remaining and t < chunk_cap:
+                # Only full-cap chunks or the whole remainder: odd chunk
+                # sizes would trigger fresh XLA compilations mid-serve
+                # (each padded-size bucket is its own program). Defer to
+                # the next iteration instead, when budget frees up.
+                continue
             if t <= 0:
                 continue
             if not self._try_alloc(seq, seq.prefilled + t):
@@ -218,9 +219,8 @@ class ContinuousBatchScheduler:
         while self.waiting and self._free_slots and budget > 0:
             seq = self.waiting[0]
             first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
-            if first_chunk < seq.prompt_remaining:
-                first_chunk = (first_chunk // cfg.kv_block_size) \
-                    * cfg.kv_block_size
+            if first_chunk < seq.prompt_remaining and first_chunk < chunk_cap:
+                break  # defer admission: no odd-sized chunks (see above)
             if self.policy == "fifo" and first_chunk < seq.prompt_remaining \
                     and seq.prompt_remaining <= cfg.max_num_batched_tokens:
                 # fifo: avoid chunking when the whole prompt fits a batch.
@@ -244,9 +244,15 @@ class ContinuousBatchScheduler:
                 seq.prefilled = reused
                 seq.prefix_reused_tokens = reused
                 first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
-                if first_chunk < seq.prompt_remaining:
-                    first_chunk = (first_chunk // cfg.kv_block_size) \
-                        * cfg.kv_block_size
+                if first_chunk < seq.prompt_remaining \
+                        and first_chunk < chunk_cap:
+                    # Defer (no odd-sized chunks); seq stays at the head
+                    # of the waiting queue with its prefix released.
+                    blocks.release()
+                    seq.blocks = None
+                    seq.prefilled = 0
+                    seq.prefix_reused_tokens = 0
+                    break
             if not self._try_alloc(seq, seq.prefilled + first_chunk):
                 # No KV room for even the first chunk → stop admitting.
                 blocks.release()
