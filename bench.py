@@ -26,6 +26,17 @@ BASELINE_C32 = 745.6  # cuda-llama-dense gate, c=32 (BASELINE.md)
 
 def main() -> None:
     import jax
+
+    # Persistent compilation cache: repeat bench runs skip the multi-
+    # minute (remote) compiles entirely.
+    cache_dir = os.path.expanduser("~/.cache/ferrum-tpu/xla-cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from ferrum_tpu.config import EngineConfig

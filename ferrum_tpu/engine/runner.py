@@ -298,12 +298,14 @@ class ModelRunner:
         mc = self.model_cfg
         attn_impl = self.attn_impl
 
-        def step(params, kv, counts, keys, packed, block_table, scalars,
-                 samp):
-            # packed int32 [4, t_pad]: tokens, count_tokens, positions,
-            # flat_slots; scalars int32 [4]: slot, last_idx, total_len,
-            # min_tokens_active
+        def step(params, kv, counts, keys, packed, tables, samp):
+            # packed int32 [5, t_pad]: tokens, count_tokens, positions,
+            # flat_slots, scalars-row (slot, last_idx, total_len,
+            # min_tokens_active, ...pad). Tables are the device-resident
+            # per-slot block tables (row selected by slot).
+            scalars = packed[4]
             slot, last_idx, total_len = scalars[0], scalars[1], scalars[2]
+            block_table = tables[slot]
             h, kv = prefill_forward(
                 params, mc, kv, packed[0], packed[2], block_table,
                 total_len, packed[3], ctx_pad=ctx_pad, attn_impl=attn_impl)
@@ -399,7 +401,7 @@ class ModelRunner:
         ctx_pad = self.ctx_bucket(total)
         v = self.model_cfg.vocab_size
 
-        packed = np.zeros((4, t_pad), np.int32)
+        packed = np.zeros((5, t_pad), np.int32)
         packed[0, :t] = chunk.tokens
         packed[1] = v
         packed[1, :t] = chunk.tokens
@@ -408,12 +410,9 @@ class ModelRunner:
         packed[3] = OOB_SENTINEL
         packed[3, :t] = [seq.blocks.flat_slot(p)
                          for p in range(chunk.start, total)]
-        table = np.zeros(self.max_pages, np.int32)
-        ids = seq.blocks.blocks
-        table[:len(ids)] = ids
-        scalars = np.asarray(
-            [seq.slot, t - 1, total,
-             int(seq.request.sampling.min_tokens > 0)], np.int32)
+        packed[4, :4] = [seq.slot, t - 1, total,
+                         int(seq.request.sampling.min_tokens > 0)]
+        self._sync_tables([seq])
 
         greedy = bool(self._temps[seq.slot] == 0)
         # Always compile the sampling variant (the sample branch is tiny);
@@ -421,8 +420,7 @@ class ModelRunner:
         fn = self._get_prefill_fn(t_pad, ctx_pad, True, greedy)
         t0 = time.perf_counter()
         args = (self.params, self.kv, self.counts, self.keys,
-                jnp.asarray(packed), jnp.asarray(table),
-                jnp.asarray(scalars), self.samp)
+                jnp.asarray(packed), self._tables_dev, self.samp)
         tok, self.kv, self.counts, self.keys = fn(*args)
         # Device scalar; the engine fetches once per iteration. Non-final
         # chunks discard it (their sampled token is meaningless).
