@@ -56,7 +56,9 @@ def main() -> None:
     n_req = int(os.environ.get("FERRUM_BENCH_REQUESTS", "64"))
 
     model_cfg = preset(model_name)
-    cfg = EngineConfig(
+    # resolve() applies the governed FERRUM_* env registry on top of the
+    # bench defaults (e.g. FERRUM_DECODE_MULTI_STEP sweeps).
+    cfg = EngineConfig.resolve(
         model="bench", max_num_seqs=32, max_num_batched_tokens=2048,
         max_model_len=1024, prefill_chunk_size=512, kv_block_size=32,
         kv_layout="linear",   # slot-contiguous serving fast path

@@ -194,6 +194,13 @@ class EngineConfig:
             raise InvalidRequestError(
                 "prefill_chunk_size must be >= kv_block_size",
                 param="prefill_chunk_size")
+        if self.max_num_batched_tokens < self.prefill_chunk_size:
+            # The scheduler only emits full-cap or whole-remainder chunks
+            # (closed compiled-program set); a budget permanently below
+            # the cap could never admit a long prompt.
+            raise InvalidRequestError(
+                "max_num_batched_tokens must be >= prefill_chunk_size",
+                param="max_num_batched_tokens")
         if self.scheduler not in ("continuous", "fifo", "priority"):
             raise InvalidRequestError("unknown scheduler", param="scheduler")
         if self.kv_dtype not in ("bf16", "f32", "int8"):
