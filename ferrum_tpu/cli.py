@@ -208,6 +208,30 @@ def cmd_bench_serve(args) -> int:
 
 
 # ---------------------------------------------------------------------------
+# embed — embedding modality lane (ref: commands embed; transcribe/tts
+# land with the Whisper/TTS executors)
+# ---------------------------------------------------------------------------
+
+def cmd_embed(args) -> int:
+    engine = _build_engine(args)
+    from .engine.embedding import EmbeddingEngine
+
+    emb = EmbeddingEngine(engine.runner.model_cfg, engine.runner.params,
+                          engine.tokenizer)
+    try:
+        texts = args.text or [line.strip() for line in sys.stdin
+                              if line.strip()]
+        vecs, total = emb.embed(texts)
+        out = {"model": args.model, "usage": {"prompt_tokens": total},
+               "data": [{"index": i, "embedding": v.tolist()}
+                        for i, v in enumerate(vecs)]}
+        print(json.dumps(out))
+    finally:
+        engine.stop()
+    return 0
+
+
+# ---------------------------------------------------------------------------
 # list / pull / stop
 # ---------------------------------------------------------------------------
 
@@ -305,6 +329,12 @@ def main(argv=None) -> int:
     p.add_argument("--n-repeats", type=int, default=1)
     p.add_argument("--output", default=None)
     p.set_defaults(fn=cmd_bench_serve)
+
+    p = sub.add_parser("embed", help="embed text(s) with the loaded model")
+    _add_engine_flags(p)
+    p.add_argument("--text", action="append", default=None,
+                   help="text to embed (repeatable; default: stdin lines)")
+    p.set_defaults(fn=cmd_embed)
 
     p = sub.add_parser("list", help="list model presets + local checkpoints")
     p.set_defaults(fn=cmd_list)
