@@ -215,15 +215,21 @@ class ContinuousBatchEngine:
         # --- prefill chunks: dispatch all, fetch sampled tokens once ---
         pending_first = []
         for chunk in batch.prefill_chunks:
-            dev_tok = self.runner.run_prefill(chunk)
+            guided = chunk.seq.guided_processor is not None
+            res = self.runner.run_prefill(chunk, return_logits=guided)
             self.scheduler.note_prefill_done(chunk)
             self.metrics.tokens_prefilled += len(chunk.tokens)
-            if dev_tok is not None:
-                pending_first.append((chunk.seq, dev_tok))
-        for seq, dev_tok in pending_first:
-            tok = int(np.asarray(dev_tok))
+            if res is not None:
+                pending_first.append((chunk.seq, res))
+        for seq, res in pending_first:
             if seq.guided_processor is not None:
-                tok = self._advance_guided(seq, tok)
+                # Guided: sample the first token on host under the DFA
+                # mask (the device sample ignores it; picking allowed[0]
+                # would choose by vocab order — ADVICE r1 low).
+                _dev_tok, dev_logits = res
+                tok = self._guided_sample(seq, np.asarray(dev_logits)[0])
+            else:
+                tok = int(np.asarray(res))
             self._accept_token(seq, tok)
 
         # --- batched decode ---
@@ -271,18 +277,6 @@ class ContinuousBatchEngine:
                           seq.all_tokens, rng, mask=mask)
         seq.guided_processor.advance(seq, tok)
         return tok
-
-    def _advance_guided(self, seq: Sequence, tok: int) -> int:
-        gp = seq.guided_processor
-        mask = gp.allowed_mask(seq)
-        if mask is None or mask[tok]:
-            gp.advance(seq, tok)
-            return tok
-        # Device-sampled token not allowed by DFA: pick best allowed.
-        allowed = np.flatnonzero(mask)
-        tok2 = int(allowed[0]) if len(allowed) else tok
-        gp.advance(seq, tok2)
-        return tok2
 
     # ------------------------------------------------------------------
     def _accept_token(self, seq: Sequence, token: int) -> None:

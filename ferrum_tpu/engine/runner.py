@@ -143,8 +143,9 @@ class ModelRunner:
         return _round_up_pow2(max_len, lo, self.cfg.max_model_len)
 
     def chunk_bucket(self, t: int) -> int:
-        # t_pad must be a page multiple (whole-page prefill writes).
-        lo = max(self.page, min(64, self.cfg.prefill_chunk_size))
+        # t_pad must be a page multiple (whole-page prefill writes) and
+        # >= 8 (sublane alignment + the packed scalars row holds 5 ints).
+        lo = max(8, self.page, min(64, self.cfg.prefill_chunk_size))
         return _round_up_pow2(t, lo, max(self.cfg.prefill_chunk_size, lo))
 
     # ------------------------------------------------------------------
@@ -289,22 +290,24 @@ class ModelRunner:
                 for seq in seqs}
 
     def _get_prefill_fn(self, t_pad: int, ctx_pad: int, sample: bool,
-                        greedy: bool = False):
-        key = (t_pad, ctx_pad, sample, greedy)
+                        greedy: bool = False, return_logits: bool = False):
+        key = (t_pad, ctx_pad, sample, greedy, return_logits)
         fn = self._prefill_fns.get(key)
         if fn is not None:
             return fn
         eos_ids = self.model_cfg.eos_token_ids
         mc = self.model_cfg
         attn_impl = self.attn_impl
+        vocab = self.model_cfg.vocab_size
 
         def step(params, kv, counts, keys, packed, tables, samp):
             # packed int32 [5, t_pad]: tokens, count_tokens, positions,
             # flat_slots, scalars-row (slot, last_idx, total_len,
-            # min_tokens_active, ...pad). Tables are the device-resident
-            # per-slot block tables (row selected by slot).
+            # min_tokens_active, is_last, ...pad). Tables are the
+            # device-resident per-slot block tables (row selected by slot).
             scalars = packed[4]
             slot, last_idx, total_len = scalars[0], scalars[1], scalars[2]
+            is_last = scalars[4] == 1
             block_table = tables[slot]
             h, kv = prefill_forward(
                 params, mc, kv, packed[0], packed[2], block_table,
@@ -322,8 +325,17 @@ class ModelRunner:
             tok, new_key = sample_step(
                 logits, sp, counts[slot][None, :], keys[slot][None, :],
                 eos_ids, greedy_only=greedy)
-            keys = keys.at[slot].set(new_key[0])
-            counts = counts.at[slot, tok[0]].add(1)
+            # Commit the sampled token's count + PRNG advance ONLY on the
+            # final chunk: non-final chunks discard their (meaningless)
+            # sample on the host, and committing it would inject a phantom
+            # token into the repetition-penalty counts per extra chunk
+            # (ADVICE r1 medium). OOB index (== vocab) drops the update.
+            keys = keys.at[slot].set(
+                jnp.where(is_last, new_key[0], keys[slot]))
+            counts = counts.at[
+                slot, jnp.where(is_last, tok[0], vocab)].add(1, mode="drop")
+            if return_logits:
+                return tok[0], kv, counts, keys, logits
             return tok[0], kv, counts, keys
 
         fn = jax.jit(step, donate_argnums=(1, 2))
@@ -390,10 +402,12 @@ class ModelRunner:
             return result, np.asarray(logits)
         return result
 
-    def run_prefill(self, chunk: PrefillChunk):
-        """Dispatch one prefill chunk; if it completes the prompt, returns
-        the first generated token as a DEVICE array (fetch deferred so
-        the engine syncs once per iteration, not per chunk)."""
+    def run_prefill(self, chunk: PrefillChunk, return_logits: bool = False):
+        """Dispatch one prefill chunk; if it completes the prefill target,
+        returns the first generated token as a DEVICE array (fetch
+        deferred so the engine syncs once per iteration, not per chunk).
+        With return_logits (guided decoding), returns (token, logits_row)
+        device arrays for the final chunk."""
         seq = chunk.seq
         t = len(chunk.tokens)
         t_pad = self.chunk_bucket(t)
@@ -410,21 +424,29 @@ class ModelRunner:
         packed[3] = OOB_SENTINEL
         packed[3, :t] = [seq.blocks.flat_slot(p)
                          for p in range(chunk.start, total)]
-        packed[4, :4] = [seq.slot, t - 1, total,
-                         int(seq.request.sampling.min_tokens > 0)]
+        packed[4, :5] = [
+            seq.slot, t - 1, total,
+            int(seq.num_output_tokens < seq.request.sampling.min_tokens),
+            int(chunk.is_last)]
         self._sync_tables([seq])
 
         greedy = bool(self._temps[seq.slot] == 0)
+        return_logits = return_logits and chunk.is_last
         # Always compile the sampling variant (the sample branch is tiny);
         # halves the number of prefill programs.
-        fn = self._get_prefill_fn(t_pad, ctx_pad, True, greedy)
+        fn = self._get_prefill_fn(t_pad, ctx_pad, True, greedy,
+                                  return_logits)
         t0 = time.perf_counter()
         args = (self.params, self.kv, self.counts, self.keys,
                 jnp.asarray(packed), self._tables_dev, self.samp)
-        tok, self.kv, self.counts, self.keys = fn(*args)
-        # Device scalar; the engine fetches once per iteration. Non-final
-        # chunks discard it (their sampled token is meaningless).
-        result = tok if chunk.is_last else None
+        if return_logits:
+            tok, self.kv, self.counts, self.keys, logits = fn(*args)
+            result = (tok, logits)
+        else:
+            tok, self.kv, self.counts, self.keys = fn(*args)
+            # Device scalar; the engine fetches once per iteration.
+            # Non-final chunks discard it (their sample is meaningless).
+            result = tok if chunk.is_last else None
         self.prefill_device_time += time.perf_counter() - t0
         self.prefill_steps += 1
         return result

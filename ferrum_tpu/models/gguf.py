@@ -428,6 +428,24 @@ def config_from_gguf(g: GgufFile):
         rope_theta=float(mk("rope.freq_base", 10000.0)),
         max_position_embeddings=int(mk("context_length", 8192)),
     )
+    # RoPE scaling metadata ({arch}.rope.scaling.*): mirror the HF path
+    # (config_from_hf_json → RopeScaling.from_hf) so Llama-3.1-style
+    # GGUFs don't silently load with unscaled RoPE (ADVICE r1 low).
+    stype = mk("rope.scaling.type")
+    factor = mk("rope.scaling.factor")
+    if stype not in (None, "none") and (stype or factor):
+        from .configs import RopeScaling
+        cfg.rope_scaling = RopeScaling(
+            rope_type=str(stype or "linear"),
+            factor=float(factor if factor is not None else 1.0),
+            low_freq_factor=float(
+                mk("rope.scaling.low_freq_factor", 1.0)),
+            high_freq_factor=float(
+                mk("rope.scaling.high_freq_factor", 4.0)),
+            original_max_position_embeddings=int(
+                mk("rope.scaling.original_context_length",
+                   mk("context_length", 8192))),
+        )
     if family in ("qwen3", "qwen3_moe", "gemma3"):
         cfg.qk_norm = True
     if family == "qwen2":

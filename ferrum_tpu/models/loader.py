@@ -106,14 +106,16 @@ def _gptq(src: TensorSource, prefix: str, dtype) -> QuantLinearParams:
     scales = np.asarray(src.get(prefix + ".scales")).astype(np.float32)
     g_idx = np.asarray(src.get(prefix + ".g_idx")) \
         if (prefix + ".g_idx") in src else None
-    packed, sc, z, group = repack_from_gptq(qweight, qzeros, scales, g_idx)
+    packed, sc, z, group, perm = repack_from_gptq(
+        qweight, qzeros, scales, g_idx)
     bias = src.get(prefix + ".bias") if (prefix + ".bias") in src else None
     return QuantLinearParams(
         qweight=jnp.asarray(packed), scales=jnp.asarray(sc, dtype=dtype),
         zeros=jnp.asarray(z),
         bias=None if bias is None else jnp.asarray(bias, dtype=dtype),
         in_features=qweight.shape[0] * 8, out_features=qweight.shape[1],
-        group_size=group)
+        group_size=group,
+        input_perm=None if perm is None else jnp.asarray(perm))
 
 
 def _linear(src: TensorSource, prefix: str, dtype, quantize_rtn: bool = False

@@ -144,6 +144,13 @@ def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams,
 
 def quant_matmul(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     """y = x @ dequant(qweight) (+ bias). x: [..., in] → [..., out]."""
+    if p.input_perm is not None:
+        # act-order GPTQ: weight rows are group-sorted; gather the
+        # activation into the same order (cheap: [m, K] gather on x,
+        # never on the packed weight). See QuantLinearParams.input_perm.
+        import dataclasses
+        x = jnp.take(x, p.input_perm, axis=-1)
+        p = dataclasses.replace(p, input_perm=None)
     if not on_tpu():
         return quant_matmul_ref(x, p)
     lead = x.shape[:-1]

@@ -36,11 +36,19 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["qweight", "scales", "zeros", "bias"],
+         data_fields=["qweight", "scales", "zeros", "bias", "input_perm"],
          meta_fields=["in_features", "out_features", "group_size"])
 @dataclass
 class QuantLinearParams:
-    """Packed int4 linear weights in the native TPU layout."""
+    """Packed int4 linear weights in the native TPU layout.
+
+    `input_perm` (act-order / desc_act GPTQ checkpoints only): the packed
+    weight rows were sorted so each quant group is contiguous; the matmul
+    contract is then y = x[..., input_perm] @ dequant(qweight). The
+    activation gather is applied by `quant_matmul`/`quant_matmul_ref`
+    (the runtime analog of Marlin's act-order perm applied to A,
+    ref: vllm_marlin/gptq_marlin_repack.cu + marlin.cu g_idx handling).
+    """
 
     qweight: jnp.ndarray   # uint8 [in/2, out]
     scales: jnp.ndarray    # bf16  [in/group, out]
@@ -49,6 +57,7 @@ class QuantLinearParams:
     in_features: int
     out_features: int
     group_size: int
+    input_perm: Optional[jnp.ndarray] = None   # int32 [in] or None
 
 
 def pack_rows_np(q: np.ndarray, group_size: int) -> np.ndarray:
@@ -99,15 +108,17 @@ def quantize_weight_np(
 def repack_from_gptq(
     qweight: np.ndarray, qzeros: np.ndarray, scales: np.ndarray,
     g_idx: Optional[np.ndarray] = None, bits: int = 4,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, Optional[np.ndarray]]:
     """GPTQ checkpoint tensors → native layout (the repack step).
 
     GPTQ stores qweight int32 [in/8, out] (8 nibbles along in) and
     qzeros int32 [in/group, out/8]; scales f16 [in/group, out]. GPTQ's
     stored zero is (z - 1) in most exporters — the AutoGPTQ convention —
-    so we add 1 back. act-order (g_idx) is handled by materializing the
-    row permutation before repacking (ref: vllm_marlin repack handles
-    g_idx the same way, gptq_marlin_repack.cu).
+    so we add 1 back. act-order (g_idx): weight rows are sorted so each
+    quant group is contiguous, and the SAME permutation must be applied
+    to the activation at matmul time — returned as the 5th element
+    (None when no act-order). This mirrors Marlin, which keeps a runtime
+    perm applied to A (ref: vllm_marlin/gptq_marlin_repack.cu).
     """
     assert bits == 4, "only 4-bit GPTQ supported"
     in8, out_f = qweight.shape
@@ -123,17 +134,17 @@ def repack_from_gptq(
     z = z.reshape(n_groups, qzeros.shape[1] * 8).astype(np.int16) + 1
     z = np.clip(z, 0, 15).astype(np.int8)
 
+    perm = None
     if g_idx is not None and len(g_idx) and not np.array_equal(
             g_idx, np.arange(in_f) // group_size):
-        # act-order: rows were processed in g_idx order; sort rows so each
-        # group's rows are contiguous, and remember the permutation must
-        # also be applied to the activation — here we instead materialize
-        # the inverse permutation into the weight itself.
-        perm = np.argsort(g_idx, kind="stable")
+        # act-order: sort rows so each group's rows are contiguous. Row
+        # r of the sorted weight is original row perm[r], so the matmul
+        # must contract x[..., perm] against it: (x[perm]) @ (W[perm])
+        # == x @ W. The caller stores perm in QuantLinearParams.
+        perm = np.argsort(g_idx, kind="stable").astype(np.int32)
         q = q[perm]
-        # After permutation, row r belongs to group g_idx[perm[r]] == sorted.
     packed = pack_rows_np(q, group_size)
-    return packed, scales.astype(np.float32), z, group_size
+    return packed, scales.astype(np.float32), z, group_size, perm
 
 
 def make_quant_linear(
@@ -166,6 +177,8 @@ def dequantize(p: QuantLinearParams, dtype=jnp.bfloat16) -> jnp.ndarray:
 def quant_matmul_ref(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     """jnp reference: dequantize then matmul. Parity oracle for the
     Pallas fused kernel (ops/pallas/quant_matmul.py)."""
+    if p.input_perm is not None:
+        x = jnp.take(x, p.input_perm, axis=-1)
     w = dequantize(p, dtype=x.dtype)
     out = jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
     if p.bias is not None:

@@ -195,8 +195,8 @@ class ContinuousBatchScheduler:
         for seq in [s for s in self.running if s.phase == Phase.PREFILLING]:
             if budget <= 0:
                 break
-            t = min(seq.prompt_remaining, chunk_cap, budget)
-            if t < seq.prompt_remaining and t < chunk_cap:
+            t = min(seq.prefill_remaining, chunk_cap, budget)
+            if t < seq.prefill_remaining and t < chunk_cap:
                 # Only full-cap chunks or the whole remainder: odd chunk
                 # sizes would trigger fresh XLA compilations mid-serve
                 # (each padded-size bucket is its own program). Defer to
@@ -206,10 +206,11 @@ class ContinuousBatchScheduler:
                 continue
             if not self._try_alloc(seq, seq.prefilled + t):
                 continue  # retry next iteration
+            target = seq.prefill_target
             chunk = PrefillChunk(
                 seq=seq, start=seq.prefilled,
-                tokens=seq.prompt_tokens[seq.prefilled:seq.prefilled + t],
-                is_last=(seq.prefilled + t == seq.num_prompt_tokens))
+                tokens=target[seq.prefilled:seq.prefilled + t],
+                is_last=(seq.prefilled + t == len(target)))
             batch.prefill_chunks.append(chunk)
             budget -= t
             self.stats.tokens_prefilled_scheduled += t
@@ -218,13 +219,13 @@ class ContinuousBatchScheduler:
         linear = cfg.kv_layout == "linear"
         while self.waiting and self._free_slots and budget > 0:
             seq = self.waiting[0]
-            first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
-            if first_chunk < seq.prompt_remaining and first_chunk < chunk_cap:
+            first_chunk = min(seq.prefill_remaining, chunk_cap, budget)
+            if first_chunk < seq.prefill_remaining and first_chunk < chunk_cap:
                 break  # defer admission: no odd-sized chunks (see above)
-            if self.policy == "fifo" and first_chunk < seq.prompt_remaining \
-                    and seq.prompt_remaining <= cfg.max_num_batched_tokens:
+            if self.policy == "fifo" and first_chunk < seq.prefill_remaining \
+                    and seq.prefill_remaining <= cfg.max_num_batched_tokens:
                 # fifo: avoid chunking when the whole prompt fits a batch.
-                if first_chunk < seq.prompt_remaining:
+                if first_chunk < seq.prefill_remaining:
                     break
             if first_chunk <= 0:
                 break
@@ -243,8 +244,8 @@ class ContinuousBatchScheduler:
                 blocks.append_shared_prefix(reused_blocks, reused)
                 seq.prefilled = reused
                 seq.prefix_reused_tokens = reused
-                first_chunk = min(seq.prompt_remaining, chunk_cap, budget)
-                if first_chunk < seq.prompt_remaining \
+                first_chunk = min(seq.prefill_remaining, chunk_cap, budget)
+                if first_chunk < seq.prefill_remaining \
                         and first_chunk < chunk_cap:
                     # Defer (no odd-sized chunks); seq stays at the head
                     # of the waiting queue with its prefix released.
@@ -264,10 +265,11 @@ class ContinuousBatchScheduler:
             seq.phase = Phase.PREFILLING
             self.running.append(seq)
             batch.admitted.append(seq)
+            target = seq.prefill_target
             chunk = PrefillChunk(
                 seq=seq, start=seq.prefilled,
-                tokens=seq.prompt_tokens[seq.prefilled:seq.prefilled + first_chunk],
-                is_last=(seq.prefilled + first_chunk == seq.num_prompt_tokens))
+                tokens=target[seq.prefilled:seq.prefilled + first_chunk],
+                is_last=(seq.prefilled + first_chunk == len(target)))
             batch.prefill_chunks.append(chunk)
             budget -= first_chunk
             self.stats.tokens_prefilled_scheduled += first_chunk
@@ -281,6 +283,7 @@ class ContinuousBatchScheduler:
         seq.prefilled += len(chunk.tokens)
         if seq.is_prefill_done:
             seq.phase = Phase.DECODING
+            seq.recompute = False
 
     # ------------------------------------------------------------------
     def _trace(self, batch: ScheduledBatch, budget_left: int) -> None:

@@ -34,8 +34,15 @@ class Sequence:
         self.phase = Phase.WAITING
         self.slot: Optional[int] = None
         self.blocks: Optional[SequenceBlocks] = None
-        # Number of prompt tokens whose KV is already computed/adopted.
+        # Number of prefill-target tokens whose KV is already
+        # computed/adopted (target = prompt, or prompt+outputs after a
+        # recompute preemption — see prefill_target).
         self.prefilled = 0
+        # True between a preemption with generated output and the end of
+        # the recompute prefill: the KV for prompt AND outputs must be
+        # rebuilt (the reference preempt_victim recompute semantics,
+        # continuous_engine/inner/batch.rs:998; vLLM recompute policy).
+        self.recompute = False
         # Prefix-cache adoption at admission time.
         self.prefix_reused_tokens = 0
         self.preempt_count = 0
@@ -68,12 +75,27 @@ class Sequence:
         return self.prompt_tokens + self.output_tokens
 
     @property
+    def prefill_target(self) -> List[int]:
+        """Tokens whose KV the prefill phase must produce. After a
+        recompute preemption this includes already-generated outputs:
+        decode resumes at position total_tokens-1 and attention reads
+        every earlier position, so their KV must exist. The final
+        chunk's sample then predicts position total_tokens — a genuinely
+        NEW token, emitted normally (no duplicate suppression needed)."""
+        return self.all_tokens if self.recompute else self.prompt_tokens
+
+    @property
+    def prefill_remaining(self) -> int:
+        return len(self.prefill_target) - self.prefilled
+
+    # Backwards-compatible alias (prompt == target outside recompute).
+    @property
     def prompt_remaining(self) -> int:
-        return self.num_prompt_tokens - self.prefilled
+        return self.prefill_remaining
 
     @property
     def is_prefill_done(self) -> bool:
-        return self.prefilled >= self.num_prompt_tokens
+        return self.prefilled >= len(self.prefill_target)
 
     def next_position(self) -> int:
         """Absolute position of the next token to decode."""
@@ -88,3 +110,4 @@ class Sequence:
         self.slot = None
         self.phase = Phase.PREEMPTED
         self.preempt_count += 1
+        self.recompute = bool(self.output_tokens)

@@ -57,7 +57,7 @@ def test_name_mapping():
     assert hf_name("rope_freqs.weight") is None
 
 
-def _tiny_gguf(path, quant=GGML_F32):
+def _tiny_gguf(path, quant=GGML_F32, extra_meta=None):
     """A complete tiny qwen3-family GGUF checkpoint."""
     rng = np.random.default_rng(2)
     H, L, NH, NKV, HD, I, V = 64, 2, 4, 2, 16, 128, 256
@@ -74,6 +74,8 @@ def _tiny_gguf(path, quant=GGML_F32):
         "qwen3.attention.layer_norm_rms_epsilon": 1e-6,
         "qwen3.rope.freq_base": 10000.0,
     }
+    if extra_meta:
+        meta.update(extra_meta)
     tensors = {"token_embd.weight": (
         rng.normal(0, 0.02, (V, H)).astype(np.float32), GGML_F32),
         "output_norm.weight": (np.ones(H, np.float32), GGML_F32)}
@@ -102,6 +104,31 @@ def _tiny_gguf(path, quant=GGML_F32):
         tensors[f"{p}.ffn_down.weight"] = (
             rng.normal(0, 0.02, (H, I)).astype(np.float32), quant)
     write_gguf(path, meta, tensors)
+
+
+def test_rope_scaling_metadata_mapped():
+    """{arch}.rope.scaling.* must populate ModelConfig.rope_scaling like
+    the HF path does (ADVICE r1 low: Llama-3.1-style GGUFs otherwise
+    load with unscaled RoPE and degrade at long context)."""
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "tiny.gguf")
+        _tiny_gguf(path)
+        g = read_gguf(path)
+        assert config_from_gguf(g).rope_scaling is None  # no metadata
+
+        path2 = os.path.join(d, "scaled.gguf")
+        _tiny_gguf(path2, extra_meta={
+            "qwen3.rope.scaling.type": "yarn",
+            "qwen3.rope.scaling.factor": 4.0,
+            "qwen3.rope.scaling.original_context_length": 128,
+        })
+        cfg = config_from_gguf(read_gguf(path2))
+        rs = cfg.rope_scaling
+        assert rs is not None
+        assert rs.rope_type == "yarn" and rs.factor == 4.0
+        assert rs.original_max_position_embeddings == 128
 
 
 def test_load_gguf_model_and_generate():

@@ -185,6 +185,42 @@ class TestContinuousScheduler:
             self.run_prefill(sched, b)
         assert preempted_seen
 
+    def test_recompute_prefills_prompt_plus_outputs(self):
+        """After a preemption with generated tokens, the recompute prefill
+        must cover prompt AND outputs (ADVICE r1 high: decode would read
+        zero/stale KV for the lost output positions otherwise)."""
+        sched, pool = self.make(max_num_seqs=2, blocks=32, budget=64,
+                                chunk=8)
+        seq = mkseq(n_prompt=8, max_tokens=16)
+        sched.submit(seq)
+        b = sched.next_batch()
+        self.run_prefill(sched, b)
+        assert seq.phase == Phase.DECODING
+        # Simulate 5 decoded tokens, then preempt.
+        seq.output_tokens.extend([7, 8, 9, 10, 11])
+        b2 = sched.next_batch()
+        victim = sched._preempt_victim(b2, exclude=None)
+        assert victim is seq and seq.recompute
+        assert seq.prefill_target == seq.prompt_tokens + seq.output_tokens
+        assert seq.prefilled == 0
+        # Re-admission chunks over the 13-token target (8+5), not just
+        # the 8-token prompt.
+        got = []
+        for _ in range(4):
+            b3 = sched.next_batch()
+            for c in b3.prefill_chunks:
+                got.extend(c.tokens)
+                if c.is_last:
+                    assert c.start + len(c.tokens) == 13
+            self.run_prefill(sched, b3)
+            if seq.phase == Phase.DECODING:
+                break
+        assert got == seq.prompt_tokens + seq.output_tokens
+        assert seq.phase == Phase.DECODING
+        assert not seq.recompute
+        # Decode resumes at the position after the last generated token.
+        assert seq.next_position() == 12
+
     def test_finish_releases_resources(self):
         sched, pool = self.make()
         seq = mkseq(n_prompt=8)

@@ -62,8 +62,9 @@ class TestGptqRepack:
 
     def test_repack_dequant_matches_gptq_formula(self):
         qw, qz, scales, q, zeros = self._make_gptq()
-        packed, sc, z, group = repack_from_gptq(qw, qz, scales)
+        packed, sc, z, group, perm = repack_from_gptq(qw, qz, scales)
         assert group == 128
+        assert perm is None
         p = QuantLinearParams(
             qweight=jnp.asarray(packed), scales=jnp.asarray(sc),
             zeros=jnp.asarray(z), bias=None,
@@ -76,6 +77,30 @@ class TestGptqRepack:
             want[rows] = (q[rows].astype(np.float32)
                           - zeros[g][None, :]) * scales[g][None, :]
         np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+    def test_act_order_g_idx_matmul_correct(self):
+        """desc_act (g_idx) checkpoints: quant_matmul_ref must equal
+        x @ W where W[i] dequantizes with group g_idx[i] — the perm is
+        applied to the activation, not silently dropped (ADVICE r1:
+        x @ W_perm without permuting x computes the wrong product)."""
+        qw, qz, scales, q, zeros = self._make_gptq()
+        in_f, out_f, group = 256, 64, 128
+        rng = np.random.default_rng(7)
+        # act-order: random group assignment with exactly `group` rows
+        # per group (as GPTQ produces when sorting by activation order).
+        g_idx = rng.permutation(np.arange(in_f) // group).astype(np.int32)
+        packed, sc, z, gsz, perm = repack_from_gptq(qw, qz, scales, g_idx)
+        assert perm is not None
+        p = QuantLinearParams(
+            qweight=jnp.asarray(packed), scales=jnp.asarray(sc),
+            zeros=jnp.asarray(z), bias=None,
+            in_features=in_f, out_features=out_f, group_size=gsz,
+            input_perm=jnp.asarray(perm))
+        x = rng.normal(0, 1, (4, in_f)).astype(np.float32)
+        got = np.asarray(quant_matmul_ref(jnp.asarray(x), p))
+        # Ground truth straight from the GPTQ dequant formula with g_idx.
+        w = (q.astype(np.float32) - zeros[g_idx]) * scales[g_idx]
+        np.testing.assert_allclose(got, x @ w, rtol=1e-4, atol=1e-4)
 
 
 class TestModelQuantDrift:
