@@ -58,6 +58,9 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
                               "comma-separated decode batch buckets, e.g. 1,8,32"),
     "FERRUM_DECODE_MULTI_STEP": ("decode_multi_step", int,
                                  "decode tokens per device call (lax.scan)"),
+    "FERRUM_PIPELINE_DECODE": ("pipeline_decode", bool,
+                               "keep one decode window in flight "
+                               "(overlap host/RTT with device compute)"),
 }
 
 
@@ -164,6 +167,10 @@ class EngineConfig:
     # dispatch latency is high; overshoot past EOS/stop within a window
     # is discarded host-side.
     decode_multi_step: int = 8
+    # Keep one decode window outstanding: window W+1 is dispatched
+    # (device-chained from W's final tokens) before W's results are
+    # fetched, hiding dispatch RTT + host bookkeeping entirely.
+    pipeline_decode: bool = True
     seed: int = 0
     greedy_argmax_device: bool = True
     spec_draft_model: Optional[str] = None

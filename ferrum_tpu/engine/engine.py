@@ -35,7 +35,7 @@ from ..types import (
     EngineMetricsSnapshot, EngineStoppedError, FinishReason,
     InferenceRequest, InferenceResponse, InvalidRequestError, StreamChunk,
 )
-from .runner import ModelRunner
+from .runner import DecodeWindow, ModelRunner
 
 
 class _RequestState:
@@ -64,6 +64,10 @@ class ContinuousBatchEngine:
             cfg, self.pool, self.prefix_cache, policy=cfg.scheduler)
 
         self._requests: Dict[str, _RequestState] = {}
+        # Pipelined decode: the one outstanding (unfetched) window, plus
+        # prefill first-token device handles deferred to next iteration.
+        self._inflight: Optional[DecodeWindow] = None
+        self._pending_first: List = []
         self._lock = threading.Lock()
         self._work_event = threading.Event()
         self._stop = False
@@ -200,71 +204,129 @@ class ContinuousBatchEngine:
     # ------------------------------------------------------------------
     def run_iteration(self) -> bool:
         """One scheduler+device iteration (ref: run_iteration inner.rs:365).
-        Returns False when idle."""
+        Returns False when idle.
+
+        Pipelined decode: window W+1 is DISPATCHED (chained on device
+        from W's final tokens) before W's results are fetched, so host
+        bookkeeping + dispatch RTT overlap with device compute. Slot/KV
+        release for sequences finishing in W is deferred until W+1 is
+        fetched (its lanes may still write their blocks)."""
         from ..utils import profile as _prof
         iter_t0 = time.monotonic()
         self._drain_aborts()
+        did_work = False
+
+        # --- (a) first tokens from prefills dispatched last iteration ---
+        if self._pending_first:
+            pending, self._pending_first = self._pending_first, []
+            for seq, res in pending:
+                if seq.phase == Phase.FINISHED or seq.blocks is None:
+                    continue  # aborted/preempted while in flight
+                if seq.guided_processor is not None:
+                    # Guided: sample the first token on host under the
+                    # DFA mask (the device sample ignores it; picking
+                    # allowed[0] would choose by vocab order).
+                    _dev_tok, dev_logits = res
+                    tok = self._guided_sample(seq, np.asarray(dev_logits)[0])
+                else:
+                    tok = int(np.asarray(res))
+                self._accept_token(seq, tok)
+            did_work = True
+
+        # --- (b) schedule; in-flight sequences are preemption-pinned ---
+        pinned = self._inflight.covered if self._inflight is not None \
+            else frozenset()
         with self._lock:
-            batch = self.scheduler.next_batch()
+            batch = self.scheduler.next_batch(pinned=pinned)
             for seq in batch.admitted:
                 self.runner.admit_slot(seq)
-        if batch.is_empty:
-            return False
-        self.metrics.iterations_total += 1
+        if not batch.is_empty:
+            self.metrics.iterations_total += 1
 
-        # --- prefill chunks: dispatch all, fetch sampled tokens once ---
-        pending_first = []
+        # --- (c) dispatch prefill chunks (async; fetched next iter) ---
         for chunk in batch.prefill_chunks:
             guided = chunk.seq.guided_processor is not None
             res = self.runner.run_prefill(chunk, return_logits=guided)
             self.scheduler.note_prefill_done(chunk)
             self.metrics.tokens_prefilled += len(chunk.tokens)
             if res is not None:
-                pending_first.append((chunk.seq, res))
-        for seq, res in pending_first:
-            if seq.guided_processor is not None:
-                # Guided: sample the first token on host under the DFA
-                # mask (the device sample ignores it; picking allowed[0]
-                # would choose by vocab order — ADVICE r1 low).
-                _dev_tok, dev_logits = res
-                tok = self._guided_sample(seq, np.asarray(dev_logits)[0])
-            else:
-                tok = int(np.asarray(res))
-            self._accept_token(seq, tok)
+                self._pending_first.append((chunk.seq, res))
 
-        # --- batched decode ---
+        # --- (d) decode: dispatch W+1, then fetch + process W ---
         decode_seqs = [s for s in batch.decode_seqs
                        if s.phase == Phase.DECODING]
-        if decode_seqs:
-            guided = [s for s in decode_seqs if s.guided_processor is not None]
-            if guided:
-                # Guided sequences need per-token host masking → single
-                # step with logits readback.
-                tokens, logits = self.runner.run_decode(
-                    decode_seqs, return_logits=True)
-                for seq in guided:
-                    tokens[seq.request.request_id] = \
-                        self._guided_sample(seq, logits[seq.slot])
-                self.metrics.tokens_decoded += len(decode_seqs)
-                for seq in decode_seqs:
-                    self._accept_token(seq, tokens[seq.request.request_id])
-            else:
-                # Fused multi-step decode: one device call, T tokens.
-                t_steps = max(1, self.cfg.decode_multi_step)
-                token_lists = self.runner.run_decode_multi(
-                    decode_seqs, t_steps)
-                for step in range(t_steps):
-                    for seq in decode_seqs:
-                        if seq.phase != Phase.DECODING:
-                            continue  # finished earlier in window
-                        self._accept_token(
-                            seq, token_lists[seq.request.request_id][step])
-                        self.metrics.tokens_decoded += 1
+        guided_seqs = [s for s in decode_seqs
+                       if s.guided_processor is not None]
+        plain_seqs = [s for s in decode_seqs if s.guided_processor is None]
+        t_steps = batch.decode_steps or max(1, self.cfg.decode_multi_step)
+
+        new_window = None
+        if plain_seqs and self.cfg.pipeline_decode:
+            if self._inflight is not None \
+                    and self._inflight.num_steps != t_steps:
+                # Window length changed (capacity-clamped minimum-
+                # progress mode): the device carry shape no longer
+                # matches — fetch + process the outstanding window
+                # before dispatching, then drop newly-finished lanes.
+                self._process_window(self._inflight)
+                self._inflight = None
+                plain_seqs = [s for s in plain_seqs
+                              if s.phase == Phase.DECODING]
+                did_work = True
+            if batch.deferred_decodes and pinned:
+                # KV pressure unresolvable while the chain pins every
+                # victim: break the chain (one unoverlapped window) so
+                # next iteration can preempt freely.
+                pass
+            elif plain_seqs:
+                new_window = self.runner.start_decode_window(
+                    plain_seqs, t_steps, prev=self._inflight)
+
+        prev, self._inflight = self._inflight, new_window
+        if prev is not None:
+            self._process_window(prev)
+            did_work = True
+
+        if plain_seqs and not self.cfg.pipeline_decode:
+            token_lists = self.runner.run_decode_multi(plain_seqs, t_steps)
+            self._accept_window_tokens(plain_seqs, token_lists, t_steps)
+
+        if guided_seqs:
+            # Guided sequences need per-token host masking → single step
+            # with logits readback (the in-flight window keeps the device
+            # busy while the host blocks here).
+            tokens, logits = self.runner.run_decode(
+                guided_seqs, return_logits=True)
+            for seq in guided_seqs:
+                tok = self._guided_sample(seq, logits[seq.slot])
+                self._accept_token(seq, tok)
+                self.metrics.tokens_decoded += 1
+
         _prof.emit("engine.iteration", time.monotonic() - iter_t0, {
             "decode": len(decode_seqs),
             "prefill_chunks": len(batch.prefill_chunks),
         })
-        return True
+        return did_work or not batch.is_empty \
+            or self._inflight is not None
+
+    def _process_window(self, window: DecodeWindow) -> None:
+        """Fetch an outstanding window's tokens, accept them, and release
+        resources whose cleanup was deferred past this window."""
+        token_lists = self.runner.sync_window(window)
+        self._accept_window_tokens(window.seqs, token_lists,
+                                   window.num_steps)
+        for seq in window.deferred:
+            with self._lock:
+                self.scheduler.finish(seq)
+
+    def _accept_window_tokens(self, seqs, token_lists, t_steps) -> None:
+        for step in range(t_steps):
+            for seq in seqs:
+                if seq.phase != Phase.DECODING:
+                    continue  # finished/aborted earlier in window
+                self._accept_token(
+                    seq, token_lists[seq.request.request_id][step])
+                self.metrics.tokens_decoded += 1
 
     # ------------------------------------------------------------------
     def _guided_sample(self, seq: Sequence, logits_row: np.ndarray) -> int:
@@ -328,9 +390,20 @@ class ContinuousBatchEngine:
         if finish is not None:
             seq.finish_reason = finish
             with self._lock:
-                self.scheduler.finish(seq)
                 self._requests.pop(seq.request.request_id, None)
                 self.metrics.requests_completed += 1
+            self._retire_seq(seq)
+
+    def _retire_seq(self, seq: Sequence) -> None:
+        """Release the sequence's slot + KV — deferred while an
+        outstanding decode window may still write its blocks."""
+        infl = self._inflight
+        if infl is not None and seq.request.request_id in infl.covered:
+            seq.phase = Phase.FINISHED   # excluded from future scheduling
+            infl.deferred.append(seq)
+        else:
+            with self._lock:
+                self.scheduler.finish(seq)
 
     def _full_text(self, seq: Sequence) -> str:
         return self.tokenizer.decode(seq.output_tokens)
@@ -344,7 +417,15 @@ class ContinuousBatchEngine:
                                  Phase.WAITING, Phase.PREEMPTED):
                     if seq in self.scheduler.waiting:
                         self.scheduler.waiting.remove(seq)
-                    self.scheduler.finish(seq)
+                    infl = self._inflight
+                    if infl is not None \
+                            and seq.request.request_id in infl.covered:
+                        # Slot/KV release deferred past the in-flight
+                        # window that may still write its blocks.
+                        seq.phase = Phase.FINISHED
+                        infl.deferred.append(seq)
+                    else:
+                        self.scheduler.finish(seq)
                 state.out_queue.put(StreamChunk(
                     request_id=seq.request.request_id, text="",
                     token_ids=[], finished=True,

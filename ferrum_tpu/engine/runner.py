@@ -22,8 +22,9 @@ from __future__ import annotations
 import math
 import threading
 import time
+from dataclasses import dataclass
 from functools import partial
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +46,33 @@ from ..scheduler.sequence import Sequence
 def _round_up_pow2(x: int, lo: int, hi: int) -> int:
     x = max(x, lo)
     return min(1 << (x - 1).bit_length(), hi)
+
+
+@dataclass
+class DecodeWindow:
+    """An in-flight fused decode window (num_steps tokens per active
+    slot) whose results have NOT been fetched yet.
+
+    The pipelined engine loop keeps one of these outstanding: window
+    W+1 is dispatched (chained on device from W's final tokens) BEFORE
+    W's tokens are read back, so the ~31 ms dispatch/readback RTT and
+    all host bookkeeping overlap with device compute. This is the TPU
+    answer to the reference's always-busy CUDA decode stream
+    (crates/ferrum-engine/src/continuous_engine/inner/decode.rs).
+    """
+
+    seqs: List["Sequence"]            # active lanes at dispatch time
+    covered: frozenset                # request ids riding this window
+    toks: "jax.Array"                 # [T, S] device array (unfetched)
+    end_pos: Dict[int, int]           # slot -> position AFTER the window
+    num_steps: int
+    # Sequences whose slot/KV release is deferred until this window's
+    # results are fetched (their lanes may still be written by it).
+    deferred: List["Sequence"] = None
+
+    def __post_init__(self):
+        if self.deferred is None:
+            self.deferred = []
 
 
 class ModelRunner:
@@ -97,6 +125,7 @@ class ModelRunner:
         self._decode_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._decode_multi_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._prefill_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
+        self._zero_windows: Dict[int, "jax.Array"] = {}
 
         def _admit(counts, keys, samp, slot, key, svals):
             counts = counts.at[slot].set(0)
@@ -117,6 +146,7 @@ class ModelRunner:
         self.prefill_steps = 0
         self.compilations = 0
         self.decode_device_time = 0.0
+        self.decode_sync_time = 0.0
         self.prefill_device_time = 0.0
 
     # ------------------------------------------------------------------
@@ -185,8 +215,8 @@ class ModelRunner:
         self.compilations += 1
         return fn
 
-    def _get_decode_multi_fn(self, ctx_pad: int, num_steps: int,
-                             greedy: bool = False):
+    def _get_decode_window_fn(self, ctx_pad: int, num_steps: int,
+                              greedy: bool = False):
         """T decode steps fused into one compiled program via lax.scan.
 
         The sampled token of step t feeds step t+1 on device; positions,
@@ -197,6 +227,13 @@ class ModelRunner:
         [T, S] tokens. This is the TPU answer to both CUDA-Graph decode
         capture AND launch/dispatch latency (ref: cuda_graph.rs '~550
         launches → 1'): here it is ~T full steps per dispatch.
+
+        Windows CHAIN on device: per slot, when packed[6] (use_carry) is
+        set, the input token comes from `prev_toks[-1]` — the final
+        sampled tokens of the previous (possibly still-running) window —
+        instead of the host row. The pipelined engine loop uses this to
+        dispatch window W+1 before reading W's results, keeping the
+        device 100% busy across host bookkeeping + tunnel RTT.
         """
         key = (ctx_pad, num_steps, greedy)
         fn = self._decode_multi_fns.get(key)
@@ -207,10 +244,11 @@ class ModelRunner:
         attn_impl = self.attn_impl
         page = self.page
 
-        def step_fn(params, kv, counts, keys, packed, block_tables, samp):
-            # packed int32 [6, S]: tokens, positions, context_lens,
-            # pos_limit, active_slots, min_tokens_active
-            tokens0 = packed[0]
+        def step_fn(params, kv, counts, keys, packed, prev_toks,
+                    block_tables, samp):
+            # packed int32 [7, S]: tokens, positions, context_lens,
+            # pos_limit, active_slots, min_tokens_active, use_carry
+            tokens0 = jnp.where(packed[6] == 1, prev_toks[-1], packed[0])
             pos_limit = packed[3]
             active_slots = packed[4]
             min_tok_active = packed[5] == 1
@@ -253,18 +291,40 @@ class ModelRunner:
         self.compilations += 1
         return fn
 
-    def run_decode_multi(self, seqs: List[Sequence], num_steps: int
-                         ) -> Dict[str, List[int]]:
-        """Run `num_steps` fused decode steps; returns per-request token
-        lists (callers discard overshoot past EOS/stop/max_tokens)."""
+    def _zero_window(self, num_steps: int) -> "jax.Array":
+        """Dummy prev_toks for chains' first window (use_carry all 0)."""
+        z = self._zero_windows.get(num_steps)
+        if z is None:
+            z = jnp.zeros((num_steps, self.num_slots), jnp.int32)
+            self._zero_windows[num_steps] = z
+        return z
+
+    def start_decode_window(self, seqs: List[Sequence], num_steps: int,
+                            prev: Optional[DecodeWindow] = None
+                            ) -> DecodeWindow:
+        """Dispatch one fused decode window WITHOUT waiting for results.
+
+        For sequences covered by `prev` (the still-outstanding previous
+        window), the input token rides the device-side carry
+        (prev.toks[-1]) and positions continue from prev.end_pos — the
+        host does not need to have read prev's tokens. Everything else
+        (new joiners after prefill, re-admissions) gets host-provided
+        rows."""
         s = self.num_slots
-        packed = np.zeros((6, s), np.int32)
+        packed = np.zeros((7, s), np.int32)
         packed[4] = s                            # inactive sentinel
         max_len = 2
+        end_pos: Dict[int, int] = {}
         for seq in seqs:
             sl = seq.slot
-            pos = seq.next_position()
-            packed[0, sl] = seq.all_tokens[-1]
+            rid = seq.request.request_id
+            if prev is not None and rid in prev.covered \
+                    and sl in prev.end_pos:
+                pos = prev.end_pos[sl]
+                packed[6, sl] = 1                # token from device carry
+            else:
+                pos = seq.next_position()
+                packed[0, sl] = seq.all_tokens[-1]
             packed[1, sl] = pos
             packed[2, sl] = pos + 1
             packed[3, sl] = len(seq.blocks.blocks) * self.page
@@ -273,21 +333,44 @@ class ModelRunner:
             # under min_tokens (may overshoot by <= T-1, never under).
             packed[5, sl] = int(seq.num_output_tokens
                                 < seq.request.sampling.min_tokens)
+            end_pos[sl] = pos + num_steps
             max_len = max(max_len, pos + 1)
         self._sync_tables(seqs)
 
         ctx_pad = self.ctx_bucket(max_len + num_steps)
         greedy = bool(all(self._temps[seq.slot] == 0 for seq in seqs))
-        fn = self._get_decode_multi_fn(ctx_pad, num_steps, greedy)
+        fn = self._get_decode_window_fn(ctx_pad, num_steps, greedy)
+        if prev is not None:
+            # Chaining requires matching carry shape; the engine breaks
+            # the chain (syncs first) when the window length changes.
+            assert prev.num_steps == num_steps, (prev.num_steps, num_steps)
+        prev_toks = prev.toks if prev is not None \
+            else self._zero_window(num_steps)
         t0 = time.perf_counter()
         all_toks, self.kv, self.counts, self.keys = fn(
             self.params, self.kv, self.counts, self.keys,
-            jnp.asarray(packed), self._tables_dev, self.samp)
-        tok_host = np.asarray(all_toks)          # [T, S] — the one sync
+            jnp.asarray(packed), prev_toks, self._tables_dev, self.samp)
         self.decode_device_time += time.perf_counter() - t0
         self.decode_steps += num_steps
+        return DecodeWindow(
+            seqs=list(seqs),
+            covered=frozenset(seq.request.request_id for seq in seqs),
+            toks=all_toks, end_pos=end_pos, num_steps=num_steps)
+
+    def sync_window(self, window: DecodeWindow) -> Dict[str, List[int]]:
+        """Fetch a window's sampled tokens (the one blocking sync)."""
+        t0 = time.perf_counter()
+        tok_host = np.asarray(window.toks)       # [T, S]
+        self.decode_sync_time += time.perf_counter() - t0
         return {seq.request.request_id: tok_host[:, seq.slot].tolist()
-                for seq in seqs}
+                for seq in window.seqs}
+
+    def run_decode_multi(self, seqs: List[Sequence], num_steps: int
+                         ) -> Dict[str, List[int]]:
+        """Run `num_steps` fused decode steps; returns per-request token
+        lists (callers discard overshoot past EOS/stop/max_tokens).
+        Unpipelined convenience wrapper over start/sync."""
+        return self.sync_window(self.start_decode_window(seqs, num_steps))
 
     def _get_prefill_fn(self, t_pad: int, ctx_pad: int, sample: bool,
                         greedy: bool = False, return_logits: bool = False):

@@ -44,6 +44,14 @@ class ScheduledBatch:
     decode_seqs: List[Sequence] = field(default_factory=list)
     preempted: List[Sequence] = field(default_factory=list)
     admitted: List[Sequence] = field(default_factory=list)
+    # Decodes skipped because KV pressure could not be resolved while
+    # every preemption victim was pinned by an in-flight window (the
+    # engine breaks the pipeline chain to let preemption proceed).
+    deferred_decodes: List[Sequence] = field(default_factory=list)
+    # When KV capacity cannot cover the full multi-step lookahead for
+    # some sequence, the whole batch's decode window is clamped to this
+    # many steps (minimum-progress mode). None = full window.
+    decode_steps: Optional[int] = None
 
     @property
     def is_empty(self) -> bool:
@@ -73,8 +81,11 @@ class ContinuousBatchScheduler:
         self.prefix_cache = prefix_cache
         self.policy = policy
         # KV headroom reserved per decode schedule: the engine decodes up
-        # to this many tokens per iteration on device (multi-step scan).
-        self.decode_lookahead = max(1, cfg.decode_multi_step)
+        # to this many tokens per iteration on device (multi-step scan);
+        # with pipelined windows TWO windows may be outstanding beyond
+        # the host-visible position, so reserve double.
+        self.decode_lookahead = max(1, cfg.decode_multi_step) * (
+            2 if getattr(cfg, "pipeline_decode", False) else 1)
         self.waiting: Deque[Sequence] = deque()
         self.running: List[Sequence] = []     # admission order
         self._free_slots: List[int] = list(range(cfg.max_num_seqs - 1, -1, -1))
@@ -144,11 +155,17 @@ class ContinuousBatchScheduler:
         return True
 
     def _preempt_victim(self, batch: ScheduledBatch,
-                        exclude: Sequence) -> Optional[Sequence]:
+                        exclude: Sequence,
+                        pinned: frozenset = frozenset()
+                        ) -> Optional[Sequence]:
         """Drop the most-recently-admitted running seq (LIFO victim,
-        ref: preempt_victim batch.rs:998) and recompute it later."""
+        ref: preempt_victim batch.rs:998) and recompute it later.
+        Sequences riding an in-flight decode window (pinned) cannot be
+        preempted — the window still writes their KV blocks."""
         for victim in reversed(self.running):
             if victim is exclude:
+                continue
+            if victim.request.request_id in pinned:
                 continue
             self.running.remove(victim)
             if victim.slot is not None:
@@ -163,7 +180,8 @@ class ContinuousBatchScheduler:
         return None
 
     # ------------------------------------------------------------------
-    def next_batch(self) -> ScheduledBatch:
+    def next_batch(self, pinned: frozenset = frozenset()
+                   ) -> ScheduledBatch:
         cfg = self.cfg
         batch = ScheduledBatch()
         budget = cfg.max_num_batched_tokens
@@ -177,13 +195,28 @@ class ContinuousBatchScheduler:
             # Each decode consumes 1 budget token + maybe a new block.
             if budget <= 0:
                 break
+            scheduled = False
             while not self._try_alloc(seq,
                                       seq.total_tokens + self.decode_lookahead):
-                if self._preempt_victim(batch, exclude=seq) is None:
-                    # Cannot free anything: defer this decode to a later
-                    # iteration ("defer_decode_to_waiting_for_capacity").
+                if self._preempt_victim(batch, exclude=seq,
+                                        pinned=pinned) is None:
+                    # No victim available. Before deferring outright, try
+                    # a minimum-progress allocation (1 decode step past
+                    # what any in-flight window will write): a request
+                    # whose prompt+outputs brush the pool's total
+                    # capacity must still make progress, else it would
+                    # livelock ("defer_decode_to_waiting_for_capacity"
+                    # forever).
+                    inflight = cfg.decode_multi_step                         if seq.request.request_id in pinned else 0
+                    if self._try_alloc(seq, seq.total_tokens + inflight + 1):
+                        batch.decode_steps = 1
+                        scheduled = True
+                    else:
+                        batch.deferred_decodes.append(seq)
                     break
             else:
+                scheduled = True
+            if scheduled:
                 batch.decode_seqs.append(seq)
                 budget -= 1
         self.stats.tokens_decoded_scheduled += len(batch.decode_seqs)

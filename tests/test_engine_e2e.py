@@ -235,3 +235,57 @@ def test_linear_layout_matches_paged():
     finally:
         e_paged.stop()
         e_lin.stop()
+
+
+def test_pipeline_matches_unpipelined():
+    """Pipelined decode (window W+1 dispatched before W is fetched) must
+    be a pure latency optimization: greedy outputs identical to the
+    unpipelined loop, including under KV-pressure preemption."""
+    import jax.numpy as jnp
+    from ferrum_tpu.models.llama_family import init_random_params as irp
+
+    def build(pipeline, kv_blocks):
+        cfg = EngineConfig(
+            model="test", max_num_seqs=4, kv_num_blocks=kv_blocks,
+            kv_block_size=8, max_model_len=256,
+            max_num_batched_tokens=128, prefill_chunk_size=32,
+            enable_prefix_cache=False, dtype="f32", kv_dtype="f32",
+            pipeline_decode=pipeline, seed=0)
+        mc = ModelConfig(
+            family="qwen3", vocab_size=512, hidden_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=16,
+            intermediate_size=128, qk_norm=True, tie_word_embeddings=True,
+            rope_theta=10000.0, eos_token_ids=(257,))
+        params = irp(mc, seed=0, dtype=jnp.float32)
+        tok = make_byte_tokenizer(vocab_extra=512 - 258)
+        return (EngineBuilder(cfg).with_model(mc, params)
+                .with_tokenizer(tok).build())
+
+    prompts = [f"pipeline parity prompt {i} " * (i + 1) for i in range(4)]
+
+    def run(pipeline, kv_blocks=64):
+        eng = build(pipeline, kv_blocks)
+        try:
+            results = {}
+            threads = []
+
+            def go(p):
+                results[p] = eng.infer(req(prompt=p, max_tokens=12))
+            for p in prompts:
+                t = threading.Thread(target=go, args=(p,))
+                t.start()
+                threads.append(t)
+            for t in threads:
+                t.join(timeout=120)
+            return {p: results[p].token_ids for p in prompts}
+        finally:
+            eng.stop()
+
+    plain = run(pipeline=False)
+    piped = run(pipeline=True)
+    assert plain == piped
+
+    # Under KV pressure (few blocks -> preemption+recompute) the pipelined
+    # loop must still complete every request with the same tokens.
+    tight = run(pipeline=True, kv_blocks=14)
+    assert tight == plain
