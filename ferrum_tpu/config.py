@@ -41,6 +41,8 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_KV_LAYOUT": ("kv_layout", str, "paged|linear"),
     "FERRUM_DTYPE": ("dtype", str, "activation/weight dtype: bf16|f32"),
     "FERRUM_QUANT": ("quantization", str, "none|gptq_int4|gguf_q4k"),
+    "FERRUM_W4A8": ("w4a8", bool,
+                    "int8-activation path for int4 matmuls at decode"),
     "FERRUM_TP": ("tensor_parallel", int, "tensor-parallel degree (mesh 'model' axis)"),
     "FERRUM_DP": ("data_parallel", int, "data-parallel degree (mesh 'data' axis)"),
     "FERRUM_EP": ("expert_parallel", int, "expert-parallel degree (mesh 'expert' axis)"),
@@ -154,6 +156,10 @@ class EngineConfig:
     # --- numerics / quant ---
     dtype: str = "bf16"
     quantization: str = "none"          # none | gptq_int4 | gguf_q4k
+    # w4a8: int4 weights x dynamic-int8 activations on the int8 MXU for
+    # decode-sized batches (measured 1.45x over w4a16 at m=32 on v5e;
+    # tools/bench_w4a8.py). Divergence-gated in bench/accuracy.py.
+    w4a8: bool = True
 
     # --- parallelism (mesh axes; 1 = off) ---
     tensor_parallel: int = 1

@@ -131,6 +131,8 @@ class EngineBuilder:
         kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[cfg.kv_dtype]
         kv = PagedKvCache.create(self.model_cfg, num_blocks,
                                  cfg.kv_block_size, dtype=kv_dtype)
+        from ..ops.pallas.quant_matmul import set_w4a8
+        set_w4a8(cfg.w4a8)
         runner = ModelRunner(self.model_cfg, cfg, self.params, kv,
                              mesh=self.mesh, attn_impl=self.attn_impl)
         return ContinuousBatchEngine(cfg, runner, self.tokenizer)

@@ -400,6 +400,16 @@ class ContinuousBatchEngine:
         infl = self._inflight
         if infl is not None and seq.request.request_id in infl.covered:
             seq.phase = Phase.FINISHED   # excluded from future scheduling
+            # Prompt KV blocks are immutable once prefilled — only
+            # decode-token blocks may still be written by the in-flight
+            # window. Publish them to the prefix cache NOW so a request
+            # admitted before the window is fetched can reuse them
+            # (scheduler.finish re-inserts idempotently on release).
+            if self.prefix_cache is not None and seq.blocks is not None \
+                    and seq.num_prompt_tokens >= self.pool.page_size:
+                with self._lock:
+                    self.prefix_cache.insert(seq.prompt_tokens,
+                                             seq.blocks.blocks)
             infl.deferred.append(seq)
         else:
             with self._lock:

@@ -133,6 +133,56 @@ def _linear(src: TensorSource, prefix: str, dtype, quantize_rtn: bool = False
     return d
 
 
+def _expert_stack(src: TensorSource, layer_prefix: str, proj: str,
+                  num_experts: int, dtype, quantize_rtn: bool):
+    """MoE expert weights → stacked params with a leading expert dim.
+
+    Three lanes (ref: StackedExpertLinear, crates/ferrum-quantization/
+    src/gptq.rs:154 + vllm_marlin_moe/ops.cu expert stacks):
+      - GPTQ checkpoints (`experts.N.*.qweight`): per-expert repack into
+        the native packed layout, stacked → QuantLinearParams [E, ...]
+        feeding the streamed grouped Pallas kernel.
+      - dense + quantize-on-load: RTN each expert, same stacked layout.
+      - dense: bf16 stack [E, in, out] for ragged_dot.
+    act-order (g_idx) expert checkpoints are rejected: per-expert input
+    perms cannot share one activation gather in the grouped kernel.
+    """
+    first = f"{layer_prefix}.mlp.experts.0.{proj}"
+    if f"{first}.qweight" in src:
+        packs, scs, zs = [], [], []
+        for e in range(num_experts):
+            ep = f"{layer_prefix}.mlp.experts.{e}.{proj}"
+            qweight = np.asarray(src.get(f"{ep}.qweight"))
+            qzeros = np.asarray(src.get(f"{ep}.qzeros"))
+            scales = np.asarray(src.get(f"{ep}.scales")).astype(np.float32)
+            g_idx = np.asarray(src.get(f"{ep}.g_idx")) \
+                if f"{ep}.g_idx" in src else None
+            packed, sc, z, group, perm = repack_from_gptq(
+                qweight, qzeros, scales, g_idx)
+            if perm is not None:
+                raise ModelLoadError(
+                    "act-order (desc_act) GPTQ MoE experts are not "
+                    "supported: per-expert activation permutations "
+                    f"({ep}.g_idx)")
+            packs.append(packed)
+            scs.append(sc)
+            zs.append(z)
+        return QuantLinearParams(
+            qweight=jnp.asarray(np.stack(packs)),
+            scales=jnp.asarray(np.stack(scs), dtype=dtype),
+            zeros=jnp.asarray(np.stack(zs)), bias=None,
+            in_features=packs[0].shape[0] * 2,
+            out_features=packs[0].shape[1], group_size=group)
+    ws = [np.asarray(src.get(
+        f"{layer_prefix}.mlp.experts.{e}.{proj}.weight")).T
+        for e in range(num_experts)]
+    stack = np.stack(ws)
+    if quantize_rtn and stack.shape[1] % 256 == 0:
+        from .quantize import _quant_expert_stack
+        return _quant_expert_stack(stack, group_size=128, dtype=dtype)
+    return jnp.asarray(stack, dtype=dtype)
+
+
 # ---------------------------------------------------------------------------
 # HF name mapping → ModelParams
 # ---------------------------------------------------------------------------
@@ -150,17 +200,14 @@ def params_from_hf(cfg: ModelConfig, src: TensorSource,
         if cfg.layer_is_moe(i):
             m = cfg.moe
             router = _dense(src, f"{p}.mlp.gate", dtype)
-            gs, us, ds = [], [], []
-            for e in range(m.num_experts):
-                ep = f"{p}.mlp.experts.{e}"
-                gs.append(np.asarray(src.get(f"{ep}.gate_proj.weight")).T)
-                us.append(np.asarray(src.get(f"{ep}.up_proj.weight")).T)
-                ds.append(np.asarray(src.get(f"{ep}.down_proj.weight")).T)
             moe = MoeLayerParams(
                 router=router,
-                gate=jnp.asarray(np.stack(gs), dtype=dtype),
-                up=jnp.asarray(np.stack(us), dtype=dtype),
-                down=jnp.asarray(np.stack(ds), dtype=dtype))
+                gate=_expert_stack(src, p, "gate_proj", m.num_experts,
+                                   dtype, quantize_rtn),
+                up=_expert_stack(src, p, "up_proj", m.num_experts,
+                                 dtype, quantize_rtn),
+                down=_expert_stack(src, p, "down_proj", m.num_experts,
+                                   dtype, quantize_rtn))
         else:
             gate = _linear(src, f"{p}.mlp.gate_proj", dtype, quantize_rtn)
             up = _linear(src, f"{p}.mlp.up_proj", dtype, quantize_rtn)

@@ -54,33 +54,41 @@ def _quant_expert_stack(w: jnp.ndarray, group_size: int,
 def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
                              dtype=jnp.bfloat16) -> ModelParams:
     """Architecture-true random INT4 model, generated directly in packed
-    form (no float RNG over billions of values) — for benches, where
-    throughput is weight-value independent. Embeddings/norms/lm_head are
-    bf16 as in real GPTQ checkpoints."""
-    from .llama_family import init_random_params
+    form ON DEVICE — for benches, where throughput is weight-value
+    independent. Host-side RNG + upload for an 8B model costs minutes
+    over a tunneled transport (~4 GB); device-side jax.random generation
+    is a handful of tiny dispatches. Embeddings/norms/lm_head are bf16
+    as in real GPTQ checkpoints."""
+    import jax
 
-    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    def next_key():
+        nonlocal key
+        key, sub = jax.random.split(key)
+        return sub
 
     def qlin(in_f, out_f):
-        packed = rng.integers(0, 256, (in_f // 2, out_f),
-                              dtype=np.uint8)
-        scales = np.full((in_f // group_size, out_f), 0.01, np.float32)
-        zeros = np.full((in_f // group_size, out_f), 8, np.int8)
+        packed = jax.random.bits(next_key(), (in_f // 2, out_f),
+                                 dtype=jnp.uint8)
+        scales = jnp.full((in_f // group_size, out_f), 0.01, dtype)
+        zeros = jnp.full((in_f // group_size, out_f), 8, jnp.int8)
         return QuantLinearParams(
-            qweight=jnp.asarray(packed),
-            scales=jnp.asarray(scales, dtype=dtype),
-            zeros=jnp.asarray(zeros), bias=None,
+            qweight=packed, scales=scales, zeros=zeros, bias=None,
             in_features=in_f, out_features=out_f, group_size=group_size)
 
     def qstack(e, in_f, out_f):
-        packed = rng.integers(0, 256, (e, in_f // 2, out_f), dtype=np.uint8)
-        scales = np.full((e, in_f // group_size, out_f), 0.01, np.float32)
-        zeros = np.full((e, in_f // group_size, out_f), 8, np.int8)
+        packed = jax.random.bits(next_key(), (e, in_f // 2, out_f),
+                                 dtype=jnp.uint8)
+        scales = jnp.full((e, in_f // group_size, out_f), 0.01, dtype)
+        zeros = jnp.full((e, in_f // group_size, out_f), 8, jnp.int8)
         return QuantLinearParams(
-            qweight=jnp.asarray(packed),
-            scales=jnp.asarray(scales, dtype=dtype),
-            zeros=jnp.asarray(zeros), bias=None,
+            qweight=packed, scales=scales, zeros=zeros, bias=None,
             in_features=in_f, out_features=out_f, group_size=group_size)
+
+    def normal(shape):
+        return (0.02 * jax.random.normal(next_key(), shape, dtype=dtype)
+                ).astype(dtype)
 
     h, qs, kvs, inter = (cfg.hidden_size, cfg.q_size, cfg.kv_size,
                          cfg.intermediate_size)
@@ -91,10 +99,8 @@ def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
         if cfg.layer_is_moe(li):
             m = cfg.moe
             moe = MoeLayerParams(
-                router=DenseLinearParams(
-                    w=jnp.asarray(rng.standard_normal(
-                        (h, m.num_experts), dtype=np.float32) * 0.02,
-                        dtype=dtype), bias=None),
+                router=DenseLinearParams(w=normal((h, m.num_experts)),
+                                         bias=None),
                 gate=qstack(m.num_experts, h, m.moe_intermediate_size),
                 up=qstack(m.num_experts, h, m.moe_intermediate_size),
                 down=qstack(m.num_experts, m.moe_intermediate_size, h))
@@ -107,13 +113,9 @@ def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
             k_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None,
             post_attn_norm=None, pre_mlp_norm=jnp.ones(h, dtype=dtype),
             post_mlp_norm=None, gate=gate, up=up, down=down, moe=moe))
-    embed = jnp.asarray(
-        rng.standard_normal((cfg.vocab_size, h), dtype=np.float32) * 0.02,
-        dtype=dtype)
+    embed = normal((cfg.vocab_size, h))
     lm_head = None if cfg.tie_word_embeddings else DenseLinearParams(
-        w=jnp.asarray(rng.standard_normal((h, cfg.vocab_size),
-                                          dtype=np.float32) * 0.02,
-                      dtype=dtype), bias=None)
+        w=normal((h, cfg.vocab_size)), bias=None)
     return ModelParams(embed=embed, layers=layers,
                        final_norm=jnp.ones(h, dtype=dtype), lm_head=lm_head)
 

@@ -90,11 +90,19 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
 
     if isinstance(p.gate, QuantLinearParams):
         from .pallas.quant_matmul import quant_grouped_matmul
+        # Pad the assignment axis to the grouped kernel's m-tile
+        # multiple; padded rows sit beyond offsets[E] and are masked
+        # inside the kernel.
+        a = xs.shape[0]
+        a_pad = ((a + 31) // 32) * 32 if a < 128 \
+            else ((a + 127) // 128) * 128
+        if a_pad != a:
+            xs = jnp.pad(xs, ((0, a_pad - a), (0, 0)))
         g = quant_grouped_matmul(xs, p.gate, sorted_ids, group_sizes)
         u = quant_grouped_matmul(xs, p.up, sorted_ids, group_sizes)
         act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
                ).astype(x.dtype)
-        y = quant_grouped_matmul(act, p.down, sorted_ids, group_sizes)
+        y = quant_grouped_matmul(act, p.down, sorted_ids, group_sizes)[:a]
     else:
         g = jax.lax.ragged_dot(xs, p.gate, group_sizes,
                                preferred_element_type=jnp.float32)

@@ -142,8 +142,169 @@ def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams,
     return out
 
 
-def quant_matmul(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
-    """y = x @ dequant(qweight) (+ bias). x: [..., in] → [..., out]."""
+def _qmm_w4a8_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, sc_ref, z_ref,
+                     o_ref, acc_ref, *, n_k_steps: int, half_groups: int,
+                     bn: int, gpt: int, out_dtype):
+    """w4a8: int8 activations × int4 weights on the int8 MXU.
+
+    The w4a16 kernel is VPU-bound: every weight nibble costs
+    mask/shift + (q-z) + bf16 scale-multiply before its MXU use
+    (~230 GB/s packed stream on v5e, 38% of HBM speed-of-light).
+    Here the per-weight work is only unpack + int8 cast; the zero-point
+    and scales move to O(m·bn) per-group corrections on the int32
+    output:
+
+        y[m,n] = sx[m] · Σ_g sw[g,n] · ( Σ_k xq[m,k]·q[k,n]  −
+                                          z[g,n] · Σ_k xq[m,k] )
+
+    ref: the Marlin w4a16 GEMM this replaces
+    (crates/ferrum-kernels/vllm_marlin/marlin.cu); the activation-
+    quantization trick mirrors vLLM's w8a8 dynamic per-token scaling.
+    """
+    j = pl.program_id(0)
+    kk = pl.program_id(1)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qi = qw_ref[:].astype(jnp.int32)       # Mosaic: shifts need i32 lanes
+    low = (qi & 0xF).astype(jnp.int8)
+    high = (qi >> 4).astype(jnp.int8)
+
+    lane = pl.ds(j * bn, bn)
+
+    def plane_acc(w_plane, x_ref, g0):
+        qg = w_plane.reshape(gpt, GROUP, bn)
+        acc = jnp.zeros_like(acc_ref)
+        for t in range(gpt):
+            xg = x_ref[:, pl.ds(t * GROUP, GROUP)]            # [m, 128] i8
+            p32 = jax.lax.dot(xg, qg[t],
+                              preferred_element_type=jnp.int32)
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=1,
+                           keepdims=True).astype(jnp.float32)  # [m, 1]
+            zt = z_ref[g0 + t, :, lane].astype(jnp.float32)    # [1, bn]
+            st = sc_ref[g0 + t, :, lane].astype(jnp.float32)
+            acc += (p32.astype(jnp.float32) - zt * xsum) * st
+        return acc
+
+    acc_ref[:] += plane_acc(low, xq_lo_ref, kk * gpt)
+    acc_ref[:] += plane_acc(high, xq_hi_ref, half_groups + kk * gpt)
+
+    @pl.when(kk == n_k_steps - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * xs_ref[:]).astype(out_dtype)
+
+
+def _quant_matmul_w4a8_2d(xq: jnp.ndarray, xs: jnp.ndarray,
+                          p: QuantLinearParams, out_dtype,
+                          bkb: int = None, bn: int = None) -> jnp.ndarray:
+    """xq int8 [m, K] (m a multiple of 32), xs f32 [m, 1] per-row scale."""
+    m, k = xq.shape
+    n = p.out_features
+    assert k == p.in_features
+    cap = 512
+    if bkb is None:
+        bkb = cap
+    while bkb >= GROUP and (k // 2) % bkb:
+        bkb //= 2
+    if bn is None:
+        bn = cap
+        while bn > 128 and n % bn:
+            bn //= 2
+    if p.group_size != GROUP or bkb < GROUP or (n % bn):
+        return None                     # caller falls back to w4a16
+    n_k = (k // 2) // bkb
+    half_groups = (k // 2) // GROUP
+
+    sc3 = p.scales.reshape(-1, 1, n)
+    z3 = p.zeros.reshape(-1, 1, n)
+    kernel = functools.partial(
+        _qmm_w4a8_kernel, n_k_steps=n_k, half_groups=half_groups, bn=bn,
+        gpt=bkb // GROUP, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((m, bkb), lambda j, kk: (0, kk),
+                         memory_space=pltpu.VMEM),            # xq low cols
+            pl.BlockSpec((m, bkb),
+                         lambda j, kk, nk=n_k: (0, nk + kk),
+                         memory_space=pltpu.VMEM),            # xq high cols
+            pl.BlockSpec((m, 1), lambda j, kk: (0, 0),
+                         memory_space=pltpu.VMEM),            # xs
+            pl.BlockSpec((bkb, bn), lambda j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # scales (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # zeros (full)
+        ],
+        out_specs=pl.BlockSpec((m, bn), lambda j, kk: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * m * n,
+            transcendentals=0),
+    )(xq, xq, xs, p.qweight, sc3, z3)
+
+
+def quantize_activation_rows(x: jnp.ndarray):
+    """Dynamic per-row int8 quantization: xq = round(x / s), s = amax/127.
+    Returns (xq int8, s f32 [m, 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    s = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / s), -127, 127
+                  ).astype(jnp.int8)
+    return xq, s
+
+
+def quant_matmul_w4a8(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
+    """y = x @ dequant(qweight) (+ bias) with int8-quantized activations
+    feeding the int8 MXU. Falls back to the w4a16 kernel off-TPU or on
+    unsupported shapes."""
+    if p.input_perm is not None:
+        import dataclasses
+        x = jnp.take(x, p.input_perm, axis=-1)
+        p = dataclasses.replace(p, input_perm=None)
+    if not on_tpu():
+        return quant_matmul_w4a16(x, p)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    m = x2.shape[0]
+    # int8 sublane tile is 32; pad decode-sized batches up.
+    m_pad = max(32, ((m + 31) // 32) * 32)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    xq, xs = quantize_activation_rows(x2)
+    out = _quant_matmul_w4a8_2d(xq, xs, p, x.dtype)
+    if out is None:
+        return quant_matmul_w4a16(x, p)
+    out = out[:m].reshape(*lead, p.out_features)
+    if p.bias is not None:
+        out = out + p.bias
+    return out
+
+
+_W4A8 = False
+
+
+def set_w4a8(enabled: bool) -> None:
+    """Route QuantLinearParams matmuls through the w4a8 path (trace-time
+    switch; takes effect on the next program build)."""
+    global _W4A8
+    _W4A8 = bool(enabled)
+
+
+def w4a8_enabled() -> bool:
+    return _W4A8
+
+
+def quant_matmul_w4a16(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
+    """y = x @ dequant(qweight) (+ bias), weights dequantized to bf16 in
+    VMEM ahead of the MXU (the round-1 production path)."""
     if p.input_perm is not None:
         # act-order GPTQ: weight rows are group-sorted; gather the
         # activation into the same order (cheap: [m, K] gather on x,
@@ -167,16 +328,195 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     return out
 
 
+def quant_matmul(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
+    """y = x @ dequant(qweight) (+ bias). x: [..., in] → [..., out].
+
+    Dispatch (measured, tools/bench_w4a8.py on v5e): w4a8 (int8 MXU)
+    wins at decode batch sizes (~1.45x at m=32 — the VPU nibble-unpack
+    bound dominates small m); w4a16 wins at prefill sizes (m>=256,
+    where the MXU is busy enough to hide the unpack and the activation-
+    quantize overhead costs more than it saves)."""
+    m = 1
+    for d in x.shape[:-1]:
+        m *= d
+    if _W4A8 and m <= 64:
+        return quant_matmul_w4a8(x, p)
+    return quant_matmul_w4a16(x, p)
+
+
+def _make_group_metadata(group_sizes: jnp.ndarray, bm: int,
+                         num_logical: int):
+    """Device-side metadata for the grouped kernel (megablocks-style
+    `make_group_metadata`): map each of `num_logical` grid steps to a
+    (group id, m-tile id) pair. A group whose rows straddle an m-tile
+    boundary contributes an extra step for that tile; steps beyond the
+    active count repeat the last active pair (their masked contribution
+    is zero and their repeated block indices skip re-DMA)."""
+    e = group_sizes.shape[0]
+    offsets = jnp.concatenate([
+        jnp.zeros(1, jnp.int32),
+        jnp.cumsum(group_sizes).astype(jnp.int32)])          # [E+1]
+    first_tile = offsets[:-1] // bm                          # [E]
+    last_tile = (offsets[1:] + bm - 1) // bm                 # exclusive
+    tiles_per = jnp.where(group_sizes > 0, last_tile - first_tile, 0
+                          ).astype(jnp.int32)
+    seq_start = jnp.cumsum(tiles_per) - tiles_per            # [E]
+    num_active = jnp.sum(tiles_per)
+    pos = jnp.arange(num_logical, dtype=jnp.int32)
+    # group id at pos = largest g with seq_start[g] <= pos (empty groups
+    # collapse onto the same seq_start; the scatter-add + cumsum handles
+    # the multi-bump correctly).
+    bumps = jnp.zeros(num_logical, jnp.int32).at[seq_start].add(
+        1, mode="drop")
+    gid = jnp.cumsum(bumps) - 1
+    gid = jnp.clip(gid, 0, e - 1)
+    mtid = first_tile[gid] + (pos - seq_start[gid])
+    last_idx = jnp.maximum(num_active - 1, 0)
+    valid = (pos < num_active).astype(jnp.int32)
+    gid = jnp.where(valid > 0, gid, gid[last_idx])
+    mtid = jnp.where(valid > 0, mtid, mtid[last_idx])
+    return gid, mtid, offsets, valid
+
+
+def _qgmm_kernel(gid_ref, mtid_ref, off_ref, valid_ref, x_ref, qw_ref,
+                 sc_ref, z_ref, o_ref, acc_ref, *, bm: int, bn: int,
+                 k: int, groups_half: int, out_dtype):
+    """Grouped int4 GEMM step: one (expert, m-tile, n-tile) block.
+
+    Each step dequantizes ONE expert's [k, bn] weight block (streamed
+    packed from HBM via the gid-indexed BlockSpec — never the whole
+    stack) and contracts it against the bm-row x tile, with rows outside
+    the expert's [offsets[g], offsets[g+1]) range masked to zero.
+    Boundary tiles (two experts sharing one m-tile) arrive as
+    consecutive steps accumulating into the same f32 scratch."""
+    i = pl.program_id(1)                     # logical tile (inner dim)
+    g = gid_ref[i]
+    mt = mtid_ref[i]
+    half = k // 2
+
+    qi = qw_ref[0].astype(jnp.int32)         # [half, bn] bytes → i32
+    low = qi & 0xF
+    high = qi >> 4
+
+    def dequant(plane, g0):
+        qg = plane.reshape(groups_half, GROUP, bn)
+        parts = []
+        for t in range(groups_half):
+            st = sc_ref[0, g0 + t][None, :].astype(jnp.bfloat16)
+            zt = z_ref[0, g0 + t][None, :].astype(jnp.int32)
+            parts.append((qg[t] - zt).astype(jnp.bfloat16) * st)
+        return parts[0] if groups_half == 1 else jnp.concatenate(parts, 0)
+
+    w_lo = dequant(low, 0)                   # [half, bn]
+    w_hi = dequant(high, groups_half)
+
+    rows = mt * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    # valid==0 tail steps (grid padding) contribute nothing — without
+    # this they would re-add the last tile's rows once per tail step.
+    mask = ((rows >= off_ref[g]) & (rows < off_ref[g + 1])
+            & (valid_ref[i] > 0))
+    xv = x_ref[:]
+    x = jnp.where(mask, xv, jnp.zeros_like(xv))
+
+    part = jax.lax.dot(x[:, :half], w_lo,
+                       preferred_element_type=jnp.float32)
+    part += jax.lax.dot(x[:, half:], w_hi,
+                        preferred_element_type=jnp.float32)
+
+    prev_mt = mtid_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, mt != prev_mt)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] += part
+
+    o_ref[:] = acc_ref[:].astype(out_dtype)
+
+
+def _quant_grouped_2d(x: jnp.ndarray, p: QuantLinearParams,
+                      group_sizes: jnp.ndarray, bm: int = None,
+                      bn: int = None):
+    """x [A, K] sorted by expert; p stacked [E, ...]. Returns [A, N]
+    or None if shapes don't fit the kernel."""
+    a, k = x.shape
+    e = p.qweight.shape[0]
+    n = p.out_features
+    if bm is None:
+        bm = 128 if a >= 128 else max(32, a)
+    if bn is None:
+        bn = n
+        while bn > 2048 or (bn > 128 and n % bn):
+            bn //= 2
+    if (p.group_size != GROUP or (k // 2) % GROUP or a % bm
+            or n % bn or k != p.in_features):
+        return None
+    groups_half = (k // 2) // GROUP
+    m_tiles = a // bm
+    num_logical = m_tiles + e - 1
+    gid, mtid, offsets, valid = _make_group_metadata(
+        group_sizes, bm, num_logical)
+
+    kernel = functools.partial(
+        _qgmm_kernel, bm=bm, bn=bn, k=k, groups_half=groups_half,
+        out_dtype=x.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n // bn, num_logical),
+        in_specs=[
+            pl.BlockSpec((bm, k),
+                         lambda j, i, gid, mtid, off, val: (mtid[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k // 2, bn),
+                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * groups_half, bn),
+                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * groups_half, bn),
+                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda j, i, gid, mtid, off, val: (mtid[i], j),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((a, n), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * a * k * n,
+            bytes_accessed=p.qweight.nbytes + x.nbytes + 2 * a * n,
+            transcendentals=0),
+    )(gid, mtid, offsets, valid, x, p.qweight, p.scales, p.zeros)
+
+
 def quant_grouped_matmul(x: jnp.ndarray, p: QuantLinearParams,
                          sorted_expert_ids: jnp.ndarray,
                          group_sizes: jnp.ndarray) -> jnp.ndarray:
-    """Grouped (MoE expert-stacked) int4 matmul.
+    """Grouped (MoE expert-stacked) int4 matmul — the Marlin-MoE analog
+    (ref: crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu).
 
     p holds stacked expert weights with a leading expert dim:
     qweight uint8 [E, in/2, out], scales [E, in/group, out],
-    zeros [E, in/group, out]. Fallback: dequantize the stack and use
-    ragged_dot; the dedicated Pallas kernel streams packed experts.
-    """
+    zeros [E, in/group, out]. x rows must be sorted by expert with
+    `group_sizes[e]` rows per expert. The Pallas kernel streams each
+    expert's PACKED block from HBM exactly once per step — the
+    dequantized expert stack is never materialized (the round-1
+    fallback dequantized all E experts per call, memory-infeasible at
+    30B scale). Fallback (off-TPU / odd shapes): dequantize + ragged_dot
+    — also the parity oracle (tests/test_moe.py)."""
+    if on_tpu():
+        out = _quant_grouped_2d(x, p, group_sizes)
+        if out is not None:
+            return out
     e = p.qweight.shape[0]
     w = jax.vmap(lambda qw, s, z: dequantize(
         QuantLinearParams(qweight=qw, scales=s, zeros=z, bias=None,

@@ -174,6 +174,40 @@ def dequantize(p: QuantLinearParams, dtype=jnp.bfloat16) -> jnp.ndarray:
     return w.reshape(in_f, p.out_features).astype(dtype)
 
 
+def quant_matmul_w4a8_ref(x: jnp.ndarray, p: QuantLinearParams
+                          ) -> jnp.ndarray:
+    """Exact jnp emulation of the w4a8 Pallas kernel's math (parity
+    oracle): dynamic per-row int8 activations, integer dot, per-group
+    zero correction and rescale.
+
+        y[m,n] = sx[m] · Σ_g sw[g,n]·(Σ_k xq[m,k]q[k,n] − z[g,n]Σ_k xq[m,k])
+    """
+    if p.input_perm is not None:
+        x = jnp.take(x, p.input_perm, axis=-1)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int32)
+
+    q = unpack_rows(p.qweight, p.group_size)            # [in, out] 0..15
+    g = p.group_size
+    n_groups = p.in_features // g
+    y = jnp.zeros((x2.shape[0], p.out_features), jnp.float32)
+    for gi in range(n_groups):
+        xg = xq[:, gi * g:(gi + 1) * g]
+        qg = q[gi * g:(gi + 1) * g]
+        p32 = jnp.dot(xg, qg, preferred_element_type=jnp.int32)
+        xsum = jnp.sum(xg, axis=-1, keepdims=True)
+        zt = p.zeros[gi][None, :].astype(jnp.float32)
+        st = p.scales[gi][None, :].astype(jnp.float32)
+        y += (p32.astype(jnp.float32) - zt * xsum.astype(jnp.float32)) * st
+    out = (y * sx).astype(x.dtype).reshape(*lead, p.out_features)
+    if p.bias is not None:
+        out = out + p.bias
+    return out
+
+
 def quant_matmul_ref(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     """jnp reference: dequantize then matmul. Parity oracle for the
     Pallas fused kernel (ops/pallas/quant_matmul.py)."""

@@ -1,0 +1,223 @@
+"""Grouped int4 expert GEMM parity (ops/pallas/quant_matmul.py
+`_quant_grouped_2d`) — the Marlin-MoE analog
+(ref: crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu).
+
+Kernels run in interpreter mode on CPU (the `_eq` pattern); the same
+parity runs compiled on TPU via tools/tpu_kernel_check.py.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from ferrum_tpu.ops.quant import (
+    QuantLinearParams, dequantize, quantize_weight_np,
+)
+
+
+def make_stack(e, in_f, out_f, seed=0, dtype=jnp.bfloat16):
+    # bf16 scales as in production checkpoints: the kernel's in-VMEM
+    # bf16 dequant then rounds identically to the f32 oracle.
+    rng = np.random.default_rng(seed)
+    qws, scs, zs = [], [], []
+    for _ in range(e):
+        w = rng.normal(0, 0.05, (in_f, out_f)).astype(np.float32)
+        qw, sc, z = quantize_weight_np(w, group_size=128, symmetric=False)
+        qws.append(qw)
+        scs.append(sc)
+        zs.append(z)
+    return QuantLinearParams(
+        qweight=jnp.asarray(np.stack(qws)),
+        scales=jnp.asarray(np.stack(scs), dtype),
+        zeros=jnp.asarray(np.stack(zs)), bias=None,
+        in_features=in_f, out_features=out_f, group_size=128)
+
+
+def ragged_oracle(x, p, group_sizes):
+    # bf16 dequant mirrors the kernel's in-VMEM dequant dtype.
+    w = jax.vmap(lambda qw, s, z: dequantize(
+        QuantLinearParams(qweight=qw, scales=s, zeros=z, bias=None,
+                          in_features=p.in_features,
+                          out_features=p.out_features,
+                          group_size=p.group_size), dtype=jnp.bfloat16))(
+        p.qweight, p.scales, p.zeros)
+    return jax.lax.ragged_dot(x.astype(jnp.float32),
+                              w.astype(jnp.float32), group_sizes,
+                              preferred_element_type=jnp.float32)
+
+
+def run_grouped_interpret(x, p, group_sizes, **kw):
+    from ferrum_tpu.ops.pallas import quant_matmul as qm
+
+    orig = qm.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    qm.pl.pallas_call = patched
+    try:
+        with jax.disable_jit():
+            return qm._quant_grouped_2d(x, p, group_sizes, **kw)
+    finally:
+        qm.pl.pallas_call = orig
+
+
+@pytest.mark.parametrize("sizes", [
+    # (A rows per expert) — covers boundary-straddling groups, empty
+    # groups, multi-tile groups and a trailing padded region.
+    (32, 32, 32, 32),            # tile-aligned
+    (7, 50, 0, 71),              # straddle + empty
+    (0, 0, 128, 0),              # single active expert
+    (1, 1, 1, 125),              # skewed
+])
+def test_grouped_int4_matches_ragged_oracle(sizes):
+    e, in_f, out_f = len(sizes), 256, 256
+    a = 128
+    assert sum(sizes) <= a
+    p = make_stack(e, in_f, out_f, seed=1)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(0, 1, (a, in_f)), jnp.float32)
+    gs = jnp.asarray(np.asarray(sizes, np.int32))
+
+    got = run_grouped_interpret(x, p, gs, bm=32)
+    assert got is not None
+    want = np.asarray(ragged_oracle(x, p, gs))
+    real = sum(sizes)
+    # bf16 in-kernel dequant: tolerance at bf16 granularity (structural
+    # bugs — masking/metadata/accumulation — show up as O(1) errors).
+    np.testing.assert_allclose(np.asarray(got)[:real], want[:real],
+                               rtol=2e-2, atol=1e-2)
+
+
+def test_grouped_int4_multi_n_tiles():
+    """N > bn forces the n-grid dim; every n-tile re-walks the logical
+    tiles."""
+    sizes = (40, 24, 64)
+    p = make_stack(len(sizes), 256, 512, seed=3)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(0, 1, (128, 256)), jnp.float32)
+    gs = jnp.asarray(np.asarray(sizes, np.int32))
+    got = run_grouped_interpret(x, p, gs, bm=32, bn=256)
+    want = np.asarray(ragged_oracle(x, p, gs))
+    np.testing.assert_allclose(np.asarray(got)[:128], want[:128],
+                               rtol=2e-2, atol=1e-2)
+
+
+def test_moe_mlp_uses_padded_grouped_path():
+    """moe_mlp with quantized experts matches the one-hot oracle on an
+    un-aligned token count (pads internally)."""
+    from ferrum_tpu.models.configs import ModelConfig, MoeConfig
+    from ferrum_tpu.models.llama_family import MoeLayerParams
+    from ferrum_tpu.ops.linear import DenseLinearParams
+    from ferrum_tpu.ops.moe import moe_mlp, moe_mlp_ref
+
+    h, inter, e, k = 128, 256, 4, 2
+    cfg = ModelConfig(
+        family="qwen3_moe", vocab_size=64, hidden_size=h, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=64, intermediate_size=inter,
+        moe=MoeConfig(num_experts=e, num_experts_per_tok=k,
+                      moe_intermediate_size=inter, norm_topk_prob=True))
+    rng = np.random.default_rng(5)
+    router = DenseLinearParams(
+        w=jnp.asarray(rng.normal(0, 0.5, (h, e)), jnp.float32), bias=None)
+    p = MoeLayerParams(router=router,
+                       gate=make_stack(e, h, inter, seed=6),
+                       up=make_stack(e, h, inter, seed=7),
+                       down=make_stack(e, inter, h, seed=8))
+    x = jnp.asarray(rng.normal(0, 1, (13, h)), jnp.float32)
+    got = np.asarray(moe_mlp(x, p, cfg))
+    # oracle needs dense stacks
+    dense = MoeLayerParams(
+        router=router,
+        gate=jax.vmap(lambda qw, s, z: dequantize(QuantLinearParams(
+            qweight=qw, scales=s, zeros=z, bias=None, in_features=h,
+            out_features=inter, group_size=128), jnp.float32))(
+            p.gate.qweight, p.gate.scales, p.gate.zeros),
+        up=jax.vmap(lambda qw, s, z: dequantize(QuantLinearParams(
+            qweight=qw, scales=s, zeros=z, bias=None, in_features=h,
+            out_features=inter, group_size=128), jnp.float32))(
+            p.up.qweight, p.up.scales, p.up.zeros),
+        down=jax.vmap(lambda qw, s, z: dequantize(QuantLinearParams(
+            qweight=qw, scales=s, zeros=z, bias=None, in_features=inter,
+            out_features=h, group_size=128), jnp.float32))(
+            p.down.qweight, p.down.scales, p.down.zeros))
+    want = np.asarray(moe_mlp_ref(x, dense, cfg))
+    np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-2)
+
+
+def _fake_gptq(in_f, out_f, group, rng):
+    """AutoGPTQ-convention tensors for a known int4 weight (same recipe
+    as tests/test_quant.py::TestGptqRepack)."""
+    q = rng.integers(0, 16, (in_f, out_f)).astype(np.uint32)
+    scales = rng.uniform(0.01, 0.02, (in_f // group, out_f)
+                         ).astype(np.float32)
+    zeros = rng.integers(1, 15, (in_f // group, out_f)).astype(np.int32)
+    qw = np.zeros((in_f // 8, out_f), np.uint32)
+    for j in range(8):
+        qw |= q[j::8] << (4 * j)
+    qz = np.zeros((in_f // group, out_f // 8), np.uint32)
+    for j in range(8):
+        qz |= ((zeros[:, j::8] - 1).astype(np.uint32)) << (4 * j)
+    want = (q.astype(np.float32) - zeros[np.arange(in_f) // group]) \
+        * scales[np.arange(in_f) // group]
+    return qw.astype(np.int32), qz.astype(np.int32), scales, want
+
+
+def test_loader_stacks_gptq_moe_experts():
+    """GPTQ MoE checkpoints load into stacked QuantLinearParams (round-1
+    gap: ferrum_tpu/models/loader.py read experts dense-only, so GPTQ
+    Qwen3-30B-A3B could not load; ref: StackedExpertLinear,
+    crates/ferrum-quantization/src/gptq.rs:154)."""
+    from ferrum_tpu.models.configs import ModelConfig, MoeConfig
+    from ferrum_tpu.models.loader import TensorSource, params_from_hf
+
+    h, inter, e = 256, 256, 2
+    cfg = ModelConfig(
+        family="qwen3_moe", vocab_size=64, hidden_size=h, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=128, intermediate_size=inter,
+        qk_norm=True, tie_word_embeddings=True,
+        moe=MoeConfig(num_experts=e, num_experts_per_tok=2,
+                      moe_intermediate_size=inter, norm_topk_prob=True))
+    rng = np.random.default_rng(9)
+    sd = {
+        "model.embed_tokens.weight": rng.normal(0, 1, (64, h)).astype(
+            np.float32),
+        "model.norm.weight": np.ones(h, np.float32),
+        "model.layers.0.input_layernorm.weight": np.ones(h, np.float32),
+        "model.layers.0.post_attention_layernorm.weight":
+            np.ones(h, np.float32),
+        "model.layers.0.self_attn.q_norm.weight": np.ones(128, np.float32),
+        "model.layers.0.self_attn.k_norm.weight": np.ones(128, np.float32),
+        "model.layers.0.mlp.gate.weight": rng.normal(
+            0, 1, (e, h)).astype(np.float32),
+    }
+    for nm, (i, o) in (("q_proj", (h, 256)), ("k_proj", (h, 128)),
+                       ("v_proj", (h, 128)), ("o_proj", (256, h))):
+        sd[f"model.layers.0.self_attn.{nm}.weight"] = rng.normal(
+            0, 0.05, (o, i)).astype(np.float32)
+    wants = {}
+    for ex in range(e):
+        for proj, (i, o) in (("gate_proj", (h, inter)),
+                             ("up_proj", (h, inter)),
+                             ("down_proj", (inter, h))):
+            qw, qz, sc, want = _fake_gptq(i, o, 128, rng)
+            pre = f"model.layers.0.mlp.experts.{ex}.{proj}"
+            sd[f"{pre}.qweight"] = qw
+            sd[f"{pre}.qzeros"] = qz
+            sd[f"{pre}.scales"] = sc
+            wants[(ex, proj)] = want
+
+    params = params_from_hf(cfg, TensorSource(sd), dtype=jnp.float32)
+    moe = params.layers[0].moe
+    assert isinstance(moe.gate, QuantLinearParams)
+    assert moe.gate.qweight.shape == (e, h // 2, inter)
+    for ex in range(e):
+        got = np.asarray(dequantize(QuantLinearParams(
+            qweight=moe.gate.qweight[ex], scales=moe.gate.scales[ex],
+            zeros=moe.gate.zeros[ex], bias=None, in_features=h,
+            out_features=inter, group_size=moe.gate.group_size),
+            jnp.float32))
+        np.testing.assert_allclose(got, wants[(ex, "gate_proj")],
+                                   rtol=1e-5, atol=1e-6)

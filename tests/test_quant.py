@@ -3,6 +3,7 @@ and the model-level quant-drift gate (ref: gptq_parity_test.rs,
 quant_kl.rs token-divergence < 0.10)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
@@ -101,6 +102,55 @@ class TestGptqRepack:
         # Ground truth straight from the GPTQ dequant formula with g_idx.
         w = (q.astype(np.float32) - zeros[g_idx]) * scales[g_idx]
         np.testing.assert_allclose(got, x @ w, rtol=1e-4, atol=1e-4)
+
+
+class TestW4A8:
+    """w4a8 path: dynamic int8 activations on the int8 MXU
+    (ops/pallas/quant_matmul.py::_qmm_w4a8_kernel; ref: the Marlin
+    w4a16 GEMM it outperforms, crates/ferrum-kernels/vllm_marlin/)."""
+
+    def _case(self, m=8, in_f=512, out_f=256, seed=11):
+        rng = np.random.default_rng(seed)
+        w = rng.normal(0, 0.05, (in_f, out_f)).astype(np.float32)
+        x = rng.normal(0, 1, (m, in_f)).astype(np.float32)
+        p = make_quant_linear(w, group_size=128, dtype=jnp.float32)
+        return jnp.asarray(x), p
+
+    def test_w4a8_ref_close_to_dequant_matmul(self):
+        """int8 activation quantization adds ≤~1% relative error on
+        well-conditioned inputs (amax/127 rounding)."""
+        from ferrum_tpu.ops.quant import quant_matmul_w4a8_ref
+        x, p = self._case()
+        got = np.asarray(quant_matmul_w4a8_ref(x, p))
+        want = np.asarray(x) @ np.asarray(dequantize(p, jnp.float32))
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(got, want, atol=0.02 * scale)
+
+    def test_w4a8_kernel_matches_ref_interpret(self):
+        """Pallas w4a8 kernel (interpret mode) == jnp oracle bit-path."""
+        from ferrum_tpu.ops.pallas import quant_matmul as qm
+        from ferrum_tpu.ops.quant import quant_matmul_w4a8_ref
+
+        x, p = self._case(m=32, in_f=1024, out_f=512)
+        want = np.asarray(quant_matmul_w4a8_ref(x, p))
+
+        orig = qm.pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        qm.pl.pallas_call = patched
+        try:
+            with jax.disable_jit():
+                xq, xs = qm.quantize_activation_rows(x)
+                got = qm._quant_matmul_w4a8_2d(xq, xs, p, x.dtype)
+        finally:
+            qm.pl.pallas_call = orig
+        assert got is not None
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   atol=1e-4 * scale, rtol=1e-4)
 
 
 class TestModelQuantDrift:
