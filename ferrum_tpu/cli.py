@@ -41,6 +41,12 @@ def _add_engine_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--prefill-chunk", type=int, default=None)
     p.add_argument("--decode-multi-step", type=int, default=None)
     p.add_argument("--tp", type=int, default=None, dest="tensor_parallel")
+    p.add_argument("--spec-draft", default=None, dest="spec_draft_model",
+                   help="draft model for speculative decoding "
+                        "(checkpoint dir or random:<preset>)")
+    p.add_argument("--spec-k", type=int, default=None,
+                   dest="spec_num_tokens",
+                   help="speculative draft length (tokens per round)")
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--config", default="ferrum.toml",
                    help="ferrum.toml path (CLI > env > file precedence)")
@@ -63,6 +69,8 @@ def _build_engine(args) -> "Any":
         "prefill_chunk_size": args.prefill_chunk,
         "decode_multi_step": args.decode_multi_step,
         "tensor_parallel": args.tensor_parallel,
+        "spec_draft_model": args.spec_draft_model,
+        "spec_num_tokens": args.spec_num_tokens,
         "seed": args.seed,
     }
     cfg = EngineConfig.resolve(cli_overrides=overrides,

@@ -81,6 +81,14 @@ class EngineBuilder:
         self.mesh = mesh
         return self
 
+    def with_draft_model(self, draft_cfg: ModelConfig,
+                         draft_params: ModelParams) -> "EngineBuilder":
+        """Explicit draft model for speculative decoding (tests)."""
+        self._draft = (draft_cfg, draft_params)
+        if not self.cfg.spec_draft_model:
+            self.cfg.spec_draft_model = "explicit"
+        return self
+
     # ------------------------------------------------------------------
     def _resolve_model(self) -> None:
         if self.model_cfg is not None:
@@ -135,4 +143,35 @@ class EngineBuilder:
         set_w4a8(cfg.w4a8)
         runner = ModelRunner(self.model_cfg, cfg, self.params, kv,
                              mesh=self.mesh, attn_impl=self.attn_impl)
-        return ContinuousBatchEngine(cfg, runner, self.tokenizer)
+        spec = None
+        if cfg.spec_draft_model:
+            spec = self._build_spec(runner)
+        return ContinuousBatchEngine(cfg, runner, self.tokenizer,
+                                     spec=spec)
+
+    def _build_spec(self, runner: ModelRunner):
+        """Draft-model speculative decoding (ref: new_with_speculation,
+        crates/ferrum-engine/src/continuous_engine.rs:3354). The draft
+        shares the target's tokenizer/vocab and block-table geometry."""
+        from .spec_decode import SpecDecoder
+        cfg = self.cfg
+        src = cfg.spec_draft_model
+        if getattr(self, "_draft", None) is not None:
+            draft_cfg, draft_params = self._draft
+        elif os.path.isdir(src):
+            from ..models.loader import load_checkpoint
+            draft_cfg, draft_params, _tok = load_checkpoint(src, cfg)
+        elif src.startswith("random:"):
+            draft_cfg = preset(src.split(":", 1)[1])
+            dtype = jnp.bfloat16 if cfg.dtype == "bf16" else jnp.float32
+            draft_params = init_random_params(draft_cfg, cfg.seed,
+                                              dtype=dtype)
+        else:
+            raise ModelLoadError(
+                f"cannot resolve draft model source {src!r}")
+        if draft_cfg.vocab_size != self.model_cfg.vocab_size:
+            raise ModelLoadError(
+                "speculative draft must share the target vocab "
+                f"({draft_cfg.vocab_size} != {self.model_cfg.vocab_size})")
+        return SpecDecoder(runner, draft_cfg, draft_params,
+                           k=cfg.spec_num_tokens)

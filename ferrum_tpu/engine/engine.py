@@ -21,7 +21,7 @@ import queue
 import threading
 import time
 import traceback
-from typing import Dict, Iterator, List, Optional
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
@@ -50,10 +50,14 @@ class ContinuousBatchEngine:
     def __init__(self, cfg: EngineConfig, runner: ModelRunner,
                  tokenizer: FerrumTokenizer,
                  pool: Optional[BlockPool] = None,
-                 prefix_cache: Optional[PrefixCache] = None):
+                 prefix_cache: Optional[PrefixCache] = None,
+                 spec=None):
         self.cfg = cfg
         self.runner = runner
         self.tokenizer = tokenizer
+        # Speculative decoding (SpecDecoder) — replaces plain decode
+        # windows when a draft model is configured.
+        self.spec = spec
         self.pool = pool or BlockPool(
             runner.kv.num_blocks, cfg.kv_block_size)
         self.prefix_cache = prefix_cache if prefix_cache is not None else (
@@ -219,17 +223,30 @@ class ContinuousBatchEngine:
         # --- (a) first tokens from prefills dispatched last iteration ---
         if self._pending_first:
             pending, self._pending_first = self._pending_first, []
+            # ONE readback per batched prefill dispatch (a per-token
+            # np.asarray costs a tunnel RTT each; at c=32 that alone was
+            # ~1 s of TTFT).
+            fetched: Dict[int, np.ndarray] = {}
+            fetched_logits: Dict[int, np.ndarray] = {}
             for seq, res in pending:
                 if seq.phase == Phase.FINISHED or seq.blocks is None:
                     continue  # aborted/preempted while in flight
+                row = res.rows[seq.request.request_id]
                 if seq.guided_processor is not None:
                     # Guided: sample the first token on host under the
                     # DFA mask (the device sample ignores it; picking
                     # allowed[0] would choose by vocab order).
-                    _dev_tok, dev_logits = res
-                    tok = self._guided_sample(seq, np.asarray(dev_logits)[0])
+                    lg = fetched_logits.get(id(res))
+                    if lg is None:
+                        lg = np.asarray(res.logits)
+                        fetched_logits[id(res)] = lg
+                    tok = self._guided_sample(seq, lg[row])
                 else:
-                    tok = int(np.asarray(res))
+                    toks = fetched.get(id(res))
+                    if toks is None:
+                        toks = np.asarray(res.tokens)
+                        fetched[id(res)] = toks
+                    tok = int(toks[row])
                 self._accept_token(seq, tok)
             did_work = True
 
@@ -244,13 +261,26 @@ class ContinuousBatchEngine:
             self.metrics.iterations_total += 1
 
         # --- (c) dispatch prefill chunks (async; fetched next iter) ---
-        for chunk in batch.prefill_chunks:
-            guided = chunk.seq.guided_processor is not None
-            res = self.runner.run_prefill(chunk, return_logits=guided)
-            self.scheduler.note_prefill_done(chunk)
-            self.metrics.tokens_prefilled += len(chunk.tokens)
-            if res is not None:
-                self._pending_first.append((chunk.seq, res))
+        # Chunks sharing a (chunk, context) bucket fuse into ONE batched
+        # program — the weight stream is amortized across the admitted
+        # wave (m = B*T) instead of paid per sequence.
+        if batch.prefill_chunks:
+            groups: Dict[Tuple[int, int], list] = {}
+            for chunk in batch.prefill_chunks:
+                k = (self.runner.chunk_bucket(len(chunk.tokens)),
+                     self.runner.ctx_bucket(
+                         chunk.start + len(chunk.tokens)))
+                groups.setdefault(k, []).append(chunk)
+            for chunks in groups.values():
+                guided = any(c.seq.guided_processor is not None
+                             and c.is_last for c in chunks)
+                res = self.runner.run_prefill_batch(
+                    chunks, return_logits=guided)
+                for chunk in chunks:
+                    self.scheduler.note_prefill_done(chunk)
+                    self.metrics.tokens_prefilled += len(chunk.tokens)
+                    if chunk.is_last:
+                        self._pending_first.append((chunk.seq, res))
 
         # --- (d) decode: dispatch W+1, then fetch + process W ---
         decode_seqs = [s for s in batch.decode_seqs
@@ -261,7 +291,15 @@ class ContinuousBatchEngine:
         t_steps = batch.decode_steps or max(1, self.cfg.decode_multi_step)
 
         new_window = None
-        if plain_seqs and self.cfg.pipeline_decode:
+        if self.spec is not None:
+            # Speculative rounds replace decode windows (fixed K+1
+            # shape → no length-change chain breaks); same pipelined
+            # dispatch-ahead pattern.
+            if plain_seqs and not (batch.deferred_decodes and pinned):
+                new_window = self.spec.start_round(
+                    plain_seqs, prev=self._inflight)
+            plain_seqs = []
+        elif plain_seqs and self.cfg.pipeline_decode:
             if self._inflight is not None \
                     and self._inflight.num_steps != t_steps:
                 # Window length changed (capacity-clamped minimum-
@@ -309,12 +347,23 @@ class ContinuousBatchEngine:
         return did_work or not batch.is_empty \
             or self._inflight is not None
 
-    def _process_window(self, window: DecodeWindow) -> None:
+    def _process_window(self, window) -> None:
         """Fetch an outstanding window's tokens, accept them, and release
-        resources whose cleanup was deferred past this window."""
-        token_lists = self.runner.sync_window(window)
-        self._accept_window_tokens(window.seqs, token_lists,
-                                   window.num_steps)
+        resources whose cleanup was deferred past this window.
+        Handles both DecodeWindow and SpecWindow (variable per-slot
+        token counts)."""
+        if self.spec is not None and hasattr(window, "n_out"):
+            token_lists = self.spec.sync_round(window)
+            for seq in window.seqs:
+                for tok in token_lists[seq.request.request_id]:
+                    if seq.phase != Phase.DECODING:
+                        break
+                    self._accept_token(seq, tok)
+                    self.metrics.tokens_decoded += 1
+        else:
+            token_lists = self.runner.sync_window(window)
+            self._accept_window_tokens(window.seqs, token_lists,
+                                       window.num_steps)
         for seq in window.deferred:
             with self._lock:
                 self.scheduler.finish(seq)

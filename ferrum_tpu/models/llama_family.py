@@ -448,6 +448,119 @@ def prefill_forward(
     return h, kv2
 
 
+def prefill_forward_batched(
+    params: ModelParams, cfg: ModelConfig, kv: PagedKvCache,
+    tokens: jnp.ndarray,         # int32 [B, T] — one chunk per sequence
+    positions: jnp.ndarray,      # int32 [B, T] absolute; pads past total_len
+    block_tables: jnp.ndarray,   # int32 [B, max_pages]
+    total_lens: jnp.ndarray,     # int32 [B]: prefix + real chunk tokens
+    flat_slots: jnp.ndarray,     # int32 [B, T] (OOB = drop for pads)
+    *, ctx_pad: int,
+    attn_impl: str = "ref",
+    append: str = "pages",       # "pages" (page-aligned chunks) | "rows"
+) -> Tuple[jnp.ndarray, PagedKvCache]:
+    """Chunked prefill for B sequences fused into ONE program.
+
+    The trunk processes all B*T tokens as one flat batch, so every
+    weight matrix streams from HBM once per CALL instead of once per
+    SEQUENCE — at B=8, T=256 the matmuls run at m=2048 (MXU
+    compute-bound) instead of m=256 ×8 (weight-stream-bound). This is
+    the TPU answer to the reference's batched prefill scheduling
+    (crates/ferrum-engine/src/continuous_engine.rs chunked-prefill
+    budget): there the batching merges CUDA launches; here it
+    amortizes the 4 GB int4 weight stream that dominates small-m.
+
+    Attention is per-sequence (vmapped flat_prefill_attention over B);
+    KV appends are whole-page Pallas writes exactly as the single-
+    sequence path (each row's chunk start is page-aligned).
+    """
+    inv_g, inv_l = make_rope_tables(cfg)
+    nb, page = kv.num_blocks, kv.page
+    hkv, d = kv.kv_heads, kv.head_dim
+    f = hkv * d
+    L = cfg.num_layers
+    b, t_pad = tokens.shape
+    state = {"k": kv.k.reshape(L * nb, page, f),
+             "v": kv.v.reshape(L * nb, page, f)}
+    new_ks: List[jnp.ndarray] = []
+    new_vs: List[jnp.ndarray] = []
+    from ..ops.attention import flat_prefill_attention
+
+    flat_tokens = tokens.reshape(-1)
+    flat_positions = positions.reshape(-1)
+
+    def attn(li, q, k_new, v_new):
+        new_ks.append(k_new)
+        new_vs.append(v_new)
+        kc = state["k"][li * nb:(li + 1) * nb]          # [nb, page, F]
+        vc = state["v"][li * nb:(li + 1) * nb]
+        sw = cfg.layer_sliding_window(li)
+        if attn_impl == "linear":
+            starts = block_tables[:, 0] * page           # [B]
+            kr, vr = kc.reshape(-1, f), vc.reshape(-1, f)
+            kl = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
+                kr, s, ctx_pad, axis=0))(starts)         # [B, ctx_pad, F]
+            vl = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
+                vr, s, ctx_pad, axis=0))(starts)
+        else:
+            n_pages = ctx_pad // page
+            kl = kc[block_tables[:, :n_pages]].reshape(b, ctx_pad, f)
+            vl = vc[block_tables[:, :n_pages]].reshape(b, ctx_pad, f)
+        qb = q.reshape(b, t_pad, *q.shape[1:])
+        kb = k_new.reshape(b, t_pad, *k_new.shape[1:])
+        vb = v_new.reshape(b, t_pad, *v_new.shape[1:])
+        out = jax.vmap(
+            lambda qi, kli, vli, pi, tl, kni, vni: flat_prefill_attention(
+                qi, kli, vli, pi, tl, kni, vni, hkv=hkv,
+                scale=cfg.attn_scale, sliding_window=sw,
+                softcap=cfg.attn_logit_softcap)
+        )(qb, kl, vl, positions, total_lens, kb, vb)     # [B, T, Hq, D]
+        return out.reshape(b * t_pad, *out.shape[2:])
+
+    h = forward_hidden(params, cfg, flat_tokens, flat_positions, attn,
+                       inv_freq_global=inv_g, inv_freq_local=inv_l)
+
+    if append == "rows":
+        # Row-granular writes: speculative verification chunks start at
+        # arbitrary (non-page-aligned) decode positions.
+        from ..ops.pallas.kv_append import append_rows
+        n_rows = b * t_pad
+        k_rows = jnp.stack(new_ks).reshape(L * n_rows, f)
+        v_rows = jnp.stack(new_vs).reshape(L * n_rows, f)
+        fl = flat_slots.reshape(-1)
+        blk = fl // page
+        off = fl % page
+        bases = (jnp.arange(L, dtype=jnp.int32) * nb)[:, None]
+        blk_all = jnp.where(jnp.tile(fl, L).reshape(L, n_rows)
+                            >= OOB_SENTINEL, OOB_SENTINEL,
+                            bases + blk[None, :]).reshape(-1)
+        off_all = jnp.tile(off, L)
+        state["k"] = append_rows(state["k"], k_rows, blk_all, off_all)
+        state["v"] = append_rows(state["v"], v_rows, blk_all, off_all)
+    else:
+        from ..ops.pallas.kv_append import append_pages
+        # [L, B*T, F] → page blocks; every row's chunk is page-aligned
+        # and t_pad is a page multiple, so the flat reshape lands on
+        # pages.
+        n_pg = (b * t_pad) // page
+        k_pages = jnp.stack(new_ks).reshape(L * n_pg, page, f)
+        v_pages = jnp.stack(new_vs).reshape(L * n_pg, page, f)
+        first_flat = flat_slots.reshape(n_pg, page)[:, 0]
+        blk_row = jnp.where(first_flat >= OOB_SENTINEL, OOB_SENTINEL,
+                            first_flat // page)
+        bases = (jnp.arange(L, dtype=jnp.int32) * nb)[:, None]
+        blk_all = jnp.where(blk_row[None, :] >= OOB_SENTINEL, OOB_SENTINEL,
+                            bases + blk_row[None, :]).reshape(-1)
+        state["k"] = append_pages(state["k"], k_pages, blk_all)
+        state["v"] = append_pages(state["v"], v_pages, blk_all)
+
+    kv2 = PagedKvCache(
+        k=state["k"].reshape(L, nb, page, f),
+        v=state["v"].reshape(L, nb, page, f),
+        page=page, kv_heads=hkv, head_dim=d)
+    return h.reshape(b, t_pad, -1), kv2
+
+
 # ---------------------------------------------------------------------------
 # Random init (tests / benches; real weights come from loaders)
 # ---------------------------------------------------------------------------

@@ -46,9 +46,11 @@ def _qmm_kernel(x_lo_ref, x_hi_ref, qw_ref, sc_ref, z_ref, o_ref, acc_ref,
     rows [kk*BKB, (kk+1)*BKB) in its low nibbles (scale group kk) and
     rows [K/2 + kk*BKB, ...) in its high nibbles (group G/2 + kk). Each
     nibble plane contracts against its own x column slice — two MXU
-    calls, zero shuffle ops."""
-    j = pl.program_id(0)
-    kk = pl.program_id(1)
+    calls, zero shuffle ops. Grid (M/bm, N/bn, K-steps): the m axis is
+    tiled so prefill-sized batches (m >= 1024, batched prefill) fit the
+    16 MB VMEM budget."""
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -106,6 +108,13 @@ def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams,
             bn //= 2
     if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return quant_matmul_ref(x, p)
+    # m-tiling: cap the resident row block so x tiles + f32 accumulator
+    # stay inside VMEM at batched-prefill sizes (m = B*T up to 2048+).
+    bm = min(m, 512)
+    while bm > 8 and m % bm:
+        bm //= 2
+    if m % bm:
+        return quant_matmul_ref(x, p)
     n_k = (k // 2) // bkb                    # byte-row tiles
     half_groups = (k // 2) // GROUP
 
@@ -116,24 +125,24 @@ def _quant_matmul_2d(x: jnp.ndarray, p: QuantLinearParams,
                                gpt=bkb // GROUP, out_dtype=x.dtype)
     out = pl.pallas_call(
         kernel,
-        grid=(n // bn, n_k),
+        grid=(m // bm, n // bn, n_k),
         in_specs=[
-            pl.BlockSpec((m, bkb), lambda j, kk: (0, kk),
+            pl.BlockSpec((bm, bkb), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),           # x low cols
-            pl.BlockSpec((m, bkb),
-                         lambda j, kk, nk=n_k: (0, nk + kk),
+            pl.BlockSpec((bm, bkb),
+                         lambda i, j, kk, nk=n_k: (i, nk + kk),
                          memory_space=pltpu.VMEM),           # x high cols
-            pl.BlockSpec((bkb, bn), lambda j, kk: (kk, j),
+            pl.BlockSpec((bkb, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),   # scales (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),   # zeros (full)
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda j, kk: (0, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), x.dtype),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n,
             bytes_accessed=p.qweight.nbytes + x.nbytes + 2 * m * n,

@@ -104,6 +104,50 @@ def sample_step(
     return tokens, new_keys
 
 
+def processed_probs(
+    logits: jnp.ndarray,            # f32 [S, V]
+    params: SlotSamplingParams,
+    counts: jnp.ndarray,            # int32 [S, V]
+    eos_ids: Tuple[int, ...],
+) -> jnp.ndarray:
+    """Full-vocab post-processing distribution per slot — the exact
+    distribution `sample_step` draws from (penalty → min-tokens EOS mask
+    → temperature → top-k/top-p truncation), as probabilities [S, V].
+
+    Used by speculative verification (engine/speculative.py): the
+    accept/reject ratio and the residual resample must use the TRUE
+    target distribution for the scheme's output to equal target-only
+    sampling. Greedy slots (temperature == 0) get a one-hot at argmax.
+    """
+    s, v = logits.shape
+    logits = apply_repetition_penalty(logits, counts,
+                                      params.repetition_penalty)
+    if eos_ids:
+        eos = jnp.zeros((v,), bool).at[jnp.asarray(eos_ids)].set(True)
+        logits = jnp.where(params.min_tokens_active[:, None] & eos[None, :],
+                           -jnp.inf, logits)
+    greedy_tok = jnp.argmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(greedy_tok, v, dtype=jnp.float32)
+
+    temp = jnp.maximum(params.temperature, 1e-5)[:, None]
+    scaled = logits / temp
+    k_cap = min(TOPK_CAP, v)
+    vals, idx = jax.lax.top_k(scaled, k_cap)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (s, k_cap), 1)
+    k_eff = jnp.where(params.top_k[:, None] > 0,
+                      params.top_k[:, None], k_cap)
+    vals = jnp.where(rank < k_eff, vals, -jnp.inf)
+    p_cap = jax.nn.softmax(vals, axis=-1)
+    cum_before = jnp.cumsum(p_cap, axis=-1) - p_cap
+    keep = (cum_before < params.top_p[:, None]) | (rank == 0)
+    vals = jnp.where(keep, vals, -jnp.inf)
+    p_cap = jax.nn.softmax(vals, axis=-1)
+    # Scatter the capped top-k probs back to full vocab.
+    full = jnp.zeros((s, v), jnp.float32)
+    full = jax.vmap(lambda f, i, p: f.at[i].set(p))(full, idx, p_cap)
+    return jnp.where(params.temperature[:, None] <= 0.0, onehot, full)
+
+
 def update_counts(counts: jnp.ndarray, slot_ids: jnp.ndarray,
                   tokens: jnp.ndarray) -> jnp.ndarray:
     """Scatter-add observed tokens into the per-slot seen-count buffer.

@@ -84,7 +84,11 @@ class ContinuousBatchScheduler:
         # to this many tokens per iteration on device (multi-step scan);
         # with pipelined windows TWO windows may be outstanding beyond
         # the host-visible position, so reserve double.
-        self.decode_lookahead = max(1, cfg.decode_multi_step) * (
+        steps = max(1, cfg.decode_multi_step)
+        if getattr(cfg, "spec_draft_model", None):
+            # A speculative round advances up to K+1 tokens per slot.
+            steps = max(steps, cfg.spec_num_tokens + 1)
+        self.decode_lookahead = steps * (
             2 if getattr(cfg, "pipeline_decode", False) else 1)
         self.waiting: Deque[Sequence] = deque()
         self.running: List[Sequence] = []     # admission order

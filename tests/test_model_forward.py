@@ -224,3 +224,52 @@ def test_sliding_window_masks_history(setup):
                           kv_heads=kv.kv_heads, head_dim=kv.head_dim)
     dirty = decode_with(kv_bad)
     np.testing.assert_allclose(clean, dirty, rtol=1e-6, atol=1e-6)
+
+
+def test_batched_prefill_matches_sequential(setup):
+    """prefill_forward_batched(B=3) must reproduce per-sequence
+    prefill_forward exactly: hidden states and written KV pages."""
+    from ferrum_tpu.models.llama_family import prefill_forward_batched
+
+    cfg, params = setup
+    rng = np.random.default_rng(7)
+    lens = [10, 16, 5]
+    seqs = [rng.integers(1, 100, n).tolist() for n in lens]
+    # Disjoint block ranges per sequence.
+    blocks = [list(range(1 + 8 * i, 1 + 8 * i + MAXP)) for i in range(3)]
+
+    # Oracle: one prefill_forward per sequence into the same cache.
+    kv_seq = make_cache(cfg)
+    hs_seq = []
+    for toks, bl in zip(seqs, blocks):
+        h, kv_seq = prefill_whole(params, cfg, kv_seq, toks, bl)
+        hs_seq.append(h)
+
+    # Batched: all three chunks in one call.
+    kv_b = make_cache(cfg)
+    b, tpad = 3, 16
+    tokens = np.zeros((b, tpad), np.int32)
+    positions = np.full((b, tpad), CTX + 99, np.int32)
+    tables = np.zeros((b, MAXP), np.int32)
+    totals = np.zeros(b, np.int32)
+    flats = np.full((b, tpad), OOB, np.int32)
+    for i, (toks, bl) in enumerate(zip(seqs, blocks)):
+        n = len(toks)
+        tokens[i, :n] = toks
+        positions[i, :n] = np.arange(n)
+        tables[i, :len(bl)] = bl
+        totals[i] = n
+        flats[i, :n] = [bl[p // PAGE] * PAGE + p % PAGE for p in range(n)]
+    h_b, kv_b = prefill_forward_batched(
+        params, cfg, kv_b, jnp.asarray(tokens), jnp.asarray(positions),
+        jnp.asarray(tables), jnp.asarray(totals), jnp.asarray(flats),
+        ctx_pad=CTX)
+    h_b = np.asarray(h_b)
+
+    for i, n in enumerate(lens):
+        np.testing.assert_allclose(h_b[i, :n], hs_seq[i],
+                                   rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(kv_b.k), np.asarray(kv_seq.k),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(kv_b.v), np.asarray(kv_seq.v),
+                               rtol=2e-5, atol=2e-5)

@@ -1,0 +1,133 @@
+"""Engine-integrated speculative decoding (ref: continuous_engine.rs:3354
+`new_with_speculation` + continuous_engine/inner/decode.rs:386).
+
+The keystone guarantee: with a draft model wired in, the engine's OUTPUT
+TOKENS are unchanged — greedy output is bit-equal to the plain engine,
+and sampled output stays within the target distribution (distributional
+equality is covered by tests/test_speculative.py; here we check the
+engine plumbing: KV writes, carries across rounds, EOS/stop handling,
+multi-request batching).
+"""
+
+import numpy as np
+import pytest
+
+from ferrum_tpu.config import EngineConfig
+from ferrum_tpu.engine.builder import EngineBuilder
+from ferrum_tpu.models.configs import ModelConfig
+from ferrum_tpu.models.llama_family import init_random_params
+from ferrum_tpu.tokenizer import make_byte_tokenizer
+from ferrum_tpu.types import (
+    FinishReason, InferenceRequest, SamplingParams,
+)
+
+import jax.numpy as jnp
+
+
+def _model_cfg(num_layers=2, seed=0):
+    return ModelConfig(
+        family="qwen3", vocab_size=512, hidden_size=64,
+        num_layers=num_layers, num_heads=4, num_kv_heads=2, head_dim=16,
+        intermediate_size=128, qk_norm=True, tie_word_embeddings=True,
+        rope_theta=10000.0, eos_token_ids=(257,))
+
+
+def _build(spec=False, draft_seed=0, k=3, seed=0, **cfg_kw):
+    cfg = EngineConfig(
+        model="test", max_num_seqs=4, kv_num_blocks=96,
+        kv_block_size=8, max_model_len=256, max_num_batched_tokens=128,
+        prefill_chunk_size=32, dtype="f32", kv_dtype="f32", seed=seed,
+        spec_num_tokens=k, **cfg_kw)
+    mc = _model_cfg()
+    params = init_random_params(mc, seed=0, dtype=jnp.float32)
+    tok = make_byte_tokenizer(vocab_extra=512 - 258)
+    b = EngineBuilder(cfg).with_model(mc, params).with_tokenizer(tok)
+    if spec:
+        dmc = _model_cfg(num_layers=1)
+        dparams = init_random_params(dmc, seed=draft_seed,
+                                     dtype=jnp.float32)
+        b = b.with_draft_model(dmc, dparams)
+    return b.build()
+
+
+def req(prompt="Hello world", max_tokens=12, **kw):
+    return InferenceRequest(
+        prompt=prompt, sampling=SamplingParams(max_tokens=max_tokens, **kw))
+
+
+@pytest.fixture(scope="module")
+def engines():
+    plain = _build(spec=False)
+    spec = _build(spec=True, draft_seed=0)
+    yield plain, spec
+    plain.stop()
+    spec.stop()
+
+
+def test_greedy_bit_equality(engines):
+    """Greedy spec output must exactly equal the plain engine's."""
+    plain, spec = engines
+    for prompt in ["Hello world", "The quick brown fox", "a"]:
+        r0 = plain.infer(req(prompt, max_tokens=16, temperature=0.0))
+        r1 = spec.infer(req(prompt, max_tokens=16, temperature=0.0))
+        assert r1.token_ids == r0.token_ids, prompt
+        assert r1.finish_reason == r0.finish_reason
+
+
+def test_greedy_concurrent_batch(engines):
+    """Several concurrent spec requests each match their plain twins."""
+    plain, spec = engines
+    prompts = ["alpha beta", "gamma", "delta epsilon zeta", "eta theta"]
+    want = [plain.infer(req(p, max_tokens=10, temperature=0.0)).token_ids
+            for p in prompts]
+    import threading
+    results = [None] * len(prompts)
+
+    def run(i, p):
+        results[i] = spec.infer(req(p, max_tokens=10, temperature=0.0))
+
+    threads = [threading.Thread(target=run, args=(i, p))
+               for i, p in enumerate(prompts)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for w, r, p in zip(want, results, prompts):
+        assert r.token_ids == w, p
+
+
+def test_sampled_runs_and_respects_limits(engines):
+    """Sampled spec decoding: correct lengths, valid tokens, stop on
+    EOS/max_tokens."""
+    _, spec = engines
+    r = spec.infer(req("sampling test", max_tokens=20, temperature=0.8,
+                       top_k=40, seed=7))
+    assert 1 <= r.completion_tokens <= 20
+    assert all(0 <= t < 512 for t in r.token_ids)
+    assert r.finish_reason in (FinishReason.STOP, FinishReason.LENGTH)
+
+
+def test_acceptance_stats(engines):
+    """A self-drafting engine (draft == target) accepts everything."""
+    eng = _build(spec=True, draft_seed=0, k=3)
+    try:
+        eng.infer(req("stat check", max_tokens=12, temperature=0.0))
+        st = eng.spec.stats
+        assert st.proposals > 0
+        assert 0 <= st.accepted_tokens <= st.drafted_tokens
+    finally:
+        eng.stop()
+
+
+def test_spec_with_stop_strings(engines):
+    """Stop-string truncation still applies over spec-emitted tokens."""
+    _, spec = engines
+    r = spec.infer(InferenceRequest(
+        prompt="stop test", sampling=SamplingParams(
+            max_tokens=24, temperature=0.0)))
+    r2 = spec.infer(InferenceRequest(
+        prompt="stop test", sampling=SamplingParams(
+            max_tokens=24, temperature=0.0,
+            stop=[r.text[2:5]] if len(r.text) >= 5 else ["zzz"])))
+    if len(r.text) >= 5:
+        assert r2.completion_tokens <= r.completion_tokens

@@ -105,10 +105,11 @@ def main():
           f"incl. host+RTT) -> {tok_s:.0f} tok/s at c={len(decode_seqs)}",
           flush=True)
 
-    # Pure device time: dispatch N windows back-to-back, sync once.
-    fn = runner._get_decode_multi_fn(runner.ctx_bucket(
-        max(s.total_tokens for s in decode_seqs) + T), T, True)
-    packed = np.zeros((6, runner.num_slots), np.int32)
+    # Pure device time: dispatch N chained windows back-to-back (device
+    # carry feeds each next window), sync once at the end.
+    fn = runner._get_decode_window_fn(runner.ctx_bucket(
+        max(s.total_tokens for s in decode_seqs) + T * (n_win + 1)), T, True)
+    packed = np.zeros((7, runner.num_slots), np.int32)
     packed[4] = runner.num_slots
     for s in decode_seqs:
         sl = s.slot
@@ -119,14 +120,22 @@ def main():
         packed[3, sl] = cfg.max_model_len
         packed[4, sl] = sl
     import jax.numpy as jnp
+    prev_toks = runner._zero_window(T)
+    # warm compile for the chained variant
     pk = jnp.asarray(packed)
+    toks, runner.kv, runner.counts, runner.keys = fn(
+        runner.params, runner.kv, runner.counts, runner.keys,
+        pk, prev_toks, runner._tables_dev, runner.samp)
+    np.asarray(toks)
     t0 = time.time()
-    last = None
     for w in range(n_win):
-        last, runner.kv, runner.counts, runner.keys = fn(
+        packed[1] += T
+        packed[2] += T
+        packed[6] = 1
+        toks, runner.kv, runner.counts, runner.keys = fn(
             runner.params, runner.kv, runner.counts, runner.keys,
-            pk, runner._tables_dev, runner.samp)
-    np.asarray(last)
+            jnp.asarray(packed), toks, runner._tables_dev, runner.samp)
+    np.asarray(toks)
     dt = time.time() - t0
     print(f"decode chained (no per-window sync): {dt/n_win*1e3:.1f} ms/window"
           f" -> {len(decode_seqs)*T*n_win/dt:.0f} tok/s device-side",
