@@ -52,8 +52,9 @@ def main() -> None:
     model_name = os.environ.get("FERRUM_BENCH_MODEL", "llama-3.1-8b")
     quant = os.environ.get("FERRUM_BENCH_QUANT", "int4")
     c_list = tuple(int(x) for x in os.environ.get(
-        "FERRUM_BENCH_CONCURRENCY", "32").split(","))
+        "FERRUM_BENCH_CONCURRENCY", "1,4,16,32").split(","))
     n_req = int(os.environ.get("FERRUM_BENCH_REQUESTS", "64"))
+    n_rep = int(os.environ.get("FERRUM_BENCH_REPEATS", "3"))
 
     model_cfg = preset(model_name)
     # resolve() applies the governed FERRUM_* env registry on top of the
@@ -78,9 +79,11 @@ def main() -> None:
               .build())
     try:
         report = run_bench(engine, concurrencies=c_list,
-                           num_requests_per_cell={c: n_req for c in c_list},
+                           num_requests_per_cell={
+                               c: min(n_req, max(2 * c, 8)) if c < 32
+                               else n_req for c in c_list},
                            input_len=256, output_len=128,
-                           model_label=label)
+                           model_label=label, n_repeats=n_rep)
     finally:
         engine.stop()
 

@@ -91,9 +91,17 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
             sampling=SamplingParams(temperature=0.0, max_tokens=output_len,
                                     ignore_eos=True))
 
-    # Warmup (compile all buckets).
-    for _ in range(warmup):
-        engine.infer(mkreq())
+    # Warmup: one CONCURRENT wave (compiles the large-group batched-
+    # prefill + steady-state decode buckets), then fill in every pow2
+    # sibling prefill bucket so no program compiles mid-measurement.
+    if warmup:
+        wt = [threading.Thread(target=engine.infer, args=(mkreq(),))
+              for _ in range(max(concurrency, warmup))]
+        for t in wt:
+            t.start()
+        for t in wt:
+            t.join()
+        engine.runner.warm_prefill_siblings()
 
     results: List[RequestMetrics] = []
     errors: List[str] = []
@@ -161,12 +169,27 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
 def run_bench(engine: ContinuousBatchEngine, *, concurrencies=(1, 4, 16, 32),
               num_requests_per_cell: Optional[Dict[int, int]] = None,
               input_len: int = 256, output_len: int = 128,
-              model_label: str = "") -> Dict:
+              model_label: str = "", n_repeats: int = 1) -> Dict:
+    """n_repeats > 1 re-runs every cell (warmup only before the first
+    repeat) and reports mean/stddev/ci95 over repeats — the reference's
+    bench-core runs every gate cell x3 (ferrum-bench-core ScalarStats)."""
     cells = []
     for c in concurrencies:
         n = (num_requests_per_cell or {}).get(c, max(2 * c, 8))
-        cells.append(run_cell(engine, concurrency=c, num_requests=n,
-                              input_len=input_len, output_len=output_len))
+        reps = [run_cell(engine, concurrency=c, num_requests=n,
+                         input_len=input_len, output_len=output_len,
+                         seed=rep, warmup=2 if rep == 0 else 0)
+                for rep in range(max(1, n_repeats))]
+        cell = dict(reps[-1])
+        if len(reps) > 1:
+            for k in ("output_tok_s", "ttft_p50_ms", "ttft_p95_ms",
+                      "tpot_p50_ms", "itl_p95_ms", "e2e_p50_ms"):
+                st = ScalarStats.of([r[k] for r in reps])
+                cell[k] = st.mean
+                cell[k + "_stats"] = {"mean": st.mean, "stddev": st.stddev,
+                                      "ci95_hw": st.ci95_hw,
+                                      "n": len(reps)}
+        cells.append(cell)
     return {
         "schema": "ferrum-tpu-bench/v1",
         "model": model_label,

@@ -58,6 +58,9 @@ class ContinuousBatchEngine:
         # Speculative decoding (SpecDecoder) — replaces plain decode
         # windows when a draft model is configured.
         self.spec = spec
+        # Device-FSM guided decoding: compiled table cache per guided
+        # spec (regex/schema/json_mode).
+        self._fsm_cache: Dict = {}
         self.pool = pool or BlockPool(
             runner.kv.num_blocks, cfg.kv_block_size)
         self.prefix_cache = prefix_cache if prefix_cache is not None else (
@@ -110,6 +113,7 @@ class ContinuousBatchEngine:
             from ..sampling.guided import build_guided_processor
             seq.guided_processor = build_guided_processor(
                 request.guided, self.tokenizer)
+            self._setup_device_guided(seq, request.guided)
         state = _RequestState(seq)
         with self._lock:
             self._requests[request.request_id] = state
@@ -118,6 +122,46 @@ class ContinuousBatchEngine:
         self.ensure_loop()
         self._work_event.set()
         return state.out_queue
+
+    def _setup_device_guided(self, seq, opts) -> None:
+        """Compile the request's DFA into device-FSM tables so the
+        sequence rides the normal fused windows (mask + state advance
+        on device — no per-token host round trip). Falls back silently
+        to the host-masking path when the FSM is unsupported (> MAX
+        states / non-uniform astral-plane transitions).
+
+        ref: guided.rs masks on the host every step; SURVEY §7 'guided
+        decoding on device' is this table design."""
+        if self.spec is not None:
+            # Speculative verify doesn't apply guided masks; guided
+            # requests use the host path when a draft model is wired.
+            return
+        key = (opts.regex, getattr(opts, "json_schema", None) and
+               str(opts.json_schema), bool(opts.json_mode))
+        hit = self._fsm_cache.get(key)
+        if hit is None:
+            from ..sampling.token_fsm import build_token_fsm, vocab_table
+            from ..types import NotSupportedError
+            vocab = self.runner.model_cfg.vocab_size
+            try:
+                vt = vocab_table(self.tokenizer, vocab)
+                fsm = build_token_fsm(seq.guided_processor.dfa, vt, vocab)
+                # DFA state ids are per-instance; the cached FSM's
+                # dfa_to_local refers to THIS dfa, so cache it and make
+                # later requests' processors share it.
+                hit = (fsm, seq.guided_processor.dfa, vt)
+            except NotSupportedError:
+                hit = (None, None, None)
+            self._fsm_cache[key] = hit
+        fsm, dfa, vt = hit
+        if fsm is None:
+            return
+        if seq.guided_processor.dfa is not dfa:
+            seq.guided_processor.dfa = dfa
+            seq.guided_processor.state = dfa.start
+        off = self.runner.register_guided_fsm(fsm, vt)
+        seq.guided_fsm = fsm
+        seq.guided_fsm_offset = off
 
     def infer_stream(self, request: InferenceRequest
                      ) -> Iterator[StreamChunk]:
@@ -232,7 +276,8 @@ class ContinuousBatchEngine:
                 if seq.phase == Phase.FINISHED or seq.blocks is None:
                     continue  # aborted/preempted while in flight
                 row = res.rows[seq.request.request_id]
-                if seq.guided_processor is not None:
+                if seq.guided_processor is not None \
+                        and seq.guided_fsm is None:
                     # Guided: sample the first token on host under the
                     # DFA mask (the device sample ignores it; picking
                     # allowed[0] would choose by vocab order).
@@ -257,6 +302,15 @@ class ContinuousBatchEngine:
             batch = self.scheduler.next_batch(pinned=pinned)
             for seq in batch.admitted:
                 self.runner.admit_slot(seq)
+                if seq.guided_fsm is not None:
+                    # (Re-)init the device FSM state for this slot:
+                    # fresh requests start at the FSM start; recompute
+                    # re-admissions resume at the processor's current
+                    # state (the host shadow tracks accepted tokens).
+                    local = seq.guided_fsm.dfa_to_local.get(
+                        seq.guided_processor.state, seq.guided_fsm.dead)
+                    self.runner.set_guided_state(
+                        seq.slot, seq.guided_fsm_offset + local)
         if not batch.is_empty:
             self.metrics.iterations_total += 1
 
@@ -272,10 +326,15 @@ class ContinuousBatchEngine:
                          chunk.start + len(chunk.tokens)))
                 groups.setdefault(k, []).append(chunk)
             for chunks in groups.values():
-                guided = any(c.seq.guided_processor is not None
-                             and c.is_last for c in chunks)
+                # Host-masked guided requests (FSM fallback) need the
+                # final-position logits; device-FSM requests sample
+                # under the mask on device like plain ones.
+                host_guided = any(
+                    c.seq.guided_processor is not None
+                    and c.seq.guided_fsm is None and c.is_last
+                    for c in chunks)
                 res = self.runner.run_prefill_batch(
-                    chunks, return_logits=guided)
+                    chunks, return_logits=host_guided)
                 for chunk in chunks:
                     self.scheduler.note_prefill_done(chunk)
                     self.metrics.tokens_prefilled += len(chunk.tokens)
@@ -285,9 +344,15 @@ class ContinuousBatchEngine:
         # --- (d) decode: dispatch W+1, then fetch + process W ---
         decode_seqs = [s for s in batch.decode_seqs
                        if s.phase == Phase.DECODING]
+        # Device-FSM guided sequences ride the plain fused windows (mask
+        # + FSM advance happen inside the compiled step); only the host-
+        # masking fallback needs the per-token logits loop.
         guided_seqs = [s for s in decode_seqs
-                       if s.guided_processor is not None]
-        plain_seqs = [s for s in decode_seqs if s.guided_processor is None]
+                       if s.guided_processor is not None
+                       and s.guided_fsm is None]
+        plain_seqs = [s for s in decode_seqs
+                      if s.guided_processor is None
+                      or s.guided_fsm is not None]
         t_steps = batch.decode_steps or max(1, self.cfg.decode_multi_step)
 
         new_window = None
@@ -395,6 +460,11 @@ class ContinuousBatchEngine:
         seq.output_tokens.append(token)
         if seq.first_token_time is None:
             seq.first_token_time = time.monotonic()
+        if seq.guided_fsm is not None:
+            # Device-FSM path: keep the host shadow processor in sync
+            # (drives is_complete + state re-init on re-admission). The
+            # host-masking path advances inside _guided_sample instead.
+            seq.guided_processor.advance(seq, token)
 
         sp = seq.request.sampling
         finish: Optional[FinishReason] = None

@@ -37,7 +37,8 @@ from ..models.llama_family import (
     logits_from_hidden, prefill_forward_batched,
 )
 from ..sampling.device import (
-    SlotSamplingParams, sample_step, update_counts,
+    SlotSamplingParams, guided_advance, guided_mask_rows, sample_step,
+    update_counts,
 )
 from ..scheduler.continuous import PrefillChunk
 from ..scheduler.sequence import Sequence
@@ -136,6 +137,28 @@ class ModelRunner:
         self._prefill_batch_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._zero_windows: Dict[int, "jax.Array"] = {}
 
+        # --- device-FSM guided decoding (sampling/token_fsm.py) ---
+        # Stacked tables for every registered FSM; row 0 = FREE state
+        # (all tokens allowed, self-loop) for unguided slots. Per-slot
+        # FSM state lives on device and advances INSIDE the fused
+        # windows; host-side resets ride the next dispatch's init row.
+        self._gstates = jnp.zeros(s, jnp.int32)
+        self._gtrans_np = np.zeros((1, 258), np.int32)      # FREE row
+        self._gmask_np = np.full((1, (v + 31) // 32),
+                                 0xFFFFFFFF, np.uint32)
+        self._gtrans_dev: Optional["jax.Array"] = None
+        self._gmask_dev: Optional["jax.Array"] = None
+        self._gtokcp_dev: Optional["jax.Array"] = None
+        self._fsm_offsets: Dict[int, int] = {}              # id(fsm) -> row
+        self._pending_ginit: Dict[int, int] = {}            # slot -> state
+        self._grows_bucket = 0
+        # Placeholder args for unguided program variants (traced but
+        # unused; tiny constant shapes keyed by grows=0).
+        self._gdummy_trans = jnp.zeros((1, 258), jnp.int32)
+        self._gdummy_mask = jnp.zeros((1, 1), jnp.uint32)
+        self._gdummy_init = jnp.full((s,), -1, jnp.int32)
+        self._gdummy_tokcp = jnp.zeros((1, 1), jnp.int32)
+
         def _admit(counts, keys, samp, slot, key, svals):
             counts = counts.at[slot].set(0)
             keys = keys.at[slot].set(key)
@@ -173,6 +196,62 @@ class ModelRunner:
         self.counts, self.keys, self.samp = self._admit_fn(
             self.counts, self.keys, self.samp, slot, key,
             jnp.asarray(svals))
+
+    # ------------------------------------------------------------------
+    # Guided decoding (device FSM)
+    # ------------------------------------------------------------------
+    def register_guided_fsm(self, fsm, vocab_table) -> int:
+        """Stack a TokenFsm's tables into the device-resident guided
+        tables; returns the FSM's global row offset. Tables are padded
+        to a pow2 row bucket so growing the registry recompiles at most
+        log2 times."""
+        off = self._fsm_offsets.get(id(fsm))
+        if off is not None:
+            return off
+        off = self._gtrans_np.shape[0]
+        trans = fsm.trans + off                 # local ids -> global rows
+        self._gtrans_np = np.concatenate([self._gtrans_np, trans])
+        self._gmask_np = np.concatenate([self._gmask_np, fsm.mask_words])
+        self._fsm_offsets[id(fsm)] = off
+        self._gtrans_dev = None                 # re-upload lazily
+        if self._gtokcp_dev is None:
+            self._gtokcp_dev = jnp.asarray(vocab_table.token_cps)
+        return off
+
+    def set_guided_state(self, slot: int, state: int) -> None:
+        """Queue a per-slot FSM state init; applied by the next guided
+        dispatch's init row (no extra device round trip)."""
+        self._pending_ginit[slot] = state
+
+    def _guided_tables(self) -> Tuple["jax.Array", "jax.Array", int]:
+        rows = self._gtrans_np.shape[0]
+        bucket = max(2, 1 << (rows - 1).bit_length())
+        if self._gtrans_dev is None or bucket != self._grows_bucket:
+            pad = bucket - rows
+            trans = np.concatenate(
+                [self._gtrans_np,
+                 np.zeros((pad, 258), np.int32)]) if pad else self._gtrans_np
+            mask = np.concatenate(
+                [self._gmask_np,
+                 np.full((pad, self._gmask_np.shape[1]), 0xFFFFFFFF,
+                         np.uint32)]) if pad else self._gmask_np
+            self._gtrans_dev = jnp.asarray(trans)
+            self._gmask_dev = jnp.asarray(mask)
+            self._grows_bucket = bucket
+        return self._gtrans_dev, self._gmask_dev, bucket
+
+    def _gdummy(self) -> Tuple["jax.Array", "jax.Array", int]:
+        return self._gdummy_trans, self._gdummy_mask, 0
+
+    def _ginit_row(self) -> np.ndarray:
+        """Per-slot init states for this dispatch (-1 = keep device
+        state); drains ALL queued resets (inits for slots not in the
+        batch are harmless — their lanes are inactive)."""
+        row = np.full(self.num_slots, -1, np.int32)
+        for slot, st in self._pending_ginit.items():
+            row[slot] = st
+        self._pending_ginit.clear()
+        return row
 
     # ------------------------------------------------------------------
     # Bucketing
@@ -225,7 +304,8 @@ class ModelRunner:
         return fn
 
     def _get_decode_window_fn(self, ctx_pad: int, num_steps: int,
-                              greedy: bool = False):
+                              greedy: bool = False, guided: bool = False,
+                              grows: int = 0):
         """T decode steps fused into one compiled program via lax.scan.
 
         The sampled token of step t feeds step t+1 on device; positions,
@@ -244,7 +324,7 @@ class ModelRunner:
         dispatch window W+1 before reading W's results, keeping the
         device 100% busy across host bookkeeping + tunnel RTT.
         """
-        key = (ctx_pad, num_steps, greedy)
+        key = (ctx_pad, num_steps, greedy, guided, grows)
         fn = self._decode_multi_fns.get(key)
         if fn is not None:
             return fn
@@ -252,9 +332,11 @@ class ModelRunner:
         mc = self.model_cfg
         attn_impl = self.attn_impl
         page = self.page
+        vocab = self.model_cfg.vocab_size
 
         def step_fn(params, kv, counts, keys, packed, prev_toks,
-                    block_tables, samp):
+                    block_tables, samp, gstates, ginit, gtrans, gmask,
+                    gtokcp):
             # packed int32 [7, S]: tokens, positions, context_lens,
             # pos_limit, active_slots, min_tokens_active, use_carry
             tokens0 = jnp.where(packed[6] == 1, prev_toks[-1], packed[0])
@@ -263,9 +345,12 @@ class ModelRunner:
             min_tok_active = packed[5] == 1
             temps, top_ks = samp["temps"], samp["top_ks"]
             top_ps, penalties = samp["top_ps"], samp["pens"]
+            if guided:
+                gstates = jnp.where(ginit >= 0, ginit, gstates)
 
             def body(carry, _):
-                tokens, positions, context_lens, kv, counts, keys = carry
+                (tokens, positions, context_lens, kv, counts, keys,
+                 gstates) = carry
                 # Device-side flat-slot lookup (kv_cache_append analog of
                 # the host's SequenceBlocks.flat_slot).
                 page_idx = positions // page
@@ -284,18 +369,26 @@ class ModelRunner:
                 logits = logits_from_hidden(params, mc, h)
                 sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
                                         min_tok_active)
+                mask = guided_mask_rows(gmask, gstates, vocab) \
+                    if guided else None
                 out_tokens, keys = sample_step(logits, sp, counts, keys,
-                                               eos_ids, greedy_only=greedy)
+                                               eos_ids, greedy_only=greedy,
+                                               allowed_mask=mask)
+                if guided:
+                    gstates = guided_advance(gtrans, gtokcp, gstates,
+                                             out_tokens)
                 counts = update_counts(counts, active_slots, out_tokens)
                 return ((out_tokens, positions + 1, context_lens + 1,
-                         kv, counts, keys), out_tokens)
+                         kv, counts, keys, gstates), out_tokens)
 
-            carry = (tokens0, packed[1], packed[2], kv, counts, keys)
-            (tokens, positions, context_lens, kv, counts, keys), all_toks = \
+            carry = (tokens0, packed[1], packed[2], kv, counts, keys,
+                     gstates)
+            (tokens, positions, context_lens, kv, counts, keys,
+             gstates), all_toks = \
                 jax.lax.scan(body, carry, None, length=num_steps)
-            return all_toks, kv, counts, keys
+            return all_toks, kv, counts, keys, gstates
 
-        fn = jax.jit(step_fn, donate_argnums=(1, 2, 3))
+        fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 8))
         self._decode_multi_fns[key] = fn
         self.compilations += 1
         return fn
@@ -348,7 +441,18 @@ class ModelRunner:
 
         ctx_pad = self.ctx_bucket(max_len + num_steps)
         greedy = bool(all(self._temps[seq.slot] == 0 for seq in seqs))
-        fn = self._get_decode_window_fn(ctx_pad, num_steps, greedy)
+        guided = any(getattr(seq, "guided_fsm_offset", None) is not None
+                     for seq in seqs)
+        if guided:
+            gtrans, gmask, grows = self._guided_tables()
+            ginit = jnp.asarray(self._ginit_row())
+            gtokcp = self._gtokcp_dev
+        else:
+            gtrans, gmask, grows = self._gdummy()
+            ginit = self._gdummy_init
+            gtokcp = self._gdummy_tokcp
+        fn = self._get_decode_window_fn(ctx_pad, num_steps, greedy,
+                                        guided, grows)
         if prev is not None:
             # Chaining requires matching carry shape; the engine breaks
             # the chain (syncs first) when the window length changes.
@@ -356,9 +460,10 @@ class ModelRunner:
         prev_toks = prev.toks if prev is not None \
             else self._zero_window(num_steps)
         t0 = time.perf_counter()
-        all_toks, self.kv, self.counts, self.keys = fn(
+        all_toks, self.kv, self.counts, self.keys, self._gstates = fn(
             self.params, self.kv, self.counts, self.keys,
-            jnp.asarray(packed), prev_toks, self._tables_dev, self.samp)
+            jnp.asarray(packed), prev_toks, self._tables_dev, self.samp,
+            self._gstates, ginit, gtrans, gmask, gtokcp)
         self.decode_device_time += time.perf_counter() - t0
         self.decode_steps += num_steps
         return DecodeWindow(
@@ -383,14 +488,15 @@ class ModelRunner:
 
     def _get_prefill_batch_fn(self, b_pad: int, t_pad: int, ctx_pad: int,
                               greedy: bool = False,
-                              return_logits: bool = False):
+                              return_logits: bool = False,
+                              guided: bool = False, grows: int = 0):
         """B sequences' prefill chunks fused into ONE compiled program.
 
         The trunk runs at m = B*T, so the (4 GB at 8B-int4) weight
         stream is amortized across the whole admitted wave instead of
         per sequence — measured 80 ms/seq serial → ~22 ms/seq at B=8
         on v5e. TTFT under concurrent load is dominated by this."""
-        key = (b_pad, t_pad, ctx_pad, greedy, return_logits)
+        key = (b_pad, t_pad, ctx_pad, greedy, return_logits, guided, grows)
         fn = self._prefill_batch_fns.get(key)
         if fn is not None:
             return fn
@@ -400,7 +506,8 @@ class ModelRunner:
         vocab = self.model_cfg.vocab_size
         num_slots = self.num_slots
 
-        def step(params, kv, counts, keys, packed, tables, samp):
+        def step(params, kv, counts, keys, packed, tables, samp,
+                 gstates, ginit, gtrans, gmask, gtokcp):
             # packed int32 [B, 5, t_pad]: per row — tokens, count_tokens,
             # positions, flat_slots, scalars(slot, last_idx, total_len,
             # min_tokens_active, is_last, ...pad). Pad rows carry
@@ -425,9 +532,21 @@ class ModelRunner:
             sp = SlotSamplingParams(
                 samp["temps"][sl], samp["top_ks"][sl],
                 samp["top_ps"][sl], samp["pens"][sl], min_active)
+            if guided:
+                gstates = jnp.where(ginit >= 0, ginit, gstates)
+                st = gstates[sl]                           # [B]
+                mask = guided_mask_rows(gmask, st, vocab)
+            else:
+                mask = None
             toks, new_keys = sample_step(
                 logits, sp, counts[sl], keys[sl], eos_ids,
-                greedy_only=greedy)
+                greedy_only=greedy, allowed_mask=mask)
+            if guided:
+                # Advance the FSM only on final chunks (non-final rows'
+                # samples are discarded by the host).
+                st2 = guided_advance(gtrans, gtokcp, st, toks)
+                gstates = gstates.at[slots].set(
+                    jnp.where(is_last, st2, st), mode="drop")
             # Commit sampled-token count + PRNG advance only for final
             # chunks (pad/non-final rows drop via OOB index / slot).
             keys = keys.at[slots].set(
@@ -436,10 +555,10 @@ class ModelRunner:
             counts = counts.at[
                 slots, jnp.where(is_last, toks, vocab)].add(1, mode="drop")
             if return_logits:
-                return toks, kv, counts, keys, logits
-            return toks, kv, counts, keys
+                return toks, kv, counts, keys, gstates, logits
+            return toks, kv, counts, keys, gstates
 
-        fn = jax.jit(step, donate_argnums=(1, 2))
+        fn = jax.jit(step, donate_argnums=(1, 2, 7))
         self._prefill_batch_fns[key] = fn
         self.compilations += 1
         return fn
@@ -485,19 +604,74 @@ class ModelRunner:
         self._sync_tables([c.seq for c in chunks])
 
         greedy = bool(all(self._temps[c.seq.slot] == 0 for c in chunks))
+        guided = any(getattr(c.seq, "guided_fsm_offset", None) is not None
+                     for c in chunks)
+        if guided:
+            gtrans, gmask, grows = self._guided_tables()
+            ginit = jnp.asarray(self._ginit_row())
+            gtokcp = self._gtokcp_dev
+        else:
+            gtrans, gmask, grows = self._gdummy()
+            ginit = self._gdummy_init
+            gtokcp = self._gdummy_tokcp
         fn = self._get_prefill_batch_fn(b_pad, t_pad, ctx_pad, greedy,
-                                        return_logits)
+                                        return_logits, guided, grows)
         t0 = time.perf_counter()
         out = fn(self.params, self.kv, self.counts, self.keys,
-                 jnp.asarray(packed), self._tables_dev, self.samp)
+                 jnp.asarray(packed), self._tables_dev, self.samp,
+                 self._gstates, ginit, gtrans, gmask, gtokcp)
         if return_logits:
-            toks, self.kv, self.counts, self.keys, logits = out
+            toks, self.kv, self.counts, self.keys, self._gstates, logits = out
         else:
-            toks, self.kv, self.counts, self.keys = out
+            toks, self.kv, self.counts, self.keys, self._gstates = out
             logits = None
         self.prefill_device_time += time.perf_counter() - t0
         self.prefill_steps += len(chunks)
         return BatchPrefillResult(tokens=toks, logits=logits, rows=rows)
+
+    def warm_prefill_siblings(self) -> int:
+        """Compile every pow2 b_pad sibling of the already-compiled
+        batched-prefill buckets via a NO-OP execution (all rows padded:
+        slot == num_slots, OOB positions/flat-slots → every state write
+        drops). Serving then never compiles a prefill program mid-
+        request regardless of how admission waves fragment (a mid-bench
+        remote compile costs 40-400 s and lands in some request's TTFT).
+        Returns the number of programs compiled."""
+        v = self.model_cfg.vocab_size
+        done = 0
+        for (b_pad, t_pad, ctx_pad, greedy, rl, gd, grows) in list(
+                self._prefill_batch_fns.keys()):
+            b = 1
+            while b <= max(self.cfg.max_num_seqs, 1):
+                key = (b, t_pad, ctx_pad, greedy, rl, gd, grows)
+                if key not in self._prefill_batch_fns:
+                    packed = np.zeros((b, 5, t_pad), np.int32)
+                    packed[:, 1] = v
+                    packed[:, 2] = self.cfg.max_model_len + ctx_pad
+                    packed[:, 3] = OOB_SENTINEL
+                    packed[:, 4, 0] = self.num_slots
+                    if gd:
+                        gtrans, gmask, _ = self._guided_tables()
+                        gtokcp = self._gtokcp_dev
+                    else:
+                        gtrans, gmask, _ = self._gdummy()
+                        gtokcp = self._gdummy_tokcp
+                    fn = self._get_prefill_batch_fn(b, t_pad, ctx_pad,
+                                                    greedy, rl, gd, grows)
+                    out = fn(self.params, self.kv, self.counts, self.keys,
+                             jnp.asarray(packed), self._tables_dev,
+                             self.samp, self._gstates, self._gdummy_init,
+                             gtrans, gmask, gtokcp)
+                    if rl:
+                        (toks, self.kv, self.counts, self.keys,
+                         self._gstates, _) = out
+                    else:
+                        (toks, self.kv, self.counts, self.keys,
+                         self._gstates) = out
+                    np.asarray(toks)  # block until compiled + run
+                    done += 1
+                b *= 2
+        return done
 
     # ------------------------------------------------------------------
     # Host-side batch assembly + execution

@@ -55,6 +55,7 @@ def sample_step(
     keys: jnp.ndarray,              # uint32 [S, 2] per-slot PRNG keys
     eos_ids: Tuple[int, ...],
     greedy_only: bool = False,
+    allowed_mask: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns (tokens int32 [S], new_keys uint32 [S,2]).
 
@@ -62,8 +63,14 @@ def sample_step(
     top-k/top-p machinery entirely (a top_k over a 150k vocab is far
     more expensive than the argmax; the runner picks this variant when
     the whole batch is greedy — the FERRUM_GREEDY_ARGMAX fast path).
+
+    allowed_mask (bool [S, V], optional): guided-decoding hard mask
+    applied before everything else (device-FSM path; rows of slots
+    without guidance are all-True).
     """
     s, v = logits.shape
+    if allowed_mask is not None:
+        logits = jnp.where(allowed_mask, logits, -jnp.inf)
     logits = apply_repetition_penalty(logits, counts,
                                       params.repetition_penalty)
     if eos_ids:
@@ -146,6 +153,35 @@ def processed_probs(
     full = jnp.zeros((s, v), jnp.float32)
     full = jax.vmap(lambda f, i, p: f.at[i].set(p))(full, idx, p_cap)
     return jnp.where(params.temperature[:, None] <= 0.0, onehot, full)
+
+
+def guided_mask_rows(mask_words: jnp.ndarray,   # uint32 [R, W] packed bits
+                     states: jnp.ndarray,       # int32 [S] per-slot FSM state
+                     vocab: int) -> jnp.ndarray:
+    """Gather + unpack each slot's packed guided vocab mask → bool [S, V].
+    Row 0 of the table is the FREE state (all ones) used by unguided
+    slots, so applying this in a mixed batch is a no-op for them."""
+    rows = mask_words[states]                             # [S, W]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (rows[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    return bits.reshape(states.shape[0], -1)[:, :vocab] != 0
+
+
+def guided_advance(trans: jnp.ndarray,       # int32 [R, 258] char table
+                   token_cps: jnp.ndarray,   # int32 [V, Lmax]
+                   states: jnp.ndarray,      # int32 [S]
+                   tokens: jnp.ndarray) -> jnp.ndarray:
+    """Fold the sampled tokens' codepoints through the transition table
+    (device analog of RegexGuidedProcessor.advance). PAD columns keep
+    the state, so EOS/special tokens (empty decode) are no-ops; the FREE
+    state self-loops for unguided slots."""
+    cps = token_cps[tokens]                               # [S, Lmax]
+
+    def body(st, cp):
+        return trans[st, cp], None
+
+    st, _ = jax.lax.scan(body, states, cps.T)
+    return st
 
 
 def update_counts(counts: jnp.ndarray, slot_ids: jnp.ndarray,

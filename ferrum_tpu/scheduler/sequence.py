@@ -56,6 +56,11 @@ class Sequence:
         # Guided decoding DFA state index (sampling/guided.py).
         self.guided_state: Optional[int] = None
         self.guided_processor = None
+        # Device-FSM guided decoding (sampling/token_fsm.py): global row
+        # offset of this request's FSM in the runner's stacked tables,
+        # plus the TokenFsm itself (for state re-init on re-admission).
+        self.guided_fsm = None
+        self.guided_fsm_offset: Optional[int] = None
 
     # --- derived ---
     @property

@@ -30,8 +30,8 @@ from .chat_template import ChatTemplateRenderer
 from .openai_types import (
     ChatCompletionRequest, CompletionRequest, EmbeddingsRequest, chat_chunk,
     chat_response, completion_id, error_body, flatten_content,
-    guided_from_chat, sampling_from_chat, validate_chat_request,
-    validate_completion_request,
+    guided_from_chat, guided_from_completion, sampling_from_chat,
+    validate_chat_request, validate_completion_request,
 )
 from .tool_calls import parse_tool_calls
 
@@ -354,7 +354,8 @@ class FerrumServer:
             max_tokens=req.max_tokens or 16,
             min_tokens=req.min_tokens or 0,
             stop=stop, seed=req.seed, ignore_eos=bool(req.ignore_eos))
-        inf_req = InferenceRequest(prompt=req.prompt, sampling=sampling)
+        inf_req = InferenceRequest(prompt=req.prompt, sampling=sampling,
+                                   guided=guided_from_completion(req))
         rid = completion_id("cmpl")
 
         if req.stream:

@@ -90,6 +90,11 @@ class CompletionRequest(BaseModel):
     logprobs: Optional[int] = None
     ignore_eos: Optional[bool] = None
     min_tokens: Optional[int] = None
+    # vLLM-compatible guided-decoding extensions (served by the
+    # device-FSM path, sampling/token_fsm.py).
+    guided_regex: Optional[str] = None
+    guided_json: Optional[Dict[str, Any]] = None
+    guided_choice: Optional[List[str]] = None
 
 
 class EmbeddingsRequest(BaseModel):
@@ -203,6 +208,25 @@ def sampling_from_chat(req: ChatCompletionRequest,
         stop=stop,
         seed=req.seed,
         ignore_eos=bool(req.ignore_eos))
+
+
+def guided_from_completion(req: CompletionRequest) -> Optional[GuidedOptions]:
+    """vLLM-style guided_regex / guided_json / guided_choice on
+    /v1/completions (at most one; 400 otherwise)."""
+    import re as _re
+    set_fields = [f for f in ("guided_regex", "guided_json",
+                              "guided_choice") if getattr(req, f)]
+    if not set_fields:
+        return None
+    if len(set_fields) > 1:
+        _reject("at most one of guided_regex/guided_json/guided_choice",
+                set_fields[1])
+    if req.guided_regex is not None:
+        return GuidedOptions(regex=req.guided_regex)
+    if req.guided_json is not None:
+        return GuidedOptions(json_schema=req.guided_json, strict=True)
+    return GuidedOptions(regex="|".join(
+        _re.escape(c) for c in req.guided_choice))
 
 
 def guided_from_chat(req: ChatCompletionRequest) -> Optional[GuidedOptions]:

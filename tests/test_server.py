@@ -197,6 +197,30 @@ class TestCompletions:
         lines = [l for l in r.iter_lines() if l.startswith(b"data:")]
         assert lines[-1][5:].strip() == b"[DONE]"
 
+    def test_guided_regex(self, server):
+        r = requests.post(f"{server.base}/v1/completions",
+                          json={"model": "t", "prompt": "answer:",
+                                "max_tokens": 8, "temperature": 0,
+                                "guided_regex": "(yes|no)"})
+        assert r.status_code == 200, r.text
+        assert r.json()["choices"][0]["text"] in ("yes", "no")
+
+    def test_guided_choice(self, server):
+        r = requests.post(f"{server.base}/v1/completions",
+                          json={"model": "t", "prompt": "pick:",
+                                "max_tokens": 8, "temperature": 0,
+                                "guided_choice": ["alpha", "beta"]})
+        assert r.status_code == 200, r.text
+        assert r.json()["choices"][0]["text"] in ("alpha", "beta")
+
+    def test_guided_conflicting_fields_400(self, server):
+        r = requests.post(f"{server.base}/v1/completions",
+                          json={"model": "t", "prompt": "x", "max_tokens": 4,
+                                "guided_regex": "a+",
+                                "guided_choice": ["b"]})
+        assert r.status_code == 400
+        assert "guided" in r.json()["error"]["param"]
+
 
 class TestMisc:
     def test_models(self, server):

@@ -121,20 +121,23 @@ def main():
         packed[4, sl] = sl
     import jax.numpy as jnp
     prev_toks = runner._zero_window(T)
+    gargs = lambda: (runner._gstates, runner._gdummy_init,  # noqa: E731
+                     *runner._gdummy()[:2], runner._gdummy_tokcp)
     # warm compile for the chained variant
     pk = jnp.asarray(packed)
-    toks, runner.kv, runner.counts, runner.keys = fn(
+    toks, runner.kv, runner.counts, runner.keys, runner._gstates = fn(
         runner.params, runner.kv, runner.counts, runner.keys,
-        pk, prev_toks, runner._tables_dev, runner.samp)
+        pk, prev_toks, runner._tables_dev, runner.samp, *gargs())
     np.asarray(toks)
     t0 = time.time()
     for w in range(n_win):
         packed[1] += T
         packed[2] += T
         packed[6] = 1
-        toks, runner.kv, runner.counts, runner.keys = fn(
+        toks, runner.kv, runner.counts, runner.keys, runner._gstates = fn(
             runner.params, runner.kv, runner.counts, runner.keys,
-            jnp.asarray(packed), toks, runner._tables_dev, runner.samp)
+            jnp.asarray(packed), toks, runner._tables_dev, runner.samp,
+            *gargs())
     np.asarray(toks)
     dt = time.time() - t0
     print(f"decode chained (no per-window sync): {dt/n_win*1e3:.1f} ms/window"
