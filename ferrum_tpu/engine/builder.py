@@ -41,6 +41,10 @@ def autosize_kv_blocks(model_cfg: ModelConfig, engine_cfg: EngineConfig,
     kv_dtype_bytes = 1 if engine_cfg.kv_dtype == "int8" else 2
     block_bytes = (2 * model_cfg.num_layers * engine_cfg.kv_block_size
                    * model_cfg.kv_size * kv_dtype_bytes)
+    if engine_cfg.kv_dtype == "int8":
+        # f32 per-(token, kv-head) scales ride alongside the int8 data.
+        block_bytes += (2 * model_cfg.num_layers * engine_cfg.kv_block_size
+                        * model_cfg.num_kv_heads * 4)
     free = hbm_bytes * (1.0 - reserve_frac) - params_bytes
     blocks = int(free // block_bytes)
     # At least enough for one full-length sequence; at most what
@@ -131,12 +135,8 @@ class EngineBuilder:
         else:
             num_blocks = autosize_kv_blocks(
                 self.model_cfg, cfg, params_nbytes(self.params))
-        if cfg.kv_dtype == "int8":
-            from ..types import NotSupportedError
-            raise NotSupportedError(
-                "int8 KV cache needs the scaled-quantization path "
-                "(planned); use bf16 or f32", param="kv_dtype")
-        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32}[cfg.kv_dtype]
+        kv_dtype = {"bf16": jnp.bfloat16, "f32": jnp.float32,
+                    "int8": jnp.int8}[cfg.kv_dtype]
         kv = PagedKvCache.create(self.model_cfg, num_blocks,
                                  cfg.kv_block_size, dtype=kv_dtype)
         from ..ops.pallas.quant_matmul import set_w4a8

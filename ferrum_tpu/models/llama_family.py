@@ -100,20 +100,33 @@ class ModelParams:
 # ---------------------------------------------------------------------------
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["k", "v"], meta_fields=["page", "kv_heads", "head_dim"])
+         data_fields=["k", "v", "k_scale", "v_scale"],
+         meta_fields=["page", "kv_heads", "head_dim"])
 @dataclass
 class PagedKvCache:
-    """Device KV pool: k/v [L, num_blocks, page, kv_heads*head_dim]."""
+    """Device KV pool: k/v [L, num_blocks, page, kv_heads*head_dim].
+
+    INT8 mode (ref: int8_paged_decode_attention.cu, kv_dtype.rs:23-45):
+    k/v hold symmetric per-(token, kv-head) int8 values with f32 scales
+    [L, num_blocks, page, kv_heads]; attention dequantizes POST-matmul
+    (the scale is constant within one head's F segment, so it commutes
+    out of the contraction — bandwidth halves, math is exact)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
     page: int
     kv_heads: int
     head_dim: int
+    k_scale: Optional[jnp.ndarray] = None
+    v_scale: Optional[jnp.ndarray] = None
 
     @property
     def num_blocks(self) -> int:
         return self.k.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
     @classmethod
     def create(cls, cfg: ModelConfig, num_blocks: int, page: int,
@@ -122,11 +135,15 @@ class PagedKvCache:
         if sharding is not None:
             zeros = partial(jax.jit, out_shardings=sharding, static_argnums=(0, 1))(
                 lambda s, d: jnp.zeros(s, d))
-            k, v = zeros(shape, dtype), zeros(shape, dtype)
         else:
-            k, v = jnp.zeros(shape, dtype), jnp.zeros(shape, dtype)
+            zeros = jnp.zeros
+        k, v = zeros(shape, dtype), zeros(shape, dtype)
+        ks = vs = None
+        if dtype == jnp.int8:
+            sshape = (cfg.num_layers, num_blocks, page, cfg.num_kv_heads)
+            ks, vs = zeros(sshape, jnp.float32), zeros(sshape, jnp.float32)
         return cls(k=k, v=v, page=page, kv_heads=cfg.num_kv_heads,
-                   head_dim=cfg.head_dim)
+                   head_dim=cfg.head_dim, k_scale=ks, v_scale=vs)
 
 
 # ---------------------------------------------------------------------------
@@ -260,6 +277,16 @@ def make_rope_tables(cfg: ModelConfig):
 OOB_SENTINEL = 1 << 30
 
 
+def quantize_kv(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Symmetric per-(row, kv-head) int8 quantization for KV appends.
+    x [..., Hkv, D] -> (int8 [..., Hkv, D], f32 scale [..., Hkv])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
 def decode_forward(
     params: ModelParams, cfg: ModelConfig, kv: PagedKvCache,
     tokens: jnp.ndarray,         # int32 [S]
@@ -288,7 +315,15 @@ def decode_forward(
     # Merge layer dim into the block dim (leading merge — layout-free).
     state = {"k": kv.k.reshape(L * nb, page, f),
              "v": kv.v.reshape(L * nb, page, f)}
+    quant = kv.quantized
+    if quant:
+        state["ks"] = kv.k_scale.reshape(L * nb, page, hkv)
+        state["vs"] = kv.v_scale.reshape(L * nb, page, hkv)
     deferred = attn_impl in ("linear", "ref")
+    if quant and not deferred:
+        raise NotImplementedError(
+            f"int8 KV requires the deferred-append paths, not "
+            f"attn_impl={attn_impl!r}")
     new_ks: List[jnp.ndarray] = []
     new_vs: List[jnp.ndarray] = []
 
@@ -305,14 +340,27 @@ def decode_forward(
                 from ..ops.attention import flat_decode_attention
                 k_lin = kc.reshape(s_slots, -1, f)[:, :ctx_pad]
                 v_lin = vc.reshape(s_slots, -1, f)[:, :ctx_pad]
+                ks_lin = vs_lin = None
+                if quant:
+                    ks_lin = state["ks"][li * nb:(li + 1) * nb].reshape(
+                        s_slots, -1, hkv)[:, :ctx_pad]
+                    vs_lin = state["vs"][li * nb:(li + 1) * nb].reshape(
+                        s_slots, -1, hkv)[:, :ctx_pad]
                 return flat_decode_attention(
                     q, k_lin, v_lin, context_lens, k_new, v_new,
                     hkv=hkv, scale=cfg.attn_scale, sliding_window=sw,
-                    softcap=cfg.attn_logit_softcap)
+                    softcap=cfg.attn_logit_softcap,
+                    k_scale=ks_lin, v_scale=vs_lin)
             # paged reference (CPU oracle): gather via block tables.
+            kr = kc.reshape(nb, page, hkv, d)
+            vr = vc.reshape(nb, page, hkv, d)
+            if quant:
+                kr = (kr.astype(jnp.float32) * state["ks"][
+                    li * nb:(li + 1) * nb][..., None]).astype(q.dtype)
+                vr = (vr.astype(jnp.float32) * state["vs"][
+                    li * nb:(li + 1) * nb][..., None]).astype(q.dtype)
             return paged_decode_attention_ref(
-                q, kc.reshape(nb, page, hkv, d),
-                vc.reshape(nb, page, hkv, d),
+                q, kr, vr,
                 block_tables, context_lens, ctx_pad=ctx_pad,
                 scale=cfg.attn_scale, sliding_window=sw,
                 softcap=cfg.attn_logit_softcap,
@@ -349,8 +397,8 @@ def decode_forward(
     if deferred and new_ks:
         from ..ops.pallas.kv_append import append_rows
         # [L, S, hkv, d] → [L*S, F]; per-layer block bases on indices.
-        k_stack = jnp.stack(new_ks).reshape(L * s_slots, f)
-        v_stack = jnp.stack(new_vs).reshape(L * s_slots, f)
+        k_stack = jnp.stack(new_ks).reshape(L * s_slots, hkv, d)
+        v_stack = jnp.stack(new_vs).reshape(L * s_slots, hkv, d)
         blk = flat_slots // page                         # [S]
         off = flat_slots % page
         bases = (jnp.arange(L, dtype=jnp.int32) * nb)[:, None]
@@ -358,13 +406,22 @@ def decode_forward(
         blk_all = jnp.where(jnp.tile(flat_slots, L) >= OOB_SENTINEL,
                             OOB_SENTINEL, blk_all)
         off_all = jnp.tile(off, L)
-        state["k"] = append_rows(state["k"], k_stack, blk_all, off_all)
-        state["v"] = append_rows(state["v"], v_stack, blk_all, off_all)
+        if quant:
+            k_stack, k_sc = quantize_kv(k_stack)
+            v_stack, v_sc = quantize_kv(v_stack)
+            state["ks"] = append_rows(state["ks"], k_sc, blk_all, off_all)
+            state["vs"] = append_rows(state["vs"], v_sc, blk_all, off_all)
+        state["k"] = append_rows(state["k"], k_stack.reshape(-1, f),
+                                 blk_all, off_all)
+        state["v"] = append_rows(state["v"], v_stack.reshape(-1, f),
+                                 blk_all, off_all)
 
     kv2 = PagedKvCache(
         k=state["k"].reshape(L, nb, page, f),
         v=state["v"].reshape(L, nb, page, f),
-        page=page, kv_heads=hkv, head_dim=d)
+        page=page, kv_heads=hkv, head_dim=d,
+        k_scale=state["ks"].reshape(L, nb, page, hkv) if quant else None,
+        v_scale=state["vs"].reshape(L, nb, page, hkv) if quant else None)
     return h, kv2
 
 
@@ -385,6 +442,10 @@ def prefill_forward(
     page-aligned by the scheduler), chunk K/V joins attention
     in-activation.
     """
+    if kv.quantized:
+        raise NotImplementedError(
+            "single-sequence prefill_forward does not support int8 KV; "
+            "the engine path (prefill_forward_batched) does")
     inv_g, inv_l = make_rope_tables(cfg)
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
@@ -480,8 +541,12 @@ def prefill_forward_batched(
     f = hkv * d
     L = cfg.num_layers
     b, t_pad = tokens.shape
+    quant = kv.quantized
     state = {"k": kv.k.reshape(L * nb, page, f),
              "v": kv.v.reshape(L * nb, page, f)}
+    if quant:
+        state["ks"] = kv.k_scale.reshape(L * nb, page, hkv)
+        state["vs"] = kv.v_scale.reshape(L * nb, page, hkv)
     new_ks: List[jnp.ndarray] = []
     new_vs: List[jnp.ndarray] = []
     from ..ops.attention import flat_prefill_attention
@@ -489,44 +554,58 @@ def prefill_forward_batched(
     flat_tokens = tokens.reshape(-1)
     flat_positions = positions.reshape(-1)
 
+    def _window(arr, width, li):
+        """Per-sequence ctx window from a flat [L*NB, page, w] pool."""
+        lc = arr[li * nb:(li + 1) * nb]
+        if attn_impl == "linear":
+            starts = block_tables[:, 0] * page           # [B]
+            r = lc.reshape(-1, width)
+            return jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
+                r, s, ctx_pad, axis=0))(starts)          # [B, ctx, w]
+        n_pages = ctx_pad // page
+        return lc[block_tables[:, :n_pages]].reshape(b, ctx_pad, width)
+
     def attn(li, q, k_new, v_new):
         new_ks.append(k_new)
         new_vs.append(v_new)
-        kc = state["k"][li * nb:(li + 1) * nb]          # [nb, page, F]
-        vc = state["v"][li * nb:(li + 1) * nb]
         sw = cfg.layer_sliding_window(li)
-        if attn_impl == "linear":
-            starts = block_tables[:, 0] * page           # [B]
-            kr, vr = kc.reshape(-1, f), vc.reshape(-1, f)
-            kl = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
-                kr, s, ctx_pad, axis=0))(starts)         # [B, ctx_pad, F]
-            vl = jax.vmap(lambda s: jax.lax.dynamic_slice_in_dim(
-                vr, s, ctx_pad, axis=0))(starts)
-        else:
-            n_pages = ctx_pad // page
-            kl = kc[block_tables[:, :n_pages]].reshape(b, ctx_pad, f)
-            vl = vc[block_tables[:, :n_pages]].reshape(b, ctx_pad, f)
+        kl = _window(state["k"], f, li)
+        vl = _window(state["v"], f, li)
+        ksl = _window(state["ks"], hkv, li) if quant else None
+        vsl = _window(state["vs"], hkv, li) if quant else None
         qb = q.reshape(b, t_pad, *q.shape[1:])
         kb = k_new.reshape(b, t_pad, *k_new.shape[1:])
         vb = v_new.reshape(b, t_pad, *v_new.shape[1:])
-        out = jax.vmap(
-            lambda qi, kli, vli, pi, tl, kni, vni: flat_prefill_attention(
+
+        def one(qi, kli, vli, pi, tl, kni, vni, ksi=None, vsi=None):
+            return flat_prefill_attention(
                 qi, kli, vli, pi, tl, kni, vni, hkv=hkv,
                 scale=cfg.attn_scale, sliding_window=sw,
-                softcap=cfg.attn_logit_softcap)
-        )(qb, kl, vl, positions, total_lens, kb, vb)     # [B, T, Hq, D]
+                softcap=cfg.attn_logit_softcap,
+                k_scale=ksi, v_scale=vsi)
+
+        if quant:
+            out = jax.vmap(one)(qb, kl, vl, positions, total_lens,
+                                kb, vb, ksl, vsl)
+        else:
+            out = jax.vmap(one)(qb, kl, vl, positions, total_lens,
+                                kb, vb)                  # [B, T, Hq, D]
         return out.reshape(b * t_pad, *out.shape[2:])
 
     h = forward_hidden(params, cfg, flat_tokens, flat_positions, attn,
                        inv_freq_global=inv_g, inv_freq_local=inv_l)
 
+    k_stack = jnp.stack(new_ks)                  # [L, B*T, Hkv, D]
+    v_stack = jnp.stack(new_vs)
+    k_sc = v_sc = None
+    if quant:
+        k_stack, k_sc = quantize_kv(k_stack)
+        v_stack, v_sc = quantize_kv(v_stack)
     if append == "rows":
         # Row-granular writes: speculative verification chunks start at
         # arbitrary (non-page-aligned) decode positions.
         from ..ops.pallas.kv_append import append_rows
         n_rows = b * t_pad
-        k_rows = jnp.stack(new_ks).reshape(L * n_rows, f)
-        v_rows = jnp.stack(new_vs).reshape(L * n_rows, f)
         fl = flat_slots.reshape(-1)
         blk = fl // page
         off = fl % page
@@ -535,29 +614,47 @@ def prefill_forward_batched(
                             >= OOB_SENTINEL, OOB_SENTINEL,
                             bases + blk[None, :]).reshape(-1)
         off_all = jnp.tile(off, L)
-        state["k"] = append_rows(state["k"], k_rows, blk_all, off_all)
-        state["v"] = append_rows(state["v"], v_rows, blk_all, off_all)
+        state["k"] = append_rows(state["k"], k_stack.reshape(-1, f),
+                                 blk_all, off_all)
+        state["v"] = append_rows(state["v"], v_stack.reshape(-1, f),
+                                 blk_all, off_all)
+        if quant:
+            state["ks"] = append_rows(state["ks"],
+                                      k_sc.reshape(-1, hkv),
+                                      blk_all, off_all)
+            state["vs"] = append_rows(state["vs"],
+                                      v_sc.reshape(-1, hkv),
+                                      blk_all, off_all)
     else:
         from ..ops.pallas.kv_append import append_pages
         # [L, B*T, F] → page blocks; every row's chunk is page-aligned
         # and t_pad is a page multiple, so the flat reshape lands on
         # pages.
         n_pg = (b * t_pad) // page
-        k_pages = jnp.stack(new_ks).reshape(L * n_pg, page, f)
-        v_pages = jnp.stack(new_vs).reshape(L * n_pg, page, f)
         first_flat = flat_slots.reshape(n_pg, page)[:, 0]
         blk_row = jnp.where(first_flat >= OOB_SENTINEL, OOB_SENTINEL,
                             first_flat // page)
         bases = (jnp.arange(L, dtype=jnp.int32) * nb)[:, None]
         blk_all = jnp.where(blk_row[None, :] >= OOB_SENTINEL, OOB_SENTINEL,
                             bases + blk_row[None, :]).reshape(-1)
-        state["k"] = append_pages(state["k"], k_pages, blk_all)
-        state["v"] = append_pages(state["v"], v_pages, blk_all)
+        state["k"] = append_pages(state["k"],
+                                  k_stack.reshape(L * n_pg, page, f),
+                                  blk_all)
+        state["v"] = append_pages(state["v"],
+                                  v_stack.reshape(L * n_pg, page, f),
+                                  blk_all)
+        if quant:
+            state["ks"] = append_pages(
+                state["ks"], k_sc.reshape(L * n_pg, page, hkv), blk_all)
+            state["vs"] = append_pages(
+                state["vs"], v_sc.reshape(L * n_pg, page, hkv), blk_all)
 
     kv2 = PagedKvCache(
         k=state["k"].reshape(L, nb, page, f),
         v=state["v"].reshape(L, nb, page, f),
-        page=page, kv_heads=hkv, head_dim=d)
+        page=page, kv_heads=hkv, head_dim=d,
+        k_scale=state["ks"].reshape(L, nb, page, hkv) if quant else None,
+        v_scale=state["vs"].reshape(L, nb, page, hkv) if quant else None)
     return h.reshape(b, t_pad, -1), kv2
 
 

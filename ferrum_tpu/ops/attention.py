@@ -410,15 +410,29 @@ def flat_decode_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,   # f32 [S, C, Hkv] (int8 KV)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Deferred-append decode attention over the flat cache layout."""
+    """Deferred-append decode attention over the flat cache layout.
+
+    INT8 KV: k_flat/v_flat are int8 with per-(token, kv-head) scales.
+    The scale is constant within a head's F segment and the masked-q
+    layout gives each q row exactly one head segment, so dequant
+    commutes out of both matmuls: scores *= k_scale (post-QK) and
+    p_hist *= v_scale (pre-PV). Exact, and the cache streams at half
+    the bytes (ref: int8_paged_decode_attention.cu)."""
     s, hq, d = q.shape
     ctx_pad = k_flat.shape[1]
     rep = hq // hkv
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qt = _mask_q_flat(qf, hkv)                               # [S, Hq, F]
-    scores = jnp.einsum("sqf,scf->sqc", qt, k_flat,
+    kf = k_flat.astype(qt.dtype) if k_flat.dtype == jnp.int8 else k_flat
+    scores = jnp.einsum("sqf,scf->sqc", qt, kf,
                         preferred_element_type=jnp.float32)  # [S, Hq, C]
+    if k_scale is not None:
+        # [S, C, Hkv] -> per q-head row [S, Hq, C]
+        ks_q = jnp.repeat(jnp.swapaxes(k_scale, 1, 2), rep, axis=1)
+        scores = scores * ks_q
     hist_len = context_lens[:, None] - 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
     valid = pos < hist_len
@@ -435,8 +449,13 @@ def flat_decode_attention(
     e_hist = jnp.exp(scores - m[:, :, None])
     e_self = jnp.exp(self_sc - m)
     denom = jnp.sum(e_hist, axis=-1) + e_self
-    p_hist = (e_hist / denom[:, :, None]).astype(k_flat.dtype)
-    out_all = jnp.einsum("sqc,scf->sqf", p_hist, v_flat,
+    p_hist = e_hist / denom[:, :, None]
+    if v_scale is not None:
+        vs_q = jnp.repeat(jnp.swapaxes(v_scale, 1, 2), rep, axis=1)
+        p_hist = p_hist * vs_q
+    p_hist = p_hist.astype(qt.dtype)
+    vf = v_flat.astype(qt.dtype) if v_flat.dtype == jnp.int8 else v_flat
+    out_all = jnp.einsum("sqc,scf->sqf", p_hist, vf,
                          preferred_element_type=jnp.float32)  # [S, Hq, F]
     out = _unmask_out_flat(out_all, hq, hkv, d)
     v_rep = jnp.repeat(v_self.astype(jnp.float32), rep, axis=1)
@@ -457,16 +476,25 @@ def flat_prefill_attention(
     scale: float,
     sliding_window: Optional[int] = None,
     softcap: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,   # f32 [C, Hkv] (int8 KV)
+    v_scale: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """Deferred-append chunked-prefill attention, flat layout."""
+    """Deferred-append chunked-prefill attention, flat layout.
+
+    INT8 KV: the cached prefix is int8 + per-(token, head) scales; the
+    in-flight chunk (k_new/v_new) stays full precision. Dequant rides
+    post-QK / pre-PV exactly as flat_decode_attention."""
     t, hq, d = q.shape
     ctx_pad = k_flat.shape[0]
+    rep = hq // hkv
     qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
     qt = _mask_q_flat(qf, hkv)                               # [T, Hq, F]
+    kfp = k_flat.astype(qt.dtype) if k_flat.dtype == jnp.int8 else k_flat
+    vfp = v_flat.astype(qt.dtype) if v_flat.dtype == jnp.int8 else v_flat
     k_all = jnp.concatenate(
-        [k_flat, k_new.reshape(t, hkv * d).astype(k_flat.dtype)], axis=0)
+        [kfp, k_new.reshape(t, hkv * d).astype(kfp.dtype)], axis=0)
     v_all = jnp.concatenate(
-        [v_flat, v_new.reshape(t, hkv * d).astype(v_flat.dtype)], axis=0)
+        [vfp, v_new.reshape(t, hkv * d).astype(vfp.dtype)], axis=0)
     hist_len = total_len - jnp.sum(
         (q_positions < total_len).astype(jnp.int32))
     kpos = jnp.concatenate([jax.lax.iota(jnp.int32, ctx_pad), q_positions])
@@ -479,9 +507,18 @@ def flat_prefill_attention(
         valid &= kpos[None, :] > (qpos - sliding_window)
     scores = jnp.einsum("tqf,cf->tqc", qt, k_all,
                         preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        ones = jnp.ones((t, hkv), k_scale.dtype)
+        ks_all = jnp.concatenate([k_scale, ones], axis=0)    # [C+T, Hkv]
+        scores = scores * jnp.repeat(ks_all.T, rep, axis=0)[None]
     scores = _maybe_softcap(scores, softcap)
     scores = jnp.where(valid[:, None, :], scores, NEG_INF)
-    probs = jax.nn.softmax(scores, axis=-1).astype(k_all.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        ones = jnp.ones((t, hkv), v_scale.dtype)
+        vs_all = jnp.concatenate([v_scale, ones], axis=0)
+        probs = probs * jnp.repeat(vs_all.T, rep, axis=0)[None]
+    probs = probs.astype(qt.dtype)
     out_all = jnp.einsum("tqc,cf->tqf", probs, v_all,
                          preferred_element_type=jnp.float32)
     return _unmask_out_flat(out_all, hq, hkv, d).astype(q.dtype)
