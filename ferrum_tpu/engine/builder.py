@@ -141,6 +141,16 @@ class EngineBuilder:
                                  cfg.kv_block_size, dtype=kv_dtype)
         from ..ops.pallas.quant_matmul import set_w4a8
         set_w4a8(cfg.w4a8)
+        if (self.model_cfg.gdn is not None
+                and self.model_cfg.num_linear_layers > 0):
+            # Hybrid GDN: recurrent state cannot be rebuilt from shared
+            # KV blocks, so block-level prefix reuse is unsound.
+            cfg.enable_prefix_cache = False
+            if cfg.spec_draft_model:
+                from ..types import NotSupportedError
+                raise NotSupportedError(
+                    "speculative decoding is not yet supported for "
+                    "hybrid (GDN) models", param="spec_draft_model")
         runner = ModelRunner(self.model_cfg, cfg, self.params, kv,
                              mesh=self.mesh, attn_impl=self.attn_impl)
         spec = None

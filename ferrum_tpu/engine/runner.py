@@ -159,6 +159,27 @@ class ModelRunner:
         self._gdummy_init = jnp.full((s,), -1, jnp.int32)
         self._gdummy_tokcp = jnp.zeros((1, 1), jnp.int32)
 
+        # --- hybrid (qwen3.5/qwen3-next) recurrent state pools ---
+        # The RecurrentStateManager analog (recurrent_state.rs:141):
+        # per-slot conv + delta states, donated through every compiled
+        # step; chunk-0 prefill rows reset their slot in-program.
+        self.hybrid = bool(model_cfg.gdn is not None
+                           and model_cfg.num_linear_layers > 0)
+        if self.hybrid:
+            gc = model_cfg.gdn
+            lg = model_cfg.num_linear_layers
+            conv_dim = (2 * gc.num_key_heads * gc.key_head_dim
+                        + gc.num_value_heads * gc.value_head_dim)
+            pdtype = jax.tree_util.tree_leaves(params)[0].dtype
+            self.rec_conv = jnp.zeros(
+                (lg, s, conv_dim, gc.conv_kernel_dim - 1), pdtype)
+            self.rec_delta = jnp.zeros(
+                (lg, s, gc.num_value_heads, gc.key_head_dim,
+                 gc.value_head_dim), jnp.float32)
+        else:
+            self.rec_conv = jnp.zeros((1, 1, 1, 1), jnp.float32)
+            self.rec_delta = jnp.zeros((1, 1, 1, 1, 1), jnp.float32)
+
         def _admit(counts, keys, samp, slot, key, svals):
             counts = counts.at[slot].set(0)
             keys = keys.at[slot].set(key)
@@ -278,15 +299,24 @@ class ModelRunner:
         eos_ids = self.model_cfg.eos_token_ids
         mc = self.model_cfg
         attn_impl = self.attn_impl
+        hybrid = self.hybrid
 
         def step(params, kv, counts, keys, packed, block_tables, samp,
-                 flat_slots):
+                 flat_slots, rec_conv, rec_delta):
             # packed int32 [6, S]: tokens, positions, context_lens,
             # pos_limit(unused here), active_slots, min_tokens_active
-            h, kv = decode_forward(
-                params, mc, kv, packed[0], packed[1], block_tables,
-                packed[2], flat_slots, ctx_pad=ctx_pad,
-                attn_impl=attn_impl)
+            if hybrid:
+                h, kv, rec = decode_forward(
+                    params, mc, kv, packed[0], packed[1], block_tables,
+                    packed[2], flat_slots, ctx_pad=ctx_pad,
+                    attn_impl=attn_impl,
+                    rec={"conv": rec_conv, "delta": rec_delta})
+                rec_conv, rec_delta = rec["conv"], rec["delta"]
+            else:
+                h, kv = decode_forward(
+                    params, mc, kv, packed[0], packed[1], block_tables,
+                    packed[2], flat_slots, ctx_pad=ctx_pad,
+                    attn_impl=attn_impl)
             logits = logits_from_hidden(params, mc, h)
             sp = SlotSamplingParams(samp["temps"], samp["top_ks"],
                                     samp["top_ps"], samp["pens"],
@@ -295,10 +325,11 @@ class ModelRunner:
                                            greedy_only=greedy)
             counts = update_counts(counts, packed[4], out_tokens)
             if return_logits:
-                return out_tokens, kv, counts, keys, logits
-            return out_tokens, kv, counts, keys
+                return (out_tokens, kv, counts, keys, rec_conv, rec_delta,
+                        logits)
+            return out_tokens, kv, counts, keys, rec_conv, rec_delta
 
-        fn = jax.jit(step, donate_argnums=(1, 2, 3))
+        fn = jax.jit(step, donate_argnums=(1, 2, 3, 8, 9))
         self._decode_fns[key] = fn
         self.compilations += 1
         return fn
@@ -333,10 +364,11 @@ class ModelRunner:
         attn_impl = self.attn_impl
         page = self.page
         vocab = self.model_cfg.vocab_size
+        hybrid = self.hybrid
 
         def step_fn(params, kv, counts, keys, packed, prev_toks,
                     block_tables, samp, gstates, ginit, gtrans, gmask,
-                    gtokcp):
+                    gtokcp, rec_conv, rec_delta):
             # packed int32 [7, S]: tokens, positions, context_lens,
             # pos_limit, active_slots, min_tokens_active, use_carry
             tokens0 = jnp.where(packed[6] == 1, prev_toks[-1], packed[0])
@@ -350,7 +382,7 @@ class ModelRunner:
 
             def body(carry, _):
                 (tokens, positions, context_lens, kv, counts, keys,
-                 gstates) = carry
+                 gstates, rec_conv, rec_delta) = carry
                 # Device-side flat-slot lookup (kv_cache_append analog of
                 # the host's SequenceBlocks.flat_slot).
                 page_idx = positions // page
@@ -362,10 +394,18 @@ class ModelRunner:
                 flat = jnp.where(
                     (positions < pos_limit) & (active_slots < tokens.shape[0]),
                     flat, oob)
-                h, kv = decode_forward(
-                    params, mc, kv, tokens, positions, block_tables,
-                    context_lens, flat, ctx_pad=ctx_pad,
-                    attn_impl=attn_impl)
+                if hybrid:
+                    h, kv, rec = decode_forward(
+                        params, mc, kv, tokens, positions, block_tables,
+                        context_lens, flat, ctx_pad=ctx_pad,
+                        attn_impl=attn_impl,
+                        rec={"conv": rec_conv, "delta": rec_delta})
+                    rec_conv, rec_delta = rec["conv"], rec["delta"]
+                else:
+                    h, kv = decode_forward(
+                        params, mc, kv, tokens, positions, block_tables,
+                        context_lens, flat, ctx_pad=ctx_pad,
+                        attn_impl=attn_impl)
                 logits = logits_from_hidden(params, mc, h)
                 sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
                                         min_tok_active)
@@ -379,16 +419,17 @@ class ModelRunner:
                                              out_tokens)
                 counts = update_counts(counts, active_slots, out_tokens)
                 return ((out_tokens, positions + 1, context_lens + 1,
-                         kv, counts, keys, gstates), out_tokens)
+                         kv, counts, keys, gstates, rec_conv, rec_delta),
+                        out_tokens)
 
             carry = (tokens0, packed[1], packed[2], kv, counts, keys,
-                     gstates)
+                     gstates, rec_conv, rec_delta)
             (tokens, positions, context_lens, kv, counts, keys,
-             gstates), all_toks = \
+             gstates, rec_conv, rec_delta), all_toks = \
                 jax.lax.scan(body, carry, None, length=num_steps)
-            return all_toks, kv, counts, keys, gstates
+            return all_toks, kv, counts, keys, gstates, rec_conv, rec_delta
 
-        fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 8))
+        fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 8, 13, 14))
         self._decode_multi_fns[key] = fn
         self.compilations += 1
         return fn
@@ -460,10 +501,12 @@ class ModelRunner:
         prev_toks = prev.toks if prev is not None \
             else self._zero_window(num_steps)
         t0 = time.perf_counter()
-        all_toks, self.kv, self.counts, self.keys, self._gstates = fn(
+        (all_toks, self.kv, self.counts, self.keys, self._gstates,
+         self.rec_conv, self.rec_delta) = fn(
             self.params, self.kv, self.counts, self.keys,
             jnp.asarray(packed), prev_toks, self._tables_dev, self.samp,
-            self._gstates, ginit, gtrans, gmask, gtokcp)
+            self._gstates, ginit, gtrans, gmask, gtokcp,
+            self.rec_conv, self.rec_delta)
         self.decode_device_time += time.perf_counter() - t0
         self.decode_steps += num_steps
         return DecodeWindow(
@@ -506,8 +549,11 @@ class ModelRunner:
         vocab = self.model_cfg.vocab_size
         num_slots = self.num_slots
 
+        hybrid = self.hybrid
+
         def step(params, kv, counts, keys, packed, tables, samp,
-                 gstates, ginit, gtrans, gmask, gtokcp):
+                 gstates, ginit, gtrans, gmask, gtokcp,
+                 rec_conv, rec_delta):
             # packed int32 [B, 5, t_pad]: per row — tokens, count_tokens,
             # positions, flat_slots, scalars(slot, last_idx, total_len,
             # min_tokens_active, is_last, ...pad). Pad rows carry
@@ -519,10 +565,23 @@ class ModelRunner:
             min_active = scalars[:, 3] == 1
             is_last = scalars[:, 4] == 1
             block_tables = tables[jnp.clip(slots, 0, num_slots - 1)]
-            h, kv = prefill_forward_batched(
-                params, mc, kv, packed[:, 0], packed[:, 2], block_tables,
-                total_lens, packed[:, 3], ctx_pad=ctx_pad,
-                attn_impl=attn_impl)                      # [B, T, H]
+            if hybrid:
+                # Chunk-0 rows restart their slot's recurrent state
+                # in-program (admission/recompute reset — the
+                # RecurrentStateManager free/alloc analog).
+                rec = {"conv": rec_conv, "delta": rec_delta}
+                reset = packed[:, 2, 0] == 0
+                h, kv, rec = prefill_forward_batched(
+                    params, mc, kv, packed[:, 0], packed[:, 2],
+                    block_tables, total_lens, packed[:, 3],
+                    ctx_pad=ctx_pad, attn_impl=attn_impl, rec=rec,
+                    slots=slots, rec_reset=reset)
+                rec_conv, rec_delta = rec["conv"], rec["delta"]
+            else:
+                h, kv = prefill_forward_batched(
+                    params, mc, kv, packed[:, 0], packed[:, 2],
+                    block_tables, total_lens, packed[:, 3],
+                    ctx_pad=ctx_pad, attn_impl=attn_impl)  # [B, T, H]
             counts = counts.at[slots[:, None], packed[:, 1]].add(
                 1, mode="drop")
             hs = jnp.take_along_axis(
@@ -555,10 +614,11 @@ class ModelRunner:
             counts = counts.at[
                 slots, jnp.where(is_last, toks, vocab)].add(1, mode="drop")
             if return_logits:
-                return toks, kv, counts, keys, gstates, logits
-            return toks, kv, counts, keys, gstates
+                return (toks, kv, counts, keys, gstates, rec_conv,
+                        rec_delta, logits)
+            return toks, kv, counts, keys, gstates, rec_conv, rec_delta
 
-        fn = jax.jit(step, donate_argnums=(1, 2, 7))
+        fn = jax.jit(step, donate_argnums=(1, 2, 7, 12, 13))
         self._prefill_batch_fns[key] = fn
         self.compilations += 1
         return fn
@@ -619,12 +679,11 @@ class ModelRunner:
         t0 = time.perf_counter()
         out = fn(self.params, self.kv, self.counts, self.keys,
                  jnp.asarray(packed), self._tables_dev, self.samp,
-                 self._gstates, ginit, gtrans, gmask, gtokcp)
-        if return_logits:
-            toks, self.kv, self.counts, self.keys, self._gstates, logits = out
-        else:
-            toks, self.kv, self.counts, self.keys, self._gstates = out
-            logits = None
+                 self._gstates, ginit, gtrans, gmask, gtokcp,
+                 self.rec_conv, self.rec_delta)
+        (toks, self.kv, self.counts, self.keys, self._gstates,
+         self.rec_conv, self.rec_delta) = out[:7]
+        logits = out[7] if return_logits else None
         self.prefill_device_time += time.perf_counter() - t0
         self.prefill_steps += len(chunks)
         return BatchPrefillResult(tokens=toks, logits=logits, rows=rows)
@@ -658,16 +717,17 @@ class ModelRunner:
                         gtokcp = self._gdummy_tokcp
                     fn = self._get_prefill_batch_fn(b, t_pad, ctx_pad,
                                                     greedy, rl, gd, grows)
+                    # Pad rows' first position is 0 → the hybrid reset
+                    # branch would zero slot states; use an OOB first
+                    # position so warm runs are true no-ops.
+                    packed[:, 2, 0] = self.cfg.max_model_len + ctx_pad
                     out = fn(self.params, self.kv, self.counts, self.keys,
                              jnp.asarray(packed), self._tables_dev,
                              self.samp, self._gstates, self._gdummy_init,
-                             gtrans, gmask, gtokcp)
-                    if rl:
-                        (toks, self.kv, self.counts, self.keys,
-                         self._gstates, _) = out
-                    else:
-                        (toks, self.kv, self.counts, self.keys,
-                         self._gstates) = out
+                             gtrans, gmask, gtokcp,
+                             self.rec_conv, self.rec_delta)
+                    (toks, self.kv, self.counts, self.keys,
+                     self._gstates, self.rec_conv, self.rec_delta) = out[:7]
                     np.asarray(toks)  # block until compiled + run
                     done += 1
                 b *= 2
@@ -717,12 +777,10 @@ class ModelRunner:
         t0 = time.perf_counter()
         out = fn(self.params, self.kv, self.counts, self.keys,
                  jnp.asarray(packed), self._tables_dev, self.samp,
-                 jnp.asarray(flat))
-        if return_logits:
-            out_tokens, self.kv, self.counts, self.keys, logits = out
-        else:
-            out_tokens, self.kv, self.counts, self.keys = out
-            logits = None
+                 jnp.asarray(flat), self.rec_conv, self.rec_delta)
+        (out_tokens, self.kv, self.counts, self.keys,
+         self.rec_conv, self.rec_delta) = out[:6]
+        logits = out[6] if return_logits else None
         tok_host = np.asarray(out_tokens)
         self.decode_device_time += time.perf_counter() - t0
         self.decode_steps += 1

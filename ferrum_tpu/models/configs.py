@@ -60,6 +60,18 @@ class MoeConfig:
 
 
 @dataclass
+class GdnConfig:
+    """Gated-DeltaNet linear-attention dims (qwen3.5/qwen3-next; ref:
+    qwen35_config.rs Qwen35LinearAttentionConfig)."""
+
+    num_key_heads: int = 16
+    num_value_heads: int = 32
+    key_head_dim: int = 128
+    value_head_dim: int = 128
+    conv_kernel_dim: int = 4
+
+
+@dataclass
 class ModelConfig:
     family: str = "llama"
     vocab_size: int = 32000
@@ -92,6 +104,16 @@ class ModelConfig:
     attn_logit_softcap: Optional[float] = None
     # MoE
     moe: Optional[MoeConfig] = None
+    # qwen3.5/qwen3-next hybrid: layer_types may contain
+    # "linear_attention"; these layers use the gated-DeltaNet mixer.
+    gdn: Optional[GdnConfig] = None
+    # Fraction of head_dim that gets RoPE (qwen3-next: 0.25).
+    partial_rotary_factor: float = 1.0
+    # qwen3-next full-attn: q_proj emits 2x(heads*dim); the second half
+    # sigmoid-gates the attention output before o_proj.
+    attn_output_gate: bool = False
+    # MoE shared expert (qwen3-next): intermediate size; 0 = none.
+    shared_expert_intermediate_size: int = 0
     # Token ids
     bos_token_id: Optional[int] = 1
     eos_token_ids: Tuple[int, ...] = (2,)
@@ -127,6 +149,34 @@ class ModelConfig:
             return self.sliding_window
         return self.sliding_window
 
+    def layer_is_linear_attn(self, layer_idx: int) -> bool:
+        return (self.layer_types is not None
+                and self.layer_types[layer_idx] == "linear_attention")
+
+    @property
+    def num_linear_layers(self) -> int:
+        if self.layer_types is None:
+            return 0
+        return sum(1 for t in self.layer_types if t == "linear_attention")
+
+    @property
+    def num_kv_layers(self) -> int:
+        """Layers that own a KV-cache slice (full/sliding attention).
+        Hybrid models allocate KV only for these."""
+        return self.num_layers - self.num_linear_layers
+
+    def kv_layer_index(self, layer_idx: int) -> int:
+        """Ordinal of a full-attention layer among KV-owning layers."""
+        if self.layer_types is None:
+            return layer_idx
+        return sum(1 for t in self.layer_types[:layer_idx]
+                   if t != "linear_attention")
+
+    def linear_layer_index(self, layer_idx: int) -> int:
+        """Ordinal of a linear-attention layer among GDN layers."""
+        return sum(1 for t in self.layer_types[:layer_idx]
+                   if t == "linear_attention")
+
     def layer_is_moe(self, layer_idx: int) -> bool:
         m = self.moe
         if m is None:
@@ -148,6 +198,7 @@ _HF_ARCH_FAMILY = {
     "Gemma3ForCausalLM": "gemma3",
     "Gemma3ForConditionalGeneration": "gemma3",
     "Qwen3MoeForCausalLM": "qwen3_moe",
+    "Qwen3NextForCausalLM": "qwen3_next",
 }
 
 
@@ -223,6 +274,35 @@ def config_from_hf_dict(d: Dict[str, Any]) -> ModelConfig:
             mlp_only_layers=tuple(d.get("mlp_only_layers", []) or []),
             decoder_sparse_step=int(d.get("decoder_sparse_step", 1)),
         )
+    if family == "qwen3_next":
+        cfg.qk_norm = True
+        cfg.attn_output_gate = True
+        cfg.partial_rotary_factor = float(
+            d.get("partial_rotary_factor", 0.25))
+        cfg.gdn = GdnConfig(
+            num_key_heads=int(d.get("linear_num_key_heads", 16)),
+            num_value_heads=int(d.get("linear_num_value_heads", 32)),
+            key_head_dim=int(d.get("linear_key_head_dim", 128)),
+            value_head_dim=int(d.get("linear_value_head_dim", 128)),
+            conv_kernel_dim=int(d.get("linear_conv_kernel_dim", 4)))
+        if cfg.layer_types is None:
+            # HF default: every 4th layer is full attention.
+            interval = int(d.get("full_attention_interval", 4))
+            cfg.layer_types = tuple(
+                "full_attention" if (i + 1) % interval == 0
+                else "linear_attention" for i in range(cfg.num_layers))
+        if int(d.get("num_experts", 0) or 0) > 0:
+            cfg.moe = MoeConfig(
+                num_experts=int(d["num_experts"]),
+                num_experts_per_tok=int(d.get("num_experts_per_tok", 8)),
+                moe_intermediate_size=int(
+                    d.get("moe_intermediate_size", 512)),
+                norm_topk_prob=bool(d.get("norm_topk_prob", True)),
+                mlp_only_layers=tuple(d.get("mlp_only_layers", []) or []),
+                decoder_sparse_step=int(d.get("decoder_sparse_step", 1)),
+            )
+            cfg.shared_expert_intermediate_size = int(
+                d.get("shared_expert_intermediate_size", 0) or 0)
     return cfg
 
 
@@ -245,6 +325,39 @@ def preset(name: str) -> ModelConfig:
             num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=128,
             qk_norm=True, tie_word_embeddings=True, rope_theta=10000.0,
             max_position_embeddings=2048, eos_token_ids=(257,))
+    if n in ("tiny-gdn", "tiny-qwen3-next"):
+        # Hardware-free hybrid (GDN + full attention) smoke-test model.
+        return ModelConfig(
+            family="qwen3_next", vocab_size=512, hidden_size=64,
+            num_layers=3, num_heads=4, num_kv_heads=2, head_dim=16,
+            intermediate_size=128, qk_norm=True, attn_output_gate=True,
+            partial_rotary_factor=0.25, tie_word_embeddings=True,
+            rope_theta=10000.0, rms_norm_eps=1e-6,
+            max_position_embeddings=2048, eos_token_ids=(257,),
+            layer_types=("linear_attention", "full_attention",
+                         "linear_attention"),
+            gdn=GdnConfig(num_key_heads=2, num_value_heads=4,
+                          key_head_dim=12, value_head_dim=16,
+                          conv_kernel_dim=4))
+    if n in ("qwen3-next-80b-a3b", "qwen3.5-80b", "qwen3-next"):
+        # Qwen3-Next-80B-A3B (ref: qwen35.rs flagship; HF config).
+        return ModelConfig(
+            family="qwen3_next", vocab_size=151936, hidden_size=2048,
+            num_layers=48, num_heads=16, num_kv_heads=2, head_dim=256,
+            intermediate_size=5120, qk_norm=True, attn_output_gate=True,
+            partial_rotary_factor=0.25, rope_theta=10000000.0,
+            rms_norm_eps=1e-6, max_position_embeddings=262144,
+            layer_types=tuple(
+                "full_attention" if (i + 1) % 4 == 0 else
+                "linear_attention" for i in range(48)),
+            gdn=GdnConfig(num_key_heads=16, num_value_heads=32,
+                          key_head_dim=128, value_head_dim=128,
+                          conv_kernel_dim=4),
+            moe=MoeConfig(num_experts=512, num_experts_per_tok=10,
+                          moe_intermediate_size=512, norm_topk_prob=True),
+            shared_expert_intermediate_size=512,
+            bos_token_id=151643, eos_token_ids=(151645,),
+        )
     if n in ("llama-3.1-8b", "llama3.1:8b", "llama-8b"):
         return ModelConfig(
             family="llama", vocab_size=128256, hidden_size=4096, num_layers=32,

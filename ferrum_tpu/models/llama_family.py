@@ -64,7 +64,7 @@ class MoeLayerParams:
 @partial(jax.tree_util.register_dataclass,
          data_fields=["input_norm", "q", "k", "v", "o", "q_norm", "k_norm",
                       "post_attn_norm", "pre_mlp_norm", "post_mlp_norm",
-                      "gate", "up", "down", "moe"],
+                      "gate", "up", "down", "moe", "gdn", "shared_expert"],
          meta_fields=[])
 @dataclass
 class LayerParams:
@@ -82,6 +82,12 @@ class LayerParams:
     up: Optional[LinearParams]
     down: Optional[LinearParams]
     moe: Optional[MoeLayerParams]
+    # qwen3.5/qwen3-next hybrid extras (None on classic families):
+    # gdn: GdnLayerParams — this layer is a linear-attention mixer and
+    # q/k/v/o/q_norm/k_norm are None. shared_expert: (MLP params gate/
+    # up/down as a LayerParams-like tuple, gate_proj LinearParams).
+    gdn: Optional[object] = None
+    shared_expert: Optional[object] = None
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -131,7 +137,8 @@ class PagedKvCache:
     @classmethod
     def create(cls, cfg: ModelConfig, num_blocks: int, page: int,
                dtype=jnp.bfloat16, sharding=None) -> "PagedKvCache":
-        shape = (cfg.num_layers, num_blocks, page, cfg.kv_size)
+        # Hybrid (qwen3.5): only full-attention layers own KV slices.
+        shape = (cfg.num_kv_layers, num_blocks, page, cfg.kv_size)
         if sharding is not None:
             zeros = partial(jax.jit, out_shardings=sharding, static_argnums=(0, 1))(
                 lambda s, d: jnp.zeros(s, d))
@@ -140,7 +147,8 @@ class PagedKvCache:
         k, v = zeros(shape, dtype), zeros(shape, dtype)
         ks = vs = None
         if dtype == jnp.int8:
-            sshape = (cfg.num_layers, num_blocks, page, cfg.num_kv_heads)
+            sshape = (cfg.num_kv_layers, num_blocks, page,
+                      cfg.num_kv_heads)
             ks, vs = zeros(sshape, jnp.float32), zeros(sshape, jnp.float32)
         return cls(k=k, v=v, page=page, kv_heads=cfg.num_kv_heads,
                    head_dim=cfg.head_dim, k_scale=ks, v_scale=vs)
@@ -171,7 +179,18 @@ def _activation(x: jnp.ndarray, kind: str) -> jnp.ndarray:
 def _mlp(x: jnp.ndarray, lp: LayerParams, cfg: ModelConfig,
          layer_idx: int) -> jnp.ndarray:
     if lp.moe is not None and cfg.layer_is_moe(layer_idx):
-        return moe_forward(x, lp.moe, cfg)
+        y = moe_forward(x, lp.moe, cfg)
+        if lp.shared_expert is not None:
+            # qwen3-next: always-on shared expert, sigmoid-gated per
+            # token (Qwen3NextSparseMoeBlock.shared_expert_gate).
+            se = lp.shared_expert
+            sg = apply_linear(se.gate, x)
+            su = apply_linear(se.up, x)
+            so = apply_linear(se.down, _activation(sg, cfg.activation) * su)
+            gate = jax.nn.sigmoid(
+                apply_linear(se.gate_proj, x).astype(jnp.float32))
+            y = y + (gate * so.astype(jnp.float32)).astype(y.dtype)
+        return y
     g = apply_linear(lp.gate, x)
     u = apply_linear(lp.up, x)
     return apply_linear(lp.down, _activation(g, cfg.activation) * u)
@@ -191,14 +210,20 @@ def forward_hidden(
     *,
     inv_freq_global: jnp.ndarray,
     inv_freq_local: Optional[jnp.ndarray] = None,
+    mixer_fn=None,                # (gdn_idx, lp, x [N,H]) -> [N,H]
 ) -> jnp.ndarray:
     """Token ids → final-norm hidden states [N, hidden].
 
     Shared trunk for prefill and decode; the phase-specific paged
     attention (including the KV append) is injected via `attn_fn`
     (the reference's unified_forward shape, qwen3_moe_forward_unified.rs).
+    Hybrid (qwen3.5/qwen3-next) layers with `lp.gdn` set call
+    `mixer_fn` instead — the caller injects the recurrent-state update
+    (gdn.py), the analog of the reference's Qwen35LinearAttention path.
     """
-    gemma = cfg.family == "gemma3"
+    # Zero-centered RMSNorm weights, applied as (1 + w): gemma3 AND
+    # qwen3-next (Qwen3NextRMSNorm stores zeros-init weights).
+    gemma = cfg.family in ("gemma3", "qwen3_next")
     h = params.embed[tokens]
     if cfg.embedding_multiplier is not None:
         h = (h.astype(jnp.float32) * cfg.embedding_multiplier).astype(h.dtype)
@@ -206,30 +231,58 @@ def forward_hidden(
     cos_g, sin_g = rope_cos_sin(positions, inv_freq_global)
     if inv_freq_local is not None:
         cos_l, sin_l = rope_cos_sin(positions, inv_freq_local)
+    rot = int(cfg.head_dim * cfg.partial_rotary_factor)
 
     residual = h
+    gdn_idx = 0
     for li, lp in enumerate(params.layers):
         x = rms_norm(residual, lp.input_norm, cfg.rms_norm_eps, gemma_style=gemma)
 
-        q = apply_linear(lp.q, x).reshape(-1, cfg.num_heads, cfg.head_dim)
-        k = apply_linear(lp.k, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
-        v = apply_linear(lp.v, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
+        if lp.gdn is not None:
+            attn = mixer_fn(gdn_idx, lp, x)
+            gdn_idx += 1
+        else:
+            gate_out = None
+            if cfg.attn_output_gate:
+                # q_proj emits [q, gate] interleaved per head
+                # (qwen3-next): split before q_norm.
+                qg = apply_linear(lp.q, x).reshape(
+                    -1, cfg.num_heads, 2 * cfg.head_dim)
+                q, gate_out = qg[..., :cfg.head_dim], qg[..., cfg.head_dim:]
+            else:
+                q = apply_linear(lp.q, x).reshape(
+                    -1, cfg.num_heads, cfg.head_dim)
+            k = apply_linear(lp.k, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
+            v = apply_linear(lp.v, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
 
-        if lp.q_norm is not None:  # qwen3/gemma3 per-head qk-norm before rope
-            q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps, gemma_style=gemma)
-            k = rms_norm(k, lp.k_norm, cfg.rms_norm_eps, gemma_style=gemma)
+            if lp.q_norm is not None:  # qwen3/gemma3 per-head qk-norm before rope
+                q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps, gemma_style=gemma)
+                k = rms_norm(k, lp.k_norm, cfg.rms_norm_eps, gemma_style=gemma)
 
-        local = gemma and cfg.layer_sliding_window(li) is not None \
-            and inv_freq_local is not None
-        cos, sin = (cos_l, sin_l) if local else (cos_g, sin_g)
-        q = apply_rope(q, cos, sin)
-        k = apply_rope(k, cos, sin)
+            local = gemma and cfg.layer_sliding_window(li) is not None \
+                and inv_freq_local is not None
+            cos, sin = (cos_l, sin_l) if local else (cos_g, sin_g)
+            if rot < cfg.head_dim:   # partial rotary (qwen3-next 0.25)
+                q = jnp.concatenate(
+                    [apply_rope(q[..., :rot], cos, sin), q[..., rot:]],
+                    axis=-1)
+                k = jnp.concatenate(
+                    [apply_rope(k[..., :rot], cos, sin), k[..., rot:]],
+                    axis=-1)
+            else:
+                q = apply_rope(q, cos, sin)
+                k = apply_rope(k, cos, sin)
 
-        attn = attn_fn(li, q, k, v)
-        attn = apply_linear(lp.o, attn.reshape(attn.shape[0], cfg.q_size))
-        if lp.post_attn_norm is not None:  # gemma3 sandwich
-            attn = rms_norm(attn, lp.post_attn_norm, cfg.rms_norm_eps,
-                            gemma_style=gemma)
+            attn = attn_fn(li, q, k, v)
+            attn = attn.reshape(attn.shape[0], cfg.q_size)
+            if gate_out is not None:
+                attn = attn * jax.nn.sigmoid(
+                    gate_out.reshape(attn.shape).astype(jnp.float32)
+                ).astype(attn.dtype)
+            attn = apply_linear(lp.o, attn)
+            if lp.post_attn_norm is not None:  # gemma3 sandwich
+                attn = rms_norm(attn, lp.post_attn_norm, cfg.rms_norm_eps,
+                                gemma_style=gemma)
 
         x, residual = fused_add_rms_norm(
             attn, residual, lp.pre_mlp_norm, cfg.rms_norm_eps, gemma_style=gemma)
@@ -264,7 +317,8 @@ def logits_from_hidden(params: ModelParams, cfg: ModelConfig,
 # ---------------------------------------------------------------------------
 
 def make_rope_tables(cfg: ModelConfig):
-    inv_g = jnp.asarray(rope_inv_freq(cfg.head_dim, cfg.rope_theta,
+    rot = int(cfg.head_dim * cfg.partial_rotary_factor)
+    inv_g = jnp.asarray(rope_inv_freq(rot, cfg.rope_theta,
                                       cfg.rope_scaling))
     inv_l = None
     if cfg.family == "gemma3":
@@ -296,8 +350,10 @@ def decode_forward(
     flat_slots: jnp.ndarray,     # int32 [S]; OOB_SENTINEL = drop
     *, ctx_pad: int,
     attn_impl: str = "ref",
-) -> Tuple[jnp.ndarray, PagedKvCache]:
-    """One batched decode step → (hidden [S, H], updated kv).
+    rec: Optional[dict] = None,  # hybrid: {"conv": [Lg,S,C,K-1],
+                                 #          "delta": [Lg,S,Hv,dk,dv]}
+):
+    """One batched decode step → (hidden [S, H], updated kv[, rec]).
 
     Layout discipline (profiler-driven, v5e):
       - the cache keeps its flat [L*NB, page, F=Hkv*D] layout end to end;
@@ -305,12 +361,16 @@ def decode_forward(
       - appends are deferred and written page-granularly by a Pallas
         kernel (XLA scatter serializes ~14 us/row);
       - the current token joins attention via an explicit self-term.
+
+    Hybrid (qwen3.5): linear-attention layers update the per-slot
+    recurrent state in `rec` (returned as a third element); the KV pool
+    covers only the full-attention layers (cfg.kv_layer_index maps).
     """
     inv_g, inv_l = make_rope_tables(cfg)
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
     f = hkv * d
-    L = cfg.num_layers
+    L = kv.k.shape[0]
     s_slots = block_tables.shape[0]
     # Merge layer dim into the block dim (leading merge — layout-free).
     state = {"k": kv.k.reshape(L * nb, page, f),
@@ -331,20 +391,21 @@ def decode_forward(
         if attn_impl == "skip":  # diagnostic: no append, no attention
             return q
         sw = cfg.layer_sliding_window(li)
+        kli = cfg.kv_layer_index(li)
         if deferred:
             new_ks.append(k_new)
             new_vs.append(v_new)
-            kc = state["k"][li * nb:(li + 1) * nb]
-            vc = state["v"][li * nb:(li + 1) * nb]
+            kc = state["k"][kli * nb:(kli + 1) * nb]
+            vc = state["v"][kli * nb:(kli + 1) * nb]
             if attn_impl == "linear":
                 from ..ops.attention import flat_decode_attention
                 k_lin = kc.reshape(s_slots, -1, f)[:, :ctx_pad]
                 v_lin = vc.reshape(s_slots, -1, f)[:, :ctx_pad]
                 ks_lin = vs_lin = None
                 if quant:
-                    ks_lin = state["ks"][li * nb:(li + 1) * nb].reshape(
+                    ks_lin = state["ks"][kli * nb:(kli + 1) * nb].reshape(
                         s_slots, -1, hkv)[:, :ctx_pad]
-                    vs_lin = state["vs"][li * nb:(li + 1) * nb].reshape(
+                    vs_lin = state["vs"][kli * nb:(kli + 1) * nb].reshape(
                         s_slots, -1, hkv)[:, :ctx_pad]
                 return flat_decode_attention(
                     q, k_lin, v_lin, context_lens, k_new, v_new,
@@ -356,9 +417,9 @@ def decode_forward(
             vr = vc.reshape(nb, page, hkv, d)
             if quant:
                 kr = (kr.astype(jnp.float32) * state["ks"][
-                    li * nb:(li + 1) * nb][..., None]).astype(q.dtype)
+                    kli * nb:(kli + 1) * nb][..., None]).astype(q.dtype)
                 vr = (vr.astype(jnp.float32) * state["vs"][
-                    li * nb:(li + 1) * nb][..., None]).astype(q.dtype)
+                    kli * nb:(kli + 1) * nb][..., None]).astype(q.dtype)
             return paged_decode_attention_ref(
                 q, kr, vr,
                 block_tables, context_lens, ctx_pad=ctx_pad,
@@ -367,7 +428,7 @@ def decode_forward(
                 k_self=k_new, v_self=v_new)
         # Legacy write-then-attend (pallas + diagnostics); pays the
         # re-tiling copy — opt-in only.
-        flat_l = flat_slots + li * nb * page
+        flat_l = flat_slots + kli * nb * page
         k4 = state["k"].reshape(L * nb, page, hkv, d)
         v4 = state["v"].reshape(L * nb, page, hkv, d)
         if attn_impl != "read_only":
@@ -391,8 +452,21 @@ def decode_forward(
             scale=cfg.attn_scale, sliding_window=sw,
             softcap=cfg.attn_logit_softcap)
 
+    mixer = None
+    if rec is not None:
+        from .gdn import gdn_decode_step
+        active = flat_slots < OOB_SENTINEL
+
+        def mixer(gi, lp, x):
+            y, c2, d2 = gdn_decode_step(
+                cfg, lp.gdn, x, rec["conv"][gi], rec["delta"][gi], active)
+            rec["conv"] = rec["conv"].at[gi].set(c2)
+            rec["delta"] = rec["delta"].at[gi].set(d2)
+            return y
+
     h = forward_hidden(params, cfg, tokens, positions, attn,
-                       inv_freq_global=inv_g, inv_freq_local=inv_l)
+                       inv_freq_global=inv_g, inv_freq_local=inv_l,
+                       mixer_fn=mixer)
 
     if deferred and new_ks:
         from ..ops.pallas.kv_append import append_rows
@@ -422,6 +496,8 @@ def decode_forward(
         page=page, kv_heads=hkv, head_dim=d,
         k_scale=state["ks"].reshape(L, nb, page, hkv) if quant else None,
         v_scale=state["vs"].reshape(L, nb, page, hkv) if quant else None)
+    if rec is not None:
+        return h, kv2, rec
     return h, kv2
 
 
@@ -519,7 +595,10 @@ def prefill_forward_batched(
     *, ctx_pad: int,
     attn_impl: str = "ref",
     append: str = "pages",       # "pages" (page-aligned chunks) | "rows"
-) -> Tuple[jnp.ndarray, PagedKvCache]:
+    rec: Optional[dict] = None,  # hybrid recurrent state pools
+    slots: Optional[jnp.ndarray] = None,       # int32 [B] row -> slot
+    rec_reset: Optional[jnp.ndarray] = None,   # bool [B] chunk 0 rows
+):
     """Chunked prefill for B sequences fused into ONE program.
 
     The trunk processes all B*T tokens as one flat batch, so every
@@ -539,7 +618,7 @@ def prefill_forward_batched(
     nb, page = kv.num_blocks, kv.page
     hkv, d = kv.kv_heads, kv.head_dim
     f = hkv * d
-    L = cfg.num_layers
+    L = kv.k.shape[0]
     b, t_pad = tokens.shape
     quant = kv.quantized
     state = {"k": kv.k.reshape(L * nb, page, f),
@@ -569,10 +648,11 @@ def prefill_forward_batched(
         new_ks.append(k_new)
         new_vs.append(v_new)
         sw = cfg.layer_sliding_window(li)
-        kl = _window(state["k"], f, li)
-        vl = _window(state["v"], f, li)
-        ksl = _window(state["ks"], hkv, li) if quant else None
-        vsl = _window(state["vs"], hkv, li) if quant else None
+        kli = cfg.kv_layer_index(li)
+        kl = _window(state["k"], f, kli)
+        vl = _window(state["v"], f, kli)
+        ksl = _window(state["ks"], hkv, kli) if quant else None
+        vsl = _window(state["vs"], hkv, kli) if quant else None
         qb = q.reshape(b, t_pad, *q.shape[1:])
         kb = k_new.reshape(b, t_pad, *k_new.shape[1:])
         vb = v_new.reshape(b, t_pad, *v_new.shape[1:])
@@ -592,8 +672,33 @@ def prefill_forward_batched(
                                 kb, vb)                  # [B, T, Hq, D]
         return out.reshape(b * t_pad, *out.shape[2:])
 
+    mixer = None
+    if rec is not None:
+        from .gdn import gdn_prefill_chunk
+        num_state_slots = rec["conv"].shape[1]
+        sl_clip = jnp.clip(slots, 0, num_state_slots - 1)
+        valid = positions < total_lens[:, None]          # [B, T]
+
+        def mixer(gi, lp, x):
+            conv_rows = rec["conv"][gi][sl_clip]         # [B, C, K-1]
+            delta_rows = rec["delta"][gi][sl_clip]
+            if rec_reset is not None:
+                # Chunk-0 rows start from zero state (re-admissions
+                # rebuild from scratch; mid-sequence chunks continue).
+                conv_rows = jnp.where(
+                    rec_reset[:, None, None], 0.0, conv_rows)
+                delta_rows = jnp.where(
+                    rec_reset[:, None, None, None], 0.0, delta_rows)
+            y, c2, d2 = gdn_prefill_chunk(
+                cfg, lp.gdn, x.reshape(b, t_pad, -1), conv_rows,
+                delta_rows, valid)
+            rec["conv"] = rec["conv"].at[gi, slots].set(c2, mode="drop")
+            rec["delta"] = rec["delta"].at[gi, slots].set(d2, mode="drop")
+            return y.reshape(b * t_pad, -1)
+
     h = forward_hidden(params, cfg, flat_tokens, flat_positions, attn,
-                       inv_freq_global=inv_g, inv_freq_local=inv_l)
+                       inv_freq_global=inv_g, inv_freq_local=inv_l,
+                       mixer_fn=mixer)
 
     k_stack = jnp.stack(new_ks)                  # [L, B*T, Hkv, D]
     v_stack = jnp.stack(new_vs)
@@ -655,6 +760,8 @@ def prefill_forward_batched(
         page=page, kv_heads=hkv, head_dim=d,
         k_scale=state["ks"].reshape(L, nb, page, hkv) if quant else None,
         v_scale=state["vs"].reshape(L, nb, page, hkv) if quant else None)
+    if rec is not None:
+        return h.reshape(b, t_pad, -1), kv2, rec
     return h.reshape(b, t_pad, -1), kv2
 
 
@@ -665,6 +772,8 @@ def prefill_forward_batched(
 def init_random_params(cfg: ModelConfig, seed: int = 0,
                        dtype=jnp.bfloat16) -> ModelParams:
     rng = np.random.default_rng(seed)
+    # Zero-centered (1+w) norm families store identity as zeros.
+    zc = cfg.sandwich_norms or cfg.family == "qwen3_next"
 
     def lin(i, o, bias=False, std=0.02):
         w = rng.normal(0.0, std, (i, o)).astype(np.float32)
@@ -678,6 +787,11 @@ def init_random_params(cfg: ModelConfig, seed: int = 0,
         use_moe = cfg.layer_is_moe(li)
         moe = None
         gate = up = down = None
+        gdn_p = None
+        shared = None
+        if cfg.layer_is_linear_attn(li):
+            from .gdn import init_gdn_layer
+            gdn_p = init_gdn_layer(cfg, rng, dtype=dtype)
         if use_moe:
             m = cfg.moe
             moe = MoeLayerParams(
@@ -692,28 +806,42 @@ def init_random_params(cfg: ModelConfig, seed: int = 0,
                     (m.num_experts, m.moe_intermediate_size, cfg.hidden_size)
                     ).astype(np.float32), dtype=dtype),
             )
+            if cfg.shared_expert_intermediate_size:
+                from .gdn import SharedExpertParams
+                sz = cfg.shared_expert_intermediate_size
+                shared = SharedExpertParams(
+                    gate=lin(cfg.hidden_size, sz),
+                    up=lin(cfg.hidden_size, sz),
+                    down=lin(sz, cfg.hidden_size),
+                    gate_proj=lin(cfg.hidden_size, 1))
         else:
             gate = lin(cfg.hidden_size, cfg.intermediate_size)
             up = lin(cfg.hidden_size, cfg.intermediate_size)
             down = lin(cfg.intermediate_size, cfg.hidden_size)
+        is_gdn = gdn_p is not None
+        q_out = cfg.q_size * (2 if cfg.attn_output_gate else 1)
         layers.append(LayerParams(
-            input_norm=jnp.ones(cfg.hidden_size, dtype=dtype) if not cfg.sandwich_norms
+            input_norm=jnp.ones(cfg.hidden_size, dtype=dtype) if not zc
             else jnp.zeros(cfg.hidden_size, dtype=dtype),
-            q=lin(cfg.hidden_size, cfg.q_size, bias=cfg.attention_bias),
-            k=lin(cfg.hidden_size, cfg.kv_size, bias=cfg.attention_bias),
-            v=lin(cfg.hidden_size, cfg.kv_size, bias=cfg.attention_bias),
-            o=lin(cfg.q_size, cfg.hidden_size),
-            q_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm and not cfg.sandwich_norms
-            else (jnp.zeros(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None),
-            k_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm and not cfg.sandwich_norms
-            else (jnp.zeros(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None),
+            q=None if is_gdn else lin(cfg.hidden_size, q_out,
+                                      bias=cfg.attention_bias),
+            k=None if is_gdn else lin(cfg.hidden_size, cfg.kv_size,
+                                      bias=cfg.attention_bias),
+            v=None if is_gdn else lin(cfg.hidden_size, cfg.kv_size,
+                                      bias=cfg.attention_bias),
+            o=None if is_gdn else lin(cfg.q_size, cfg.hidden_size),
+            q_norm=(jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm and not zc
+            else (jnp.zeros(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None)) if not is_gdn else None,
+            k_norm=(jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm and not zc
+            else (jnp.zeros(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None)) if not is_gdn else None,
             post_attn_norm=jnp.zeros(cfg.hidden_size, dtype=dtype)
             if cfg.sandwich_norms else None,
             pre_mlp_norm=jnp.ones(cfg.hidden_size, dtype=dtype)
-            if not cfg.sandwich_norms else jnp.zeros(cfg.hidden_size, dtype=dtype),
+            if not zc else jnp.zeros(cfg.hidden_size, dtype=dtype),
             post_mlp_norm=jnp.zeros(cfg.hidden_size, dtype=dtype)
             if cfg.sandwich_norms else None,
             gate=gate, up=up, down=down, moe=moe,
+            gdn=gdn_p, shared_expert=shared,
         ))
 
     embed = jnp.asarray(
@@ -723,7 +851,7 @@ def init_random_params(cfg: ModelConfig, seed: int = 0,
         cfg.hidden_size, cfg.vocab_size)
     return ModelParams(
         embed=embed, layers=layers,
-        final_norm=jnp.ones(cfg.hidden_size, dtype=dtype) if not cfg.sandwich_norms
+        final_norm=jnp.ones(cfg.hidden_size, dtype=dtype) if not zc
         else jnp.zeros(cfg.hidden_size, dtype=dtype),
         lm_head=lm_head)
 

@@ -197,6 +197,8 @@ def params_from_hf(cfg: ModelConfig, src: TensorSource,
         a = f"{p}.self_attn"
         moe = None
         gate = up = down = None
+        gdn_p = None
+        shared = None
         if cfg.layer_is_moe(i):
             m = cfg.moe
             router = _dense(src, f"{p}.mlp.gate", dtype)
@@ -208,10 +210,49 @@ def params_from_hf(cfg: ModelConfig, src: TensorSource,
                                  dtype, quantize_rtn),
                 down=_expert_stack(src, p, "down_proj", m.num_experts,
                                    dtype, quantize_rtn))
+            if cfg.shared_expert_intermediate_size:
+                from .gdn import SharedExpertParams
+                shared = SharedExpertParams(
+                    gate=_linear(src, f"{p}.mlp.shared_expert.gate_proj",
+                                 dtype, quantize_rtn),
+                    up=_linear(src, f"{p}.mlp.shared_expert.up_proj",
+                               dtype, quantize_rtn),
+                    down=_linear(src, f"{p}.mlp.shared_expert.down_proj",
+                                 dtype, quantize_rtn),
+                    gate_proj=_dense(src, f"{p}.mlp.shared_expert_gate",
+                                     dtype))
         else:
             gate = _linear(src, f"{p}.mlp.gate_proj", dtype, quantize_rtn)
             up = _linear(src, f"{p}.mlp.up_proj", dtype, quantize_rtn)
             down = _linear(src, f"{p}.mlp.down_proj", dtype, quantize_rtn)
+
+        if cfg.layer_is_linear_attn(i):
+            # qwen3.5/qwen3-next GDN mixer (ref: qwen35_weights.rs
+            # weight manifest; HF names model.layers.N.linear_attn.*).
+            from .gdn import GdnLayerParams
+            la = f"{p}.linear_attn"
+            gdn_p = GdnLayerParams(
+                in_qkvz=_linear(src, f"{la}.in_proj_qkvz", dtype,
+                                quantize_rtn),
+                in_ba=_linear(src, f"{la}.in_proj_ba", dtype,
+                              quantize_rtn),
+                conv_w=jnp.asarray(src.get(f"{la}.conv1d.weight")[:, 0, :],
+                                   dtype=dtype),
+                a_log=jnp.asarray(src.get(f"{la}.A_log"), jnp.float32),
+                dt_bias=jnp.asarray(src.get(f"{la}.dt_bias"), jnp.float32),
+                norm_w=_norm(src, f"{la}.norm.weight", dtype),
+                out=_linear(src, f"{la}.out_proj", dtype, quantize_rtn))
+            layers.append(LayerParams(
+                input_norm=_norm(src, f"{p}.input_layernorm.weight",
+                                 dtype),
+                q=None, k=None, v=None, o=None, q_norm=None, k_norm=None,
+                post_attn_norm=None,
+                pre_mlp_norm=_norm(
+                    src, f"{p}.post_attention_layernorm.weight", dtype),
+                post_mlp_norm=None,
+                gate=gate, up=up, down=down, moe=moe,
+                gdn=gdn_p, shared_expert=shared))
+            continue
 
         layers.append(LayerParams(
             input_norm=_norm(src, f"{p}.input_layernorm.weight", dtype),
@@ -231,7 +272,8 @@ def params_from_hf(cfg: ModelConfig, src: TensorSource,
             post_mlp_norm=_maybe(
                 src, f"{p}.post_feedforward_layernorm.weight", dtype)
             if gemma else None,
-            gate=gate, up=up, down=down, moe=moe))
+            gate=gate, up=up, down=down, moe=moe,
+            shared_expert=shared))
 
     lm_head = None
     if not cfg.tie_word_embeddings and "lm_head.weight" in src:

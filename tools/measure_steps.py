@@ -122,10 +122,12 @@ def main():
     import jax.numpy as jnp
     prev_toks = runner._zero_window(T)
     gargs = lambda: (runner._gstates, runner._gdummy_init,  # noqa: E731
-                     *runner._gdummy()[:2], runner._gdummy_tokcp)
+                     *runner._gdummy()[:2], runner._gdummy_tokcp,
+                     runner.rec_conv, runner.rec_delta)
     # warm compile for the chained variant
     pk = jnp.asarray(packed)
-    toks, runner.kv, runner.counts, runner.keys, runner._gstates = fn(
+    (toks, runner.kv, runner.counts, runner.keys, runner._gstates,
+     runner.rec_conv, runner.rec_delta) = fn(
         runner.params, runner.kv, runner.counts, runner.keys,
         pk, prev_toks, runner._tables_dev, runner.samp, *gargs())
     np.asarray(toks)
@@ -134,7 +136,8 @@ def main():
         packed[1] += T
         packed[2] += T
         packed[6] = 1
-        toks, runner.kv, runner.counts, runner.keys, runner._gstates = fn(
+        (toks, runner.kv, runner.counts, runner.keys, runner._gstates,
+         runner.rec_conv, runner.rec_delta) = fn(
             runner.params, runner.kv, runner.counts, runner.keys,
             jnp.asarray(packed), toks, runner._tables_dev, runner.samp,
             *gargs())

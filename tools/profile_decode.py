@@ -64,10 +64,12 @@ def main():
         runner._tables_dev = jnp.asarray(runner._tables_np)
         def gargs():
             return (runner._gstates, runner._gdummy_init,
-                    *runner._gdummy()[:2], runner._gdummy_tokcp)
+                    *runner._gdummy()[:2], runner._gdummy_tokcp,
+                    runner.rec_conv, runner.rec_delta)
         pk = jnp.asarray(packed)
         prev = runner._zero_window(T)
-        toks, runner.kv, runner.counts, runner.keys, runner._gstates = fn(
+        (toks, runner.kv, runner.counts, runner.keys, runner._gstates,
+         runner.rec_conv, runner.rec_delta) = fn(
             runner.params, runner.kv, runner.counts, runner.keys,
             pk, prev, runner._tables_dev, runner.samp, *gargs())
         np.asarray(toks)
@@ -75,7 +77,8 @@ def main():
         pk2 = jnp.asarray(packed)
         t0 = time.time()
         for _ in range(n_win):
-            toks, runner.kv, runner.counts, runner.keys, runner._gstates = \
+            (toks, runner.kv, runner.counts, runner.keys,
+             runner._gstates, runner.rec_conv, runner.rec_delta) = \
                 fn(runner.params, runner.kv, runner.counts, runner.keys,
                    pk2, toks, runner._tables_dev, runner.samp, *gargs())
         np.asarray(toks)
@@ -112,13 +115,14 @@ def main():
                 packed[i, 4, :5] = [i, 255, 256, 0, 1]
             def gargs():
                 return (runner._gstates, runner._gdummy_init,
-                        *runner._gdummy()[:2], runner._gdummy_tokcp)
+                        *runner._gdummy()[:2], runner._gdummy_tokcp,
+                        runner.rec_conv, runner.rec_delta)
             pk = jnp.asarray(packed)
             out = fn(runner.params, runner.kv, runner.counts, runner.keys,
                      pk, runner._tables_dev, runner.samp, *gargs())
             toks = out[0]
-            runner.kv, runner.counts, runner.keys = out[1], out[2], out[3]
-            runner._gstates = out[4]
+            (runner.kv, runner.counts, runner.keys, runner._gstates,
+             runner.rec_conv, runner.rec_delta) = out[1:7]
             np.asarray(toks)
             n_it = 8
             t0 = time.time()
@@ -126,9 +130,8 @@ def main():
                 out = fn(runner.params, runner.kv, runner.counts,
                          runner.keys, pk, runner._tables_dev,
                          runner.samp, *gargs())
-                runner.kv, runner.counts, runner.keys = (out[1], out[2],
-                                                         out[3])
-                runner._gstates = out[4]
+                (runner.kv, runner.counts, runner.keys, runner._gstates,
+                 runner.rec_conv, runner.rec_delta) = out[1:7]
             np.asarray(out[0])
             dt = time.time() - t0
             print(f"prefill[{impl:12s}] B={b} {dt/n_it*1e3:7.1f} ms/call "
