@@ -159,6 +159,17 @@ def cmd_run(args) -> int:
 # serve — OpenAI-compatible HTTP server (ref: commands/serve.rs)
 # ---------------------------------------------------------------------------
 
+def cmd_route(args) -> int:
+    """Multi-host serving front (parallel/router.py): least-loaded DP
+    forwarding over per-host engine frontends."""
+    from .parallel.router import run_router
+    workers = [w.strip() for w in args.workers.split(",") if w.strip()]
+    print(f"routing over {len(workers)} workers on "
+          f"{args.host}:{args.port}", flush=True)
+    run_router(workers, host=args.host, port=args.port)
+    return 0
+
+
 def cmd_serve(args) -> int:
     engine = _build_engine(args)
     from .server.app import serve
@@ -355,6 +366,15 @@ def main(argv=None) -> int:
     p = sub.add_parser("stop", help="stop a running server")
     p.add_argument("--base-url", default="http://127.0.0.1:8000")
     p.set_defaults(fn=cmd_stop)
+
+    p = sub.add_parser(
+        "route", help="multi-host DP router over worker engines")
+    p.add_argument("--workers", required=True,
+                   help="comma-separated worker base URLs "
+                        "(one `ferrum serve` per host)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=9000)
+    p.set_defaults(fn=cmd_route)
 
     args = parser.parse_args(argv)
     try:
