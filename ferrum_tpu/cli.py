@@ -174,13 +174,35 @@ def cmd_serve(args) -> int:
     engine = _build_engine(args)
     from .server.app import serve
 
+    asr = None
+    if getattr(args, "asr_model", None):
+        from .engine.asr import AsrEngine
+        asr = AsrEngine(args.asr_model)
+        print(f"ASR lane: {args.asr_model}", file=sys.stderr)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
           file=sys.stderr)
     try:
         serve(engine, model_name=args.served_model_name or args.model,
-              host=args.host, port=args.port, api_key=args.api_key)
+              host=args.host, port=args.port, api_key=args.api_key,
+              asr_engine=asr)
     finally:
         engine.stop()
+    return 0
+
+
+def cmd_transcribe(args) -> int:
+    """One-shot WAV transcription (ref: ferrum-cli transcribe)."""
+    from .engine.asr import AsrEngine
+
+    eng = AsrEngine(args.model)
+    with open(args.audio, "rb") as f:
+        data = f.read()
+    result = eng.transcribe_bytes(data, max_new_tokens=args.max_tokens)
+    if args.json:
+        print(json.dumps(result))
+    else:
+        print(result["text"] if result["text"]
+              else f"[token ids] {result['token_ids']}")
     return 0
 
 
@@ -320,12 +342,21 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_run)
 
+    p = sub.add_parser("transcribe", help="transcribe a WAV file (Whisper)")
+    p.add_argument("model", help="whisper checkpoint dir")
+    p.add_argument("audio", help="WAV file (16-bit PCM)")
+    p.add_argument("--max-tokens", type=int, default=224)
+    p.add_argument("--json", action="store_true")
+    p.set_defaults(fn=cmd_transcribe)
+
     p = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
     _add_engine_flags(p)
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--api-key", default=None)
     p.add_argument("--served-model-name", default=None)
+    p.add_argument("--asr-model", default=None,
+                   help="whisper checkpoint dir for /v1/audio/transcriptions")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="offline engine benchmark")

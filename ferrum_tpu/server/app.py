@@ -17,6 +17,7 @@ import collections
 import json
 import time
 from typing import Any, Dict, List, Optional
+from wave import Error as wave_error
 
 from aiohttp import web
 
@@ -74,11 +75,12 @@ class FerrumServer:
     def __init__(self, engine: ContinuousBatchEngine, model_name: str,
                  chat_template: Optional[str] = None,
                  api_key: Optional[str] = None,
-                 embedding_engine=None):
+                 embedding_engine=None, asr_engine=None):
         self.engine = engine
         self.model_name = model_name
         self.api_key = api_key
         self.embedding_engine = embedding_engine
+        self.asr_engine = asr_engine
         family = engine.runner.model_cfg.family
         self.renderer = ChatTemplateRenderer(
             template=chat_template or engine.tokenizer.chat_template,
@@ -95,6 +97,8 @@ class FerrumServer:
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/v1/embeddings", self.embeddings)
+        app.router.add_post("/v1/audio/transcriptions",
+                            self.transcriptions)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
         app.router.add_get("/metrics", self.metrics)
@@ -411,6 +415,49 @@ class FerrumServer:
                       + last.completion_tokens}})
 
     # ------------------------------------------------------------------
+    async def transcriptions(self, request: web.Request) -> web.Response:
+        """OpenAI-compatible /v1/audio/transcriptions (multipart form
+        with a WAV `file`; response_format json/text). ref:
+        axum_server.rs:200 transcriptions_handler."""
+        if self.asr_engine is None:
+            raise NotSupportedError(
+                "this server is not running an ASR model "
+                "(start with --asr-model <whisper checkpoint dir>)",
+                param="model")
+        data = None
+        response_format = "json"
+        ctype = request.headers.get("Content-Type", "")
+        if "multipart" in ctype:
+            reader = await request.multipart()
+            async for part in reader:
+                if part.name == "file":
+                    data = await part.read(decode=False)
+                elif part.name == "response_format":
+                    response_format = (await part.text()).strip()
+        else:
+            data = await request.read()
+        if not data:
+            raise InvalidRequestError("missing audio `file`", param="file")
+        if response_format not in ("json", "text", "verbose_json"):
+            raise InvalidRequestError(
+                f"unsupported response_format {response_format!r}",
+                param="response_format")
+        loop = asyncio.get_running_loop()
+        try:
+            result = await loop.run_in_executor(
+                None, self.asr_engine.transcribe_bytes, bytes(data))
+        except (ValueError, EOFError, wave_error) as e:
+            raise InvalidRequestError(
+                f"cannot decode audio (WAV-PCM supported): {e}",
+                param="file")
+        if response_format == "text":
+            return web.Response(text=result["text"],
+                                content_type="text/plain")
+        body = {"text": result["text"]}
+        if response_format == "verbose_json":
+            body["token_ids"] = result["token_ids"]
+        return web.json_response(body)
+
     async def embeddings(self, request: web.Request) -> web.Response:
         req = await self._parse_json(request, EmbeddingsRequest)
         if req.encoding_format != "float":
@@ -484,7 +531,10 @@ class FerrumServer:
 def serve(engine: ContinuousBatchEngine, model_name: str,
           host: str = "127.0.0.1", port: int = 8000,
           chat_template: Optional[str] = None,
-          api_key: Optional[str] = None) -> None:
-    server = FerrumServer(engine, model_name, chat_template, api_key)
+          api_key: Optional[str] = None,
+          embedding_engine=None, asr_engine=None) -> None:
+    server = FerrumServer(engine, model_name, chat_template, api_key,
+                          embedding_engine=embedding_engine,
+                          asr_engine=asr_engine)
     web.run_app(server.make_app(), host=host, port=port,
                 print=lambda *a: None)

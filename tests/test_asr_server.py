@@ -1,0 +1,105 @@
+"""ASR lane e2e: tiny whisper checkpoint dir -> AsrEngine ->
+/v1/audio/transcriptions HTTP contract (ref: axum_server.rs:200,
+whisper_executor.rs)."""
+
+import io
+import json
+import os
+import wave
+
+import numpy as np
+import pytest
+import requests
+
+torch = pytest.importorskip("torch")
+
+from tests.test_engine_e2e import tiny_engine
+from tests.test_server import ServerHandle
+from tests.test_whisper import D
+
+
+@pytest.fixture(scope="module")
+def whisper_dir(tmp_path_factory):
+    from safetensors.numpy import save_file
+    from transformers import WhisperConfig as HFCfg
+    from transformers import WhisperForConditionalGeneration
+    d = tmp_path_factory.mktemp("whisper-tiny")
+    torch.manual_seed(0)
+    hf = WhisperForConditionalGeneration(HFCfg(**D)).float().eval()
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    save_file(sd, str(d / "model.safetensors"))
+    cfg = dict(D)
+    cfg["architectures"] = ["WhisperForConditionalGeneration"]
+    with open(d / "config.json", "w") as f:
+        json.dump(cfg, f)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def asr_server(whisper_dir):
+    from ferrum_tpu.engine.asr import AsrEngine, maybe_asr_engine
+    asr = maybe_asr_engine(whisper_dir)
+    assert asr is not None
+    h = ServerHandle(tiny_engine(max_num_seqs=2), port=18883,
+                     asr_engine=asr)
+    yield h
+    h.stop()
+
+
+def wav_bytes(seconds=0.5, seed=0):
+    rng = np.random.default_rng(seed)
+    pcm = (rng.normal(0, 0.1, int(16000 * seconds)).clip(-1, 1)
+           * 32767).astype(np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_transcriptions_json(asr_server):
+    r = requests.post(
+        f"{asr_server.base}/v1/audio/transcriptions",
+        files={"file": ("a.wav", wav_bytes(), "audio/wav")},
+        data={"model": "whisper", "response_format": "verbose_json"})
+    assert r.status_code == 200, r.text
+    body = r.json()
+    assert "text" in body
+    assert isinstance(body["token_ids"], list)
+    assert len(body["token_ids"]) >= 1
+
+
+def test_transcriptions_missing_file_400(asr_server):
+    r = requests.post(f"{asr_server.base}/v1/audio/transcriptions",
+                      files={"other": ("x", b"123")})
+    assert r.status_code == 400
+    assert r.json()["error"]["param"] == "file"
+
+
+def test_transcriptions_bad_audio_400(asr_server):
+    r = requests.post(f"{asr_server.base}/v1/audio/transcriptions",
+                      files={"file": ("a.wav", b"not a wav")})
+    assert r.status_code == 400
+    assert r.json()["error"]["param"] == "file"
+
+
+def test_transcriptions_unconfigured_400():
+    h = ServerHandle(tiny_engine(max_num_seqs=2), port=18884)
+    try:
+        r = requests.post(f"{h.base}/v1/audio/transcriptions",
+                          files={"file": ("a.wav", wav_bytes())})
+        assert r.status_code == 400
+        assert r.json()["error"]["param"] == "model"
+    finally:
+        h.stop()
+
+
+def test_cli_transcribe(whisper_dir, tmp_path):
+    from ferrum_tpu.cli import main
+    wav = tmp_path / "in.wav"
+    wav.write_bytes(wav_bytes(seed=1))
+    rc = main(["transcribe", whisper_dir, str(wav), "--max-tokens", "6",
+               "--json"])
+    assert rc == 0

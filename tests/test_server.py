@@ -19,8 +19,9 @@ from tests.test_engine_e2e import tiny_engine
 
 
 class ServerHandle:
-    def __init__(self, engine, port=18231):
+    def __init__(self, engine, port=18231, **server_kw):
         self.engine = engine
+        self._server_kw = server_kw
         self.port = port
         self.base = f"http://127.0.0.1:{port}"
         self._loop = None
@@ -34,7 +35,8 @@ class ServerHandle:
 
         self._loop = asyncio.new_event_loop()
         asyncio.set_event_loop(self._loop)
-        server = FerrumServer(self.engine, model_name="tiny-test")
+        server = FerrumServer(self.engine, model_name="tiny-test",
+                              **self._server_kw)
         runner = web.AppRunner(server.make_app())
         self._loop.run_until_complete(runner.setup())
         site = web.TCPSite(runner, "127.0.0.1", self.port)
