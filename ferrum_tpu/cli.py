@@ -179,12 +179,22 @@ def cmd_serve(args) -> int:
         from .engine.asr import AsrEngine
         asr = AsrEngine(args.asr_model)
         print(f"ASR lane: {args.asr_model}", file=sys.stderr)
+    if getattr(args, "embed_model", None):
+        # Dedicated encoder checkpoint (BERT family) for /v1/embeddings.
+        from .engine.embedding import BertEmbeddingEngine
+        emb = BertEmbeddingEngine(args.embed_model)
+        print(f"embeddings lane: {args.embed_model}", file=sys.stderr)
+    else:
+        # Default: mean-pooled embeddings from the serving model.
+        from .engine.embedding import EmbeddingEngine
+        emb = EmbeddingEngine(engine.runner.model_cfg,
+                              engine.runner.params, engine.tokenizer)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
           file=sys.stderr)
     try:
         serve(engine, model_name=args.served_model_name or args.model,
               host=args.host, port=args.port, api_key=args.api_key,
-              asr_engine=asr)
+              asr_engine=asr, embedding_engine=emb)
     finally:
         engine.stop()
     return 0
@@ -357,6 +367,9 @@ def main(argv=None) -> int:
     p.add_argument("--served-model-name", default=None)
     p.add_argument("--asr-model", default=None,
                    help="whisper checkpoint dir for /v1/audio/transcriptions")
+    p.add_argument("--embed-model", default=None,
+                   help="BERT checkpoint dir for /v1/embeddings "
+                        "(default: mean-pooled from the serving model)")
     p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("bench", help="offline engine benchmark")

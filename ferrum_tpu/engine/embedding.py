@@ -63,3 +63,64 @@ class EmbeddingEngine:
                                   jnp.asarray(t, jnp.int32))
             out.append(np.asarray(vec))
         return np.stack(out), total
+
+
+class BertEmbeddingEngine:
+    """Encoder-family embedder (ref: multimodal/bert.rs + BertExecutor):
+    mean-pooled, L2-normalized BERT last-hidden-state. Same `embed`
+    interface as EmbeddingEngine, so it drops into /v1/embeddings."""
+
+    def __init__(self, model_dir: str, max_len: int = 512):
+        from ..models.bert import load_bert_dir
+        self.cfg, self.params = load_bert_dir(model_dir)
+        self.tokenizer = self._load_tokenizer(model_dir)
+        self.max_len = min(max_len, self.cfg.max_position_embeddings)
+        self._fns: Dict[int, "jax.stages.Wrapped"] = {}
+
+    @staticmethod
+    def _load_tokenizer(model_dir: str):
+        import os
+
+        from tokenizers import Tokenizer
+        p = os.path.join(model_dir, "tokenizer.json")
+        if not os.path.exists(p):
+            from ..types import ModelLoadError
+            raise ModelLoadError(
+                f"BERT embeddings need {p} (wordpiece tokenizer)")
+        return Tokenizer.from_file(p)
+
+    def _fn(self, t_pad: int):
+        fn = self._fns.get(t_pad)
+        if fn is None:
+            from ..models.bert import bert_encode
+            cfg = self.cfg
+
+            def run(params, tokens, mask):
+                h = bert_encode(cfg, params, tokens, mask)
+                hf = h.astype(jnp.float32) * mask[:, :, None]
+                n = jnp.maximum(mask.sum(axis=1, keepdims=True), 1)
+                pooled = hf.sum(axis=1) / n
+                return pooled / jnp.maximum(
+                    jnp.linalg.norm(pooled, axis=-1, keepdims=True), 1e-9)
+
+            fn = jax.jit(run)
+            self._fns[t_pad] = fn
+        return fn
+
+    def embed(self, texts: List[str]) -> Tuple[np.ndarray, int]:
+        out = []
+        total = 0
+        for text in texts:
+            enc = self.tokenizer.encode(text)
+            ids = enc.ids[: self.max_len]
+            total += len(ids)
+            t = len(ids)
+            t_pad = max(16, 1 << (t - 1).bit_length())
+            toks = np.zeros((1, t_pad), np.int32)
+            toks[0, :t] = ids
+            mask = np.zeros((1, t_pad), bool)
+            mask[0, :t] = True
+            vec = self._fn(t_pad)(self.params, jnp.asarray(toks),
+                                  jnp.asarray(mask))
+            out.append(np.asarray(vec)[0])
+        return np.stack(out), total

@@ -402,4 +402,20 @@ def preset(name: str) -> ModelConfig:
                           moe_intermediate_size=768, norm_topk_prob=True),
             bos_token_id=151643, eos_token_ids=(151645, 151643),
         )
+    if n in ("qwen3-15b-a3b", "qwen3-moe-half"):
+        # Single-chip MoE bench lane: the 30B-A3B architecture with 64
+        # experts (half the stack) — int4 experts ≈ 7.3 GB + attention
+        # ≈ 0.4 GB, honestly fits one v5e's 16 GB HBM beside the KV
+        # pool. Per-token active compute equals the flagship's (8 of 64
+        # experts, same expert size). The full 30B needs TP=2+ (see
+        # NOTES_ROUND2 HBM plan).
+        return ModelConfig(
+            family="qwen3_moe", vocab_size=151936, hidden_size=2048,
+            num_layers=48, num_heads=32, num_kv_heads=4, head_dim=128,
+            intermediate_size=6144, rope_theta=1000000.0, qk_norm=True,
+            rms_norm_eps=1e-6, max_position_embeddings=40960,
+            moe=MoeConfig(num_experts=64, num_experts_per_tok=8,
+                          moe_intermediate_size=768, norm_topk_prob=True),
+            bos_token_id=151643, eos_token_ids=(151645, 151643),
+        )
     raise ValueError(f"unknown model preset {name!r}")
