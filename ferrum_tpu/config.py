@@ -35,6 +35,7 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_MAX_MODEL_LEN": ("max_model_len", int, "max sequence length"),
     "FERRUM_PREFILL_CHUNK": ("prefill_chunk_size", int, "max prefill chunk tokens"),
     "FERRUM_ENABLE_PREFIX_CACHE": ("enable_prefix_cache", bool, "block-hash prefix reuse"),
+    "FERRUM_PREFIX_CACHE_POLICY": ("prefix_cache_policy", str, "eviction policy: lru|fifo|clock"),
     "FERRUM_ENABLE_CHUNKED_PREFILL": ("enable_chunked_prefill", bool, ""),
     "FERRUM_SCHEDULER": ("scheduler", str, "continuous|fifo|priority"),
     "FERRUM_KV_DTYPE": ("kv_dtype", str, "bf16|f32|int8"),
@@ -152,6 +153,8 @@ class EngineConfig:
     #          preemption don't apply (capacity is reserved per slot).
     kv_layout: str = "paged"
     enable_prefix_cache: bool = True
+    # Cache eviction policy (ref: managers/eviction.rs LRU/FIFO/Clock).
+    prefix_cache_policy: str = "lru"    # lru | fifo | clock
 
     # --- numerics / quant ---
     dtype: str = "bf16"

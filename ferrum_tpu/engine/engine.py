@@ -66,7 +66,8 @@ class ContinuousBatchEngine:
         self.prefix_cache = prefix_cache if prefix_cache is not None else (
             PrefixCache(self.pool,
                         enabled=cfg.enable_prefix_cache
-                        and cfg.kv_layout == "paged"))
+                        and cfg.kv_layout == "paged",
+                        policy=getattr(cfg, "prefix_cache_policy", "lru")))
         self.scheduler = ContinuousBatchScheduler(
             cfg, self.pool, self.prefix_cache, policy=cfg.scheduler)
 

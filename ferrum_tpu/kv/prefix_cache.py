@@ -8,8 +8,15 @@ stats (crates/ferrum-kv/src/cache/prefix.rs:113).
 Each FULL block of a sequence's prompt is keyed by the hash chain
 hash(parent_hash, tokens_in_block). On admission, the longest chain of
 cached full blocks is adopted copy-on-write (refcount shares), and the
-prefill starts after the reused prefix. Eviction is LRU over blocks with
-refcount 1 held only by the cache.
+prefill starts after the reused prefix.
+
+Eviction policy family (ref: ferrum-kv/src/managers/eviction.rs
+LRUEviction/FIFOEviction/ClockEviction): only blocks whose sole owner
+is the cache (refcount 1) are reclaimable.
+  lru   — reclaim least-recently-matched first (default)
+  fifo  — reclaim oldest-inserted first (match order ignored)
+  clock — second-chance: a referenced bit set on match spares the block
+          one sweep
 """
 
 from __future__ import annotations
@@ -40,14 +47,21 @@ class PrefixCacheStats:
 
 
 class PrefixCache:
-    """LRU cache of full prompt blocks keyed by token hash chain."""
+    """Cache of full prompt blocks keyed by token hash chain, with a
+    pluggable eviction policy (lru | fifo | clock)."""
 
-    def __init__(self, pool: BlockPool, enabled: bool = True):
+    def __init__(self, pool: BlockPool, enabled: bool = True,
+                 policy: str = "lru"):
+        if policy not in ("lru", "fifo", "clock"):
+            raise ValueError(f"unknown eviction policy {policy!r}")
         self.pool = pool
         self.enabled = enabled
-        # hash → physical block id (cache holds one refcount on each)
+        self.policy = policy
+        # hash → physical block id (cache holds one refcount on each).
+        # Order = insertion order (fifo/clock) or recency (lru).
         self._by_hash: "collections.OrderedDict[int, int]" = collections.OrderedDict()
         self._hash_of_block: Dict[int, int] = {}
+        self._referenced: Dict[int, bool] = {}     # clock second-chance
         self.stats = PrefixCacheStats()
 
     def match_prefix(self, tokens: Sequence[int]) -> Tuple[List[int], int]:
@@ -71,7 +85,10 @@ class PrefixCache:
             b = self._by_hash.get(h)
             if b is None:
                 break
-            self._by_hash.move_to_end(h)
+            if self.policy == "lru":
+                self._by_hash.move_to_end(h)
+            elif self.policy == "clock":
+                self._referenced[h] = True
             blocks.append(b)
             covered += page
             parent = h
@@ -97,7 +114,10 @@ class PrefixCache:
             h = _hash_chain(parent, chunk)
             parent = h
             if h in self._by_hash:
-                self._by_hash.move_to_end(h)
+                if self.policy == "lru":
+                    self._by_hash.move_to_end(h)
+                elif self.policy == "clock":
+                    self._referenced[h] = True
                 continue
             b = block_ids[i]
             self.pool.share(b)
@@ -106,26 +126,43 @@ class PrefixCache:
         self.stats.cached_blocks = len(self._by_hash)
 
     def evict(self, min_free_target: int) -> int:
-        """LRU-evict cached blocks until pool free count >= target.
-
-        Only blocks whose sole owner is the cache are reclaimed
-        (refcount 1); shared blocks stay (ref: eviction.rs LRU policy).
-        """
+        """Evict cached blocks until pool free count >= target, per the
+        configured policy. Only blocks whose sole owner is the cache
+        are reclaimed (refcount 1); shared blocks stay."""
         freed = 0
         if not self._by_hash:
             return 0
-        for h in list(self._by_hash.keys()):
-            if self.pool.num_free >= min_free_target:
-                break
-            b = self._by_hash[h]
-            if self.pool.refcount(b) == 1:
-                del self._by_hash[h]
-                del self._hash_of_block[b]
-                self.pool.free(b)
-                freed += 1
-                self.stats.evictions += 1
+        if self.policy == "clock":
+            # Up to two sweeps: first clears referenced bits (second
+            # chance), second reclaims.
+            for _sweep in range(2):
+                for h in list(self._by_hash.keys()):
+                    if self.pool.num_free >= min_free_target:
+                        break
+                    if self._referenced.pop(h, False):
+                        continue            # spared this sweep
+                    freed += self._reclaim(h)
+                if self.pool.num_free >= min_free_target:
+                    break
+        else:
+            # lru: order = recency (oldest first). fifo: insertion order.
+            for h in list(self._by_hash.keys()):
+                if self.pool.num_free >= min_free_target:
+                    break
+                freed += self._reclaim(h)
         self.stats.cached_blocks = len(self._by_hash)
         return freed
+
+    def _reclaim(self, h: int) -> int:
+        b = self._by_hash[h]
+        if self.pool.refcount(b) != 1:
+            return 0
+        del self._by_hash[h]
+        del self._hash_of_block[b]
+        self._referenced.pop(h, None)
+        self.pool.free(b)
+        self.stats.evictions += 1
+        return 1
 
     def clear(self) -> None:
         for h, b in list(self._by_hash.items()):

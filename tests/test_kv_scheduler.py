@@ -95,6 +95,56 @@ class TestPrefixCache:
         pc.evict(min_free_target=4)
         assert pool.num_free == 4
 
+    def _filled(self, policy, n_chains=3):
+        """Cache with n_chains one-block chains inserted in order,
+        sole-owned by the cache (evictable)."""
+        pool = BlockPool(num_blocks=16, page_size=4)
+        pc = PrefixCache(pool, policy=policy)
+        chains = []
+        for i in range(n_chains):
+            sb = SequenceBlocks(pool)
+            sb.ensure_capacity(4)
+            toks = list(range(100 * (i + 1), 100 * (i + 1) + 4))
+            pc.insert(toks, sb.blocks)
+            chains.append((toks, sb.blocks[0]))
+            sb.release()
+        return pool, pc, chains
+
+    def test_lru_evicts_least_recently_matched(self):
+        pool, pc, chains = self._filled("lru")
+        # Touch chain 0 → chain 1 becomes the LRU victim.
+        pc.match_prefix(chains[0][0] + [9])
+        pc.evict(min_free_target=pool.num_free + 1)
+        assert pc.match_prefix(chains[0][0] + [9])[1] == 4
+        assert pc.match_prefix(chains[1][0] + [9])[1] == 0
+
+    def test_fifo_evicts_insertion_order_despite_access(self):
+        pool, pc, chains = self._filled("fifo")
+        # Touch chain 0 repeatedly; FIFO still evicts it first.
+        pc.match_prefix(chains[0][0] + [9])
+        pc.match_prefix(chains[0][0] + [9])
+        pc.evict(min_free_target=pool.num_free + 1)
+        assert pc.match_prefix(chains[0][0] + [9])[1] == 0
+        assert pc.match_prefix(chains[1][0] + [9])[1] == 4
+
+    def test_clock_second_chance(self):
+        pool, pc, chains = self._filled("clock")
+        # Referenced bit on chain 0 spares it one sweep: chain 1 goes.
+        pc.match_prefix(chains[0][0] + [9])
+        pc.evict(min_free_target=pool.num_free + 1)
+        assert pc.match_prefix(chains[0][0] + [9])[1] == 4
+        assert pc.match_prefix(chains[1][0] + [9])[1] == 0
+        # Second eviction: chain 0's bit was re-set by the match above,
+        # chain 2 (unreferenced) goes first.
+        pc.evict(min_free_target=pool.num_free + 1)
+        assert pc.match_prefix(chains[0][0] + [9])[1] == 4
+        assert pc.match_prefix(chains[2][0] + [9])[1] == 0
+
+    def test_unknown_policy_rejected(self):
+        pool = BlockPool(num_blocks=4, page_size=4)
+        with pytest.raises(ValueError):
+            PrefixCache(pool, policy="mru")
+
 
 class TestContinuousScheduler:
     def make(self, max_num_seqs=4, blocks=32, budget=64, chunk=8,
