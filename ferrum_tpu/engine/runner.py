@@ -33,8 +33,8 @@ import numpy as np
 from ..config import EngineConfig
 from ..models.configs import ModelConfig
 from ..models.llama_family import (
-    OOB_SENTINEL, ModelParams, PagedKvCache, decode_forward,
-    logits_from_hidden, prefill_forward_batched,
+    OOB_SENTINEL, ModelParams, PagedKvCache, append_window_kv,
+    decode_forward, logits_from_hidden, prefill_forward_batched,
 )
 from ..sampling.device import (
     SlotSamplingParams, guided_advance, guided_mask_rows, sample_step,
@@ -365,6 +365,13 @@ class ModelRunner:
         page = self.page
         vocab = self.model_cfg.vocab_size
         hybrid = self.hybrid
+        # KV-out-of-carry window (flat/linear attention): the cache is
+        # scan-INVARIANT (read-only closure); per-step K/V accumulates
+        # in a small [L, T, S, Hkv, D] carry and lands in the pool with
+        # ONE append after the scan. A lax.scan carry containing the
+        # multi-GB pool ping-pongs buffers — measured as a full pool
+        # copy per step (~16 ms/step at 4.3 GB on v5e).
+        use_win = attn_impl == "linear"
 
         def step_fn(params, kv, counts, keys, packed, prev_toks,
                     block_tables, samp, gstates, ginit, gtrans, gmask,
@@ -379,33 +386,74 @@ class ModelRunner:
             top_ps, penalties = samp["top_ps"], samp["pens"]
             if guided:
                 gstates = jnp.where(ginit >= 0, ginit, gstates)
+            s = tokens0.shape[0]
+            cache_len0 = packed[2]
+            if use_win:
+                lkv = mc.num_kv_layers
+                win_k0 = jnp.zeros(
+                    (lkv, num_steps, s, kv.kv_heads, kv.head_dim),
+                    kv.k.dtype if not kv.quantized else jnp.bfloat16)
+                win_v0 = jnp.zeros_like(win_k0)
+                w_iota = jnp.arange(num_steps, dtype=jnp.int32)
+                # Hoist the per-layer ctx-window slices OUT of the scan:
+                # the [:, :ctx_pad] slice materializes a tiled copy on
+                # TPU — paid once per WINDOW here (scan-invariant
+                # closure), not once per step.
+                f = kv.kv_heads * kv.head_dim
+                k_lins = [kv.k[li].reshape(s, -1, f)[:, :ctx_pad]
+                          for li in range(lkv)]
+                v_lins = [kv.v[li].reshape(s, -1, f)[:, :ctx_pad]
+                          for li in range(lkv)]
+                ks_lins = vs_lins = None
+                if kv.quantized:
+                    ks_lins = [kv.k_scale[li].reshape(
+                        s, -1, kv.kv_heads)[:, :ctx_pad]
+                        for li in range(lkv)]
+                    vs_lins = [kv.v_scale[li].reshape(
+                        s, -1, kv.kv_heads)[:, :ctx_pad]
+                        for li in range(lkv)]
 
-            def body(carry, _):
-                (tokens, positions, context_lens, kv, counts, keys,
-                 gstates, rec_conv, rec_delta) = carry
-                # Device-side flat-slot lookup (kv_cache_append analog of
-                # the host's SequenceBlocks.flat_slot).
+            def flat_of(positions):
+                # Device-side flat-slot lookup (kv_cache_append analog
+                # of the host's SequenceBlocks.flat_slot).
                 page_idx = positions // page
                 block = jnp.take_along_axis(
                     block_tables, page_idx[:, None], axis=1)[:, 0]
                 flat = block * page + positions % page
-                # Inactive/overflow slots drop their writes.
-                oob = OOB_SENTINEL
-                flat = jnp.where(
-                    (positions < pos_limit) & (active_slots < tokens.shape[0]),
-                    flat, oob)
+                return jnp.where(
+                    (positions < pos_limit) & (active_slots < s),
+                    flat, OOB_SENTINEL)
+
+            def body(carry, step):
+                (tokens, positions, context_lens, kv_c, counts, keys,
+                 gstates, rec_conv, rec_delta, win_k, win_v) = carry
+                flat = flat_of(positions)
+                win = None
+                if use_win:
+                    win = {"k": win_k, "v": win_v, "step": step,
+                           "valid": (w_iota[None, :] < step),
+                           "cache_len": cache_len0,
+                           "k_lins": k_lins, "v_lins": v_lins,
+                           "ks_lins": ks_lins, "vs_lins": vs_lins}
+                kw = {}
                 if hybrid:
-                    h, kv, rec = decode_forward(
-                        params, mc, kv, tokens, positions, block_tables,
-                        context_lens, flat, ctx_pad=ctx_pad,
-                        attn_impl=attn_impl,
-                        rec={"conv": rec_conv, "delta": rec_delta})
-                    rec_conv, rec_delta = rec["conv"], rec["delta"]
+                    kw["rec"] = {"conv": rec_conv, "delta": rec_delta}
+                out = decode_forward(
+                    params, mc, kv_c, tokens, positions, block_tables,
+                    context_lens, flat, ctx_pad=ctx_pad,
+                    attn_impl=attn_impl, win=win, **kw)
+                if use_win and hybrid:
+                    h, win, rec = out
+                elif use_win:
+                    h, win = out
+                elif hybrid:
+                    h, kv_c, rec = out
                 else:
-                    h, kv = decode_forward(
-                        params, mc, kv, tokens, positions, block_tables,
-                        context_lens, flat, ctx_pad=ctx_pad,
-                        attn_impl=attn_impl)
+                    h, kv_c = out
+                if use_win:
+                    win_k, win_v = win["k"], win["v"]
+                if hybrid:
+                    rec_conv, rec_delta = rec["conv"], rec["delta"]
                 logits = logits_from_hidden(params, mc, h)
                 sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
                                         min_tok_active)
@@ -419,14 +467,39 @@ class ModelRunner:
                                              out_tokens)
                 counts = update_counts(counts, active_slots, out_tokens)
                 return ((out_tokens, positions + 1, context_lens + 1,
-                         kv, counts, keys, gstates, rec_conv, rec_delta),
+                         kv_c, counts, keys, gstates, rec_conv, rec_delta,
+                         win_k, win_v),
                         out_tokens)
 
+            if use_win:
+                carry = (tokens0, packed[1], packed[2], None, counts,
+                         keys, gstates, rec_conv, rec_delta, win_k0,
+                         win_v0)
+
+                def body_win(carry, step):
+                    c = list(carry)
+                    c[3] = kv          # closure-invariant cache
+                    new_c, tok = body(tuple(c), step)
+                    new_c = list(new_c)
+                    new_c[3] = None    # keep the pool OUT of the carry
+                    return tuple(new_c), tok
+
+                (tokens, positions, context_lens, _none, counts, keys,
+                 gstates, rec_conv, rec_delta, win_k, win_v), all_toks = \
+                    jax.lax.scan(body_win, carry, w_iota)
+                # ONE append for the whole window.
+                flat_mat = jax.vmap(
+                    lambda t: flat_of(packed[1] + t))(w_iota)   # [T, S]
+                kv2 = append_window_kv(kv, win_k, win_v, flat_mat)
+                return (all_toks, kv2, counts, keys, gstates, rec_conv,
+                        rec_delta)
+
             carry = (tokens0, packed[1], packed[2], kv, counts, keys,
-                     gstates, rec_conv, rec_delta)
+                     gstates, rec_conv, rec_delta, 0, 0)
             (tokens, positions, context_lens, kv, counts, keys,
-             gstates, rec_conv, rec_delta), all_toks = \
-                jax.lax.scan(body, carry, None, length=num_steps)
+             gstates, rec_conv, rec_delta, _a, _b), all_toks = \
+                jax.lax.scan(body, carry,
+                             jnp.arange(num_steps, dtype=jnp.int32))
             return all_toks, kv, counts, keys, gstates, rec_conv, rec_delta
 
         fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 8, 13, 14))

@@ -412,6 +412,11 @@ def flat_decode_attention(
     softcap: Optional[float] = None,
     k_scale: Optional[jnp.ndarray] = None,   # f32 [S, C, Hkv] (int8 KV)
     v_scale: Optional[jnp.ndarray] = None,
+    k_win: Optional[jnp.ndarray] = None,     # [W, S, Hkv, D] in-window K
+    v_win: Optional[jnp.ndarray] = None,
+    win_valid: Optional[jnp.ndarray] = None,  # bool [S, W]
+    cache_len: Optional[jnp.ndarray] = None,  # int32 [S] frozen lens of
+                                              # the cache (win mode)
 ) -> jnp.ndarray:
     """Deferred-append decode attention over the flat cache layout.
 
@@ -420,7 +425,12 @@ def flat_decode_attention(
     layout gives each q row exactly one head segment, so dequant
     commutes out of both matmuls: scores *= k_scale (post-QK) and
     p_hist *= v_scale (pre-PV). Exact, and the cache streams at half
-    the bytes (ref: int8_paged_decode_attention.cu)."""
+    the bytes (ref: int8_paged_decode_attention.cu).
+
+    k_win/v_win: K/V of tokens generated EARLIER IN THIS WINDOW that are
+    not in the cache yet (the KV-out-of-scan-carry design: the cache is
+    scan-invariant, so XLA never copies the multi-GB pool per step;
+    in-window tokens attend via these masked extra terms instead)."""
     s, hq, d = q.shape
     ctx_pad = k_flat.shape[1]
     rep = hq // hkv
@@ -433,7 +443,8 @@ def flat_decode_attention(
         # [S, C, Hkv] -> per q-head row [S, Hq, C]
         ks_q = jnp.repeat(jnp.swapaxes(k_scale, 1, 2), rep, axis=1)
         scores = scores * ks_q
-    hist_len = context_lens[:, None] - 1
+    hist_src = context_lens if cache_len is None else cache_len
+    hist_len = hist_src[:, None] - 1
     pos = jax.lax.broadcasted_iota(jnp.int32, (s, ctx_pad), 1)
     valid = pos < hist_len
     if sliding_window is not None:
@@ -445,10 +456,26 @@ def flat_decode_attention(
                          k_self.reshape(s, hkv * d),
                          preferred_element_type=jnp.float32)  # [S, Hq]
     self_sc = _maybe_softcap(self_sc, softcap)
+
+    win_sc = None
+    if k_win is not None:
+        kw = jnp.moveaxis(k_win, 0, 1).reshape(s, -1, hkv * d)
+        win_sc = jnp.einsum("sqf,swf->sqw", qt,
+                            kw.astype(qt.dtype),
+                            preferred_element_type=jnp.float32)
+        win_sc = _maybe_softcap(win_sc, softcap)
+        win_sc = jnp.where(win_valid[:, None, :], win_sc, NEG_INF)
+
     m = jnp.maximum(jnp.max(scores, axis=-1), self_sc)
+    if win_sc is not None:
+        m = jnp.maximum(m, jnp.max(win_sc, axis=-1))
     e_hist = jnp.exp(scores - m[:, :, None])
     e_self = jnp.exp(self_sc - m)
     denom = jnp.sum(e_hist, axis=-1) + e_self
+    e_win = None
+    if win_sc is not None:
+        e_win = jnp.exp(win_sc - m[:, :, None])
+        denom = denom + jnp.sum(e_win, axis=-1)
     p_hist = e_hist / denom[:, :, None]
     if v_scale is not None:
         vs_q = jnp.repeat(jnp.swapaxes(v_scale, 1, 2), rep, axis=1)
@@ -457,6 +484,12 @@ def flat_decode_attention(
     vf = v_flat.astype(qt.dtype) if v_flat.dtype == jnp.int8 else v_flat
     out_all = jnp.einsum("sqc,scf->sqf", p_hist, vf,
                          preferred_element_type=jnp.float32)  # [S, Hq, F]
+    if e_win is not None:
+        vw = jnp.moveaxis(v_win, 0, 1).reshape(s, -1, hkv * d)
+        p_win = (e_win / denom[:, :, None]).astype(qt.dtype)
+        out_all = out_all + jnp.einsum(
+            "sqw,swf->sqf", p_win, vw.astype(qt.dtype),
+            preferred_element_type=jnp.float32)
     out = _unmask_out_flat(out_all, hq, hkv, d)
     v_rep = jnp.repeat(v_self.astype(jnp.float32), rep, axis=1)
     out = out + (e_self / denom)[:, :, None] * v_rep

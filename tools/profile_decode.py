@@ -34,10 +34,14 @@ def main():
     from ferrum_tpu.models.llama_family import PagedKvCache
     from ferrum_tpu.models.quantize import init_random_quant_params
 
+    from ferrum_tpu.ops.pallas import quant_matmul as _qm
+    _qm.set_w4a8(os.environ.get("W4A8", "1") == "1")
+
     model_cfg = preset(os.environ.get("FERRUM_BENCH_MODEL", "llama-3.1-8b"))
     cfg = EngineConfig.resolve(
         model="bench", max_num_seqs=32, max_num_batched_tokens=2048,
-        max_model_len=1024, prefill_chunk_size=512, kv_block_size=32,
+        max_model_len=int(os.environ.get("MAXLEN", 1024)),
+        prefill_chunk_size=512, kv_block_size=32,
         kv_layout="linear", dtype="bf16", kv_dtype="bf16", seed=0)
     params = init_random_quant_params(model_cfg, seed=0)
     T = int(os.environ.get("T", cfg.decode_multi_step or 8))
