@@ -63,6 +63,9 @@ def main() -> None:
         model="bench", max_num_seqs=32, max_num_batched_tokens=2048,
         max_model_len=1024, prefill_chunk_size=512, kv_block_size=32,
         kv_layout="linear",   # slot-contiguous serving fast path
+        # T=4 windows: same c=32 throughput as T=8 (911 vs 914 tok/s),
+        # ~130 ms better TTFT p50 (faster iteration cadence).
+        decode_multi_step=4,
         dtype="bf16", kv_dtype="bf16", seed=0)
 
     label = f"{model_name}-random"

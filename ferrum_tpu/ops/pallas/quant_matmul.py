@@ -169,9 +169,10 @@ def _qmm_w4a8_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, sc_ref, z_ref,
     ref: the Marlin w4a16 GEMM this replaces
     (crates/ferrum-kernels/vllm_marlin/marlin.cu); the activation-
     quantization trick mirrors vLLM's w8a8 dynamic per-token scaling.
+    Grid (M/bm, N/bn, K-steps): m tiled for prefill-sized batches.
     """
-    j = pl.program_id(0)
-    kk = pl.program_id(1)
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
 
     @pl.when(kk == 0)
     def _():
@@ -223,6 +224,13 @@ def _quant_matmul_w4a8_2d(xq: jnp.ndarray, xs: jnp.ndarray,
             bn //= 2
     if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return None                     # caller falls back to w4a16
+    # m-tiling: cap resident rows so xq tiles + f32 accumulator fit the
+    # 16 MB scoped-VMEM budget at prefill batches (m = B*T).
+    bm = min(m, 256)
+    while bm > 32 and m % bm:
+        bm //= 2
+    if m % bm:
+        return None
     n_k = (k // 2) // bkb
     half_groups = (k // 2) // GROUP
 
@@ -233,26 +241,26 @@ def _quant_matmul_w4a8_2d(xq: jnp.ndarray, xs: jnp.ndarray,
         gpt=bkb // GROUP, out_dtype=out_dtype)
     return pl.pallas_call(
         kernel,
-        grid=(n // bn, n_k),
+        grid=(m // bm, n // bn, n_k),
         in_specs=[
-            pl.BlockSpec((m, bkb), lambda j, kk: (0, kk),
+            pl.BlockSpec((bm, bkb), lambda i, j, kk: (i, kk),
                          memory_space=pltpu.VMEM),            # xq low cols
-            pl.BlockSpec((m, bkb),
-                         lambda j, kk, nk=n_k: (0, nk + kk),
+            pl.BlockSpec((bm, bkb),
+                         lambda i, j, kk, nk=n_k: (i, nk + kk),
                          memory_space=pltpu.VMEM),            # xq high cols
-            pl.BlockSpec((m, 1), lambda j, kk: (0, 0),
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
                          memory_space=pltpu.VMEM),            # xs
-            pl.BlockSpec((bkb, bn), lambda j, kk: (kk, j),
+            pl.BlockSpec((bkb, bn), lambda i, j, kk: (kk, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),    # scales (full)
             pl.BlockSpec(memory_space=pltpu.VMEM),    # zeros (full)
         ],
-        out_specs=pl.BlockSpec((m, bn), lambda j, kk: (0, j),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((m, bn), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * m * k * n,
             bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * m * n,
