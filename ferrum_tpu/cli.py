@@ -180,9 +180,18 @@ def cmd_serve(args) -> int:
         asr = AsrEngine(args.asr_model)
         print(f"ASR lane: {args.asr_model}", file=sys.stderr)
     if getattr(args, "embed_model", None):
-        # Dedicated encoder checkpoint (BERT family) for /v1/embeddings.
-        from .engine.embedding import BertEmbeddingEngine
-        emb = BertEmbeddingEngine(args.embed_model)
+        # Dedicated encoder checkpoint for /v1/embeddings: BERT (text)
+        # or CLIP (text+image), detected from architectures.
+        import json as _json
+        import os as _os
+        with open(_os.path.join(args.embed_model, "config.json")) as f:
+            archs = _json.load(f).get("architectures") or []
+        if any("CLIP" in a for a in archs):
+            from .engine.embedding import ClipEmbeddingEngine
+            emb = ClipEmbeddingEngine(args.embed_model)
+        else:
+            from .engine.embedding import BertEmbeddingEngine
+            emb = BertEmbeddingEngine(args.embed_model)
         print(f"embeddings lane: {args.embed_model}", file=sys.stderr)
     else:
         # Default: mean-pooled embeddings from the serving model.

@@ -65,6 +65,75 @@ class EmbeddingEngine:
         return np.stack(out), total
 
 
+class ClipEmbeddingEngine:
+    """CLIP dual-tower embedder (ref: multimodal/clip.rs +
+    ClipExecutor): text via the causal text tower (EOT pooling), images
+    via the ViT tower; both land in the shared projection space,
+    L2-normalized. Accepts {"image": <base64>} items alongside strings
+    through the same embed() interface."""
+
+    def __init__(self, model_dir: str):
+        from ..models.clip import load_clip_dir
+        self.cfg, self.params = load_clip_dir(model_dir)
+        self.tokenizer = self._load_tokenizer(model_dir)
+        self._text_fns: Dict[int, "jax.stages.Wrapped"] = {}
+        self._img_fn = None
+
+    @staticmethod
+    def _load_tokenizer(model_dir: str):
+        import os
+
+        from tokenizers import Tokenizer
+        p = os.path.join(model_dir, "tokenizer.json")
+        return Tokenizer.from_file(p) if os.path.exists(p) else None
+
+    def _text_fn(self, t_pad: int):
+        fn = self._text_fns.get(t_pad)
+        if fn is None:
+            from ..models.clip import encode_text
+            fn = jax.jit(lambda p, t: encode_text(self.cfg, p, t))
+            self._text_fns[t_pad] = fn
+        return fn
+
+    def embed(self, items) -> Tuple[np.ndarray, int]:
+        """items: list of str (text) or {"image": base64/bytes}."""
+        import base64
+        import io
+
+        from ..models.clip import encode_image, preprocess_image
+        out = []
+        total = 0
+        for it in items:
+            if isinstance(it, dict) and "image" in it:
+                from PIL import Image
+                raw = it["image"]
+                if isinstance(raw, str):
+                    raw = base64.b64decode(raw)
+                img = Image.open(io.BytesIO(raw))
+                px = preprocess_image(img, self.cfg.image_size)
+                if self._img_fn is None:
+                    self._img_fn = jax.jit(
+                        lambda p, x: encode_image(self.cfg, p, x))
+                vec = self._img_fn(self.params, jnp.asarray(px[None]))
+                out.append(np.asarray(vec)[0])
+                total += 1
+                continue
+            if self.tokenizer is None:
+                from ..types import ModelLoadError
+                raise ModelLoadError(
+                    "CLIP text embedding needs tokenizer.json")
+            ids = self.tokenizer.encode(it).ids[
+                : self.cfg.max_position_embeddings]
+            total += len(ids)
+            t_pad = max(8, 1 << (len(ids) - 1).bit_length())
+            t_pad = min(t_pad, self.cfg.max_position_embeddings)
+            toks = np.full((1, t_pad), self.cfg.eos_token_id, np.int32)
+            toks[0, :len(ids)] = ids
+            vec = self._text_fn(t_pad)(self.params, jnp.asarray(toks))
+            out.append(np.asarray(vec)[0])
+        return np.stack(out), total
+
+
 class BertEmbeddingEngine:
     """Encoder-family embedder (ref: multimodal/bert.rs + BertExecutor):
     mean-pooled, L2-normalized BERT last-hidden-state. Same `embed`

@@ -471,14 +471,18 @@ class FerrumServer:
                 "this server is not running an embedding model",
                 param="model")
         # Accept: string | [string] | {"text": ...} | [{"text": ...}]
+        # CLIP engines additionally take {"image": <base64>} items.
         raw = req.input
         items = raw if isinstance(raw, list) else [raw]
+        clip = type(self.embedding_engine).__name__ == "ClipEmbeddingEngine"
         texts = []
         for i, it in enumerate(items):
             if isinstance(it, str):
                 texts.append(it)
             elif isinstance(it, dict) and isinstance(it.get("text"), str):
                 texts.append(it["text"])
+            elif clip and isinstance(it, dict) and "image" in it:
+                texts.append(it)
             else:
                 raise InvalidRequestError(
                     f"unsupported embeddings input item {i}", param="input")
