@@ -44,6 +44,9 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_QUANT": ("quantization", str, "none|gptq_int4|gguf_q4k"),
     "FERRUM_W4A8": ("w4a8", bool,
                     "int8-activation path for int4 matmuls at decode"),
+    "FERRUM_W4A8_TL": ("w4a8_two_level", bool,
+                       "two-level requantize: integer group scales -> "
+                       "full-speed int8 MXU at all batch sizes"),
     "FERRUM_TP": ("tensor_parallel", int, "tensor-parallel degree (mesh 'model' axis)"),
     "FERRUM_DP": ("data_parallel", int, "data-parallel degree (mesh 'data' axis)"),
     "FERRUM_EP": ("expert_parallel", int, "expert-parallel degree (mesh 'expert' axis)"),
@@ -163,6 +166,11 @@ class EngineConfig:
     # decode-sized batches (measured 1.45x over w4a16 at m=32 on v5e;
     # tools/bench_w4a8.py). Divergence-gated in bench/accuracy.py.
     w4a8: bool = True
+    # Two-level requantization (QServe-style): group scales become small
+    # integers so the int8 MXU path applies at ALL batch sizes (prefill
+    # included). Slightly perturbs group scales (requantized weights;
+    # divergence-gated). Requires w4a8.
+    w4a8_two_level: bool = True
 
     # --- parallelism (mesh axes; 1 = off) ---
     tensor_parallel: int = 1

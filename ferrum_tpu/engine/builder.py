@@ -62,6 +62,18 @@ def params_nbytes(params) -> int:
                if hasattr(x, "nbytes"))
 
 
+def apply_two_level(params):
+    """Requantize every int4 linear in the tree into the two-level w4a8
+    form (ops/quant.requantize_two_level) — enables the all-integer
+    int8-MXU matmul path at every batch size."""
+    from ..ops.quant import QuantLinearParams, requantize_two_level
+
+    return jax.tree_util.tree_map(
+        lambda x: requantize_two_level(x)
+        if isinstance(x, QuantLinearParams) else x,
+        params, is_leaf=lambda x: isinstance(x, QuantLinearParams))
+
+
 class EngineBuilder:
     def __init__(self, cfg: EngineConfig):
         self.cfg = cfg
@@ -126,6 +138,13 @@ class EngineBuilder:
             extra = max(0, self.model_cfg.vocab_size - 258)
             self.tokenizer = make_byte_tokenizer(vocab_extra=extra)
 
+        from ..ops.pallas.quant_matmul import set_w4a8
+        set_w4a8(cfg.w4a8)
+        if cfg.w4a8 and cfg.w4a8_two_level:
+            # Before the KV pool is carved out (transient unpack scratch);
+            # no-op when params already carry TL fields.
+            self.params = apply_two_level(self.params)
+
         if cfg.kv_layout == "linear":
             # Every slot reserves a full-length region; block ids are the
             # identity mapping slot*max_pages + i.
@@ -139,8 +158,6 @@ class EngineBuilder:
                     "int8": jnp.int8}[cfg.kv_dtype]
         kv = PagedKvCache.create(self.model_cfg, num_blocks,
                                  cfg.kv_block_size, dtype=kv_dtype)
-        from ..ops.pallas.quant_matmul import set_w4a8
-        set_w4a8(cfg.w4a8)
         if (self.model_cfg.gdn is not None
                 and self.model_cfg.num_linear_layers > 0):
             # Hybrid GDN: recurrent state cannot be rebuilt from shared

@@ -69,13 +69,19 @@ def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
         return sub
 
     def qlin(in_f, out_f):
+        # Uniform scales make the two-level factorization exact
+        # (qs == 15, chan == scale/15, weights unchanged) — emit the TL
+        # fields directly so the builder's requantize pass is a no-op
+        # and never double-buffers the 4 GB weight tree.
         packed = jax.random.bits(next_key(), (in_f // 2, out_f),
                                  dtype=jnp.uint8)
         scales = jnp.full((in_f // group_size, out_f), 0.01, dtype)
         zeros = jnp.full((in_f // group_size, out_f), 8, jnp.int8)
         return QuantLinearParams(
             qweight=packed, scales=scales, zeros=zeros, bias=None,
-            in_features=in_f, out_features=out_f, group_size=group_size)
+            in_features=in_f, out_features=out_f, group_size=group_size,
+            scales2=jnp.full((in_f // group_size, out_f), 15, jnp.int8),
+            chan_scale=jnp.full((1, out_f), 0.01 / 15.0, jnp.float32))
 
     def qstack(e, in_f, out_f):
         packed = jax.random.bits(next_key(), (e, in_f // 2, out_f),
@@ -84,7 +90,9 @@ def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
         zeros = jnp.full((e, in_f // group_size, out_f), 8, jnp.int8)
         return QuantLinearParams(
             qweight=packed, scales=scales, zeros=zeros, bias=None,
-            in_features=in_f, out_features=out_f, group_size=group_size)
+            in_features=in_f, out_features=out_f, group_size=group_size,
+            scales2=jnp.full((e, in_f // group_size, out_f), 15, jnp.int8),
+            chan_scale=jnp.full((e, 1, out_f), 0.01 / 15.0, jnp.float32))
 
     def normal(shape):
         return (0.02 * jax.random.normal(next_key(), shape, dtype=dtype)

@@ -268,6 +268,147 @@ def _quant_matmul_w4a8_2d(xq: jnp.ndarray, xs: jnp.ndarray,
     )(xq, xq, xs, p.qweight, sc3, z3)
 
 
+def _qmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref, z_ref,
+                       chan_ref, o_ref, acc_ref, *, n_k_steps: int,
+                       half_groups: int, bn: int, gpt: int, out_dtype):
+    """Two-level w4a8: all-integer dequant feeding full-K int8 MXU dots.
+
+    The plain w4a8 kernel's per-group f32 corrections cost ~1 VPU op
+    per OUTPUT element per group — at prefill sizes that VPU work
+    rivals the int8 MXU time and erases the speedup (measured
+    tools/bench_w4a8.py: w4a16 wins at m>=256). Here group scales are
+    small integers (QuantLinearParams.scales2, requantize_two_level),
+    so the whole weight prep is integer VPU work per WEIGHT element:
+        w8[k, n] = (q4[k, n] - z[g, n]) * qs[g, n]   (|w8| <= 127)
+    then ONE int8 dot per nibble plane per K-step accumulating into an
+    int32 scratch, and a single per-channel f32 rescale on the final
+    step: y = acc * xs[m] * chan[n]. ref: the vLLM Marlin GEMM family
+    this replaces (crates/ferrum-kernels/vllm_marlin/marlin.cu);
+    scheme per QServe-style W4A8 progressive quantization."""
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qi = qw_ref[:].astype(jnp.int32)       # Mosaic: shifts need i32 lanes
+    lane = pl.ds(j * bn, bn)
+
+    def prep(plane, g0):
+        qg = plane.reshape(gpt, GROUP, bn)
+        parts = []
+        for t in range(gpt):
+            zt = z_ref[g0 + t, :, lane].astype(jnp.int32)     # [1, bn]
+            st = qs_ref[g0 + t, :, lane].astype(jnp.int32)
+            parts.append(((qg[t] - zt) * st).astype(jnp.int8))
+        return parts[0] if gpt == 1 else jnp.concatenate(parts, axis=0)
+
+    w_lo = prep(qi & 0xF, kk * gpt)                           # [bkb, bn]
+    w_hi = prep(qi >> 4, half_groups + kk * gpt)
+
+    acc_ref[:] += jax.lax.dot(xq_lo_ref[:], w_lo,
+                              preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot(xq_hi_ref[:], w_hi,
+                              preferred_element_type=jnp.int32)
+
+    @pl.when(kk == n_k_steps - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * xs_ref[:]
+                    * chan_ref[:]).astype(out_dtype)
+
+
+def _quant_matmul_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
+                            p: QuantLinearParams, out_dtype,
+                            bkb: int = None, bn: int = None):
+    """xq int8 [m, K] (m mult of 32), xs f32 [m, 1]. Requires two-level
+    params (scales2/chan_scale). Returns [m, N] or None on unsupported
+    shapes (caller falls back)."""
+    m, k = xq.shape
+    n = p.out_features
+    assert k == p.in_features
+    cap = 512
+    if bkb is None:
+        bkb = cap
+    while bkb >= GROUP and (k // 2) % bkb:
+        bkb //= 2
+    if bn is None:
+        bn = cap
+        while bn > 128 and n % bn:
+            bn //= 2
+    if p.group_size != GROUP or bkb < GROUP or (n % bn):
+        return None
+    bm = min(m, 256)
+    while bm > 32 and m % bm:
+        bm //= 2
+    if m % bm:
+        return None
+    n_k = (k // 2) // bkb
+    half_groups = (k // 2) // GROUP
+
+    qs3 = p.scales2.reshape(-1, 1, n)
+    z3 = p.zeros.reshape(-1, 1, n)
+    chan = p.chan_scale.astype(jnp.float32).reshape(1, n)
+    kernel = functools.partial(
+        _qmm_w4a8tl_kernel, n_k_steps=n_k, half_groups=half_groups, bn=bn,
+        gpt=bkb // GROUP, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bkb), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),            # xq low cols
+            pl.BlockSpec((bm, bkb),
+                         lambda i, j, kk, nk=n_k: (i, nk + kk),
+                         memory_space=pltpu.VMEM),            # xq high cols
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),            # xs
+            pl.BlockSpec((bkb, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # scales2 (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # zeros (full)
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),            # chan
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * m * n,
+            transcendentals=0),
+    )(xq, xq, xs, p.qweight, qs3, z3, chan)
+
+
+def quant_matmul_w4a8tl(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
+    """y = x @ dequant(qweight) (+ bias) via the two-level int8 path.
+    Falls back to w4a16 off-TPU or on unsupported shapes."""
+    assert p.scales2 is not None, "requantize_two_level first"
+    if p.input_perm is not None:
+        import dataclasses
+        x = jnp.take(x, p.input_perm, axis=-1)
+        p = dataclasses.replace(p, input_perm=None)
+    if not on_tpu():
+        return quant_matmul_w4a16(x, p)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    m = x2.shape[0]
+    m_pad = max(32, ((m + 31) // 32) * 32)
+    if m_pad != m:
+        x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
+    xq, xs = quantize_activation_rows(x2)
+    out = _quant_matmul_w4a8tl_2d(xq, xs, p, x.dtype)
+    if out is None:
+        return quant_matmul_w4a16(x, p)
+    out = out[:m].reshape(*lead, p.out_features)
+    if p.bias is not None:
+        out = out + p.bias
+    return out
+
+
 def quantize_activation_rows(x: jnp.ndarray):
     """Dynamic per-row int8 quantization: xq = round(x / s), s = amax/127.
     Returns (xq int8, s f32 [m, 1])."""
@@ -348,16 +489,23 @@ def quant_matmul_w4a16(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
 def quant_matmul(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     """y = x @ dequant(qweight) (+ bias). x: [..., in] → [..., out].
 
-    Dispatch (measured, tools/bench_w4a8.py on v5e): w4a8 (int8 MXU)
-    wins at decode batch sizes (~1.45x at m=32 — the VPU nibble-unpack
-    bound dominates small m); w4a16 wins at prefill sizes (m>=256,
-    where the MXU is busy enough to hide the unpack and the activation-
-    quantize overhead costs more than it saves)."""
+    Dispatch (measured, tools/bench_w4a8.py on v5e): two-level params
+    (scales2 present) take the all-integer w4a8tl kernel at EVERY m —
+    int8 MXU with int32 accumulation and only per-channel f32 rescale.
+    Plain group-scale params: w4a8 (per-group f32 corrections) wins at
+    decode batch sizes (~1.45x at m=32); w4a16 wins at prefill sizes
+    (m>=256, where the per-group correction VPU work rivals the MXU
+    gain)."""
     m = 1
     for d in x.shape[:-1]:
         m *= d
     if _W4A8 and m <= 64:
+        # Decode sizes: the per-group f32 correction is O(m*bn) and
+        # cheap; plain w4a8 skips the TL weight-prep multiply.
         return quant_matmul_w4a8(x, p)
+    if _W4A8 and p.scales2 is not None:
+        # Prefill sizes: all-integer dequant + int8 MXU at full K.
+        return quant_matmul_w4a8tl(x, p)
     return quant_matmul_w4a16(x, p)
 
 

@@ -36,7 +36,8 @@ import numpy as np
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["qweight", "scales", "zeros", "bias", "input_perm"],
+         data_fields=["qweight", "scales", "zeros", "bias", "input_perm",
+                      "scales2", "chan_scale"],
          meta_fields=["in_features", "out_features", "group_size"])
 @dataclass
 class QuantLinearParams:
@@ -48,6 +49,18 @@ class QuantLinearParams:
     activation gather is applied by `quant_matmul`/`quant_matmul_ref`
     (the runtime analog of Marlin's act-order perm applied to A,
     ref: vllm_marlin/gptq_marlin_repack.cu + marlin.cu g_idx handling).
+
+    `scales2`/`chan_scale` (two-level w4a8, `requantize_two_level`):
+    when present, the per-group scale factors as
+    scales[g, n] == chan_scale[0, n] * scales2[g, n] with scales2 a
+    SMALL INTEGER (int8). The w4a8 two-level Pallas kernel then
+    dequantizes entirely in integer arithmetic — w8 = (q - z) * scales2
+    stays within int8 — feeding full-K int8 MXU dots with a single
+    per-channel float rescale at the end (the QServe/w4a8-progressive
+    scheme; ref: the Marlin w4a16 GEMM this outruns,
+    crates/ferrum-kernels/vllm_marlin/marlin.cu). All non-TL paths
+    (w4a16 kernel, jnp reference, dequantize) keep using `scales` and
+    remain valid on the requantized weights.
     """
 
     qweight: jnp.ndarray   # uint8 [in/2, out]
@@ -58,6 +71,8 @@ class QuantLinearParams:
     out_features: int
     group_size: int
     input_perm: Optional[jnp.ndarray] = None   # int32 [in] or None
+    scales2: Optional[jnp.ndarray] = None      # int8 [in/group, out]
+    chan_scale: Optional[jnp.ndarray] = None   # f32  [1, out]
 
 
 def pack_rows_np(q: np.ndarray, group_size: int) -> np.ndarray:
@@ -203,6 +218,96 @@ def quant_matmul_w4a8_ref(x: jnp.ndarray, p: QuantLinearParams
         st = p.scales[gi][None, :].astype(jnp.float32)
         y += (p32.astype(jnp.float32) - zt * xsum.astype(jnp.float32)) * st
     out = (y * sx).astype(x.dtype).reshape(*lead, p.out_features)
+    if p.bias is not None:
+        out = out + p.bias
+    return out
+
+
+def _two_level_2d(qweight: jnp.ndarray, scales: jnp.ndarray,
+                  zeros: jnp.ndarray, group_size: int):
+    """One [in/2, out] packed weight → two-level requantized tensors.
+
+    Factor each group scale as chan * qs with qs a small int chosen so
+    that |(q - z) * qs| <= 127 (int8-safe):
+      cap[g,n]  = 127 // max(z, 15 - z)        (15 for u4b8's z == 8)
+      chan[n]   = max_g scales[g,n] / cap[g,n]
+      qs[g,n]   = clip(ceil(scales / chan), 1, cap)
+      eff       = chan * qs                     (>= scales, so the
+                                                 re-rounded q stays in
+                                                 the original nibble
+                                                 range — no clipping)
+    The weights are re-rounded against eff; the extra error is bounded
+    by the step inflation eff/scales <= 2 on the worst group and ~1.0
+    on the largest-scale groups (validated by the divergence gate,
+    bench/accuracy.py)."""
+    in_f = qweight.shape[0] * 2
+    n = qweight.shape[1]
+    g = in_f // group_size
+    q = unpack_rows(qweight, group_size)                 # [in, out] i32
+    s = scales.astype(jnp.float32)
+    z = zeros.astype(jnp.int32)
+    vmax = jnp.maximum(z, 15 - z)
+    cap = (127 // jnp.maximum(vmax, 1)).astype(jnp.float32)
+    chan = jnp.max(s / cap, axis=0, keepdims=True)       # [1, out]
+    chan = jnp.maximum(chan, 1e-12)
+    qs = jnp.clip(jnp.ceil(s / chan - 1e-6), 1.0, cap)   # [G, out]
+    eff = chan * qs                                      # [G, out] f32
+    qg = q.reshape(g, group_size, n)
+    w = (qg - z[:, None]).astype(jnp.float32) * s[:, None]
+    q2 = jnp.clip(jnp.round(w / eff[:, None]) + z[:, None], 0, 15)
+    q2 = q2.astype(jnp.uint8).reshape(in_f, n)
+    half = in_f // 2
+    packed = (q2[:half] | (q2[half:] << 4)).astype(jnp.uint8)
+    return packed, eff, qs.astype(jnp.int8), chan
+
+
+def requantize_two_level(p: QuantLinearParams) -> QuantLinearParams:
+    """Requantize into the two-level w4a8 form (see QuantLinearParams).
+
+    Handles both 2D weights and stacked MoE experts (leading E dim).
+    Idempotent; `scales` is replaced by the effective (chan * qs) scale
+    so every existing dequant/matmul path stays correct."""
+    import dataclasses
+
+    if p.scales2 is not None:
+        return p
+    if p.qweight.ndim == 3:
+        packed, eff, qs, chan = jax.vmap(
+            lambda qw, s, z: _two_level_2d(qw, s, z, p.group_size))(
+            p.qweight, p.scales, p.zeros)
+    else:
+        packed, eff, qs, chan = _two_level_2d(
+            p.qweight, p.scales, p.zeros, p.group_size)
+    return dataclasses.replace(
+        p, qweight=packed, scales=eff.astype(p.scales.dtype),
+        scales2=qs, chan_scale=chan)
+
+
+def quant_matmul_w4a8tl_ref(x: jnp.ndarray, p: QuantLinearParams
+                            ) -> jnp.ndarray:
+    """Exact jnp emulation of the two-level w4a8 Pallas kernel (parity
+    oracle): per-row int8 activations, integer weights
+    w8 = (q - z) * scales2, ONE integer dot over the full K dim, one
+    per-channel rescale:  y = (xq @ w8) * sx * chan."""
+    assert p.scales2 is not None
+    if p.input_perm is not None:
+        x = jnp.take(x, p.input_perm, axis=-1)
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1]).astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x2), axis=-1, keepdims=True)
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x2 / sx), -127, 127).astype(jnp.int32)
+
+    q = unpack_rows(p.qweight, p.group_size)            # [in, out]
+    g = p.group_size
+    qg = q.reshape(p.in_features // g, g, p.out_features)
+    w8 = ((qg - p.zeros[:, None, :].astype(jnp.int32))
+          * p.scales2[:, None, :].astype(jnp.int32))
+    w8 = w8.reshape(p.in_features, p.out_features)
+    acc = jnp.dot(xq, w8, preferred_element_type=jnp.int32)
+    out = (acc.astype(jnp.float32) * sx
+           * p.chan_scale.astype(jnp.float32)).astype(x.dtype)
+    out = out.reshape(*lead, p.out_features)
     if p.bias is not None:
         out = out + p.bias
     return out

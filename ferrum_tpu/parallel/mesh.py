@@ -69,7 +69,12 @@ def _shard_linear(lin, mesh: Mesh, col: bool):
             bias=None if lin.bias is None else jax.device_put(
                 lin.bias, NamedSharding(mesh, bias_spec)),
             in_features=lin.in_features, out_features=lin.out_features,
-            group_size=lin.group_size)
+            group_size=lin.group_size,
+            scales2=None if lin.scales2 is None else jax.device_put(
+                lin.scales2, NamedSharding(mesh, spec)),
+            chan_scale=None if lin.chan_scale is None else jax.device_put(
+                lin.chan_scale,
+                NamedSharding(mesh, P(None, "model") if col else P())))
     if isinstance(lin, LoraLinearParams):
         return LoraLinearParams(
             base=_shard_linear(lin.base, mesh, col),
@@ -104,7 +109,11 @@ def shard_params(params: ModelParams, cfg: ModelConfig,
                         bias=_repl(q.bias, mesh),
                         in_features=q.in_features,
                         out_features=q.out_features,
-                        group_size=q.group_size)
+                        group_size=q.group_size,
+                        scales2=None if q.scales2 is None else
+                        jax.device_put(q.scales2, e_spec),
+                        chan_scale=None if q.chan_scale is None else
+                        jax.device_put(q.chan_scale, e_spec))
                 gate, up, down = (shard_qstack(m.gate), shard_qstack(m.up),
                                   shard_qstack(m.down))
             else:

@@ -190,3 +190,110 @@ class TestModelQuantDrift:
         agree = (l1.argmax(-1) == l2.argmax(-1)).mean()
         assert cos.min() >= 0.95, cos.min()
         assert agree >= 0.8, agree
+
+
+class TestTwoLevel:
+    """Two-level w4a8 requantization (QuantLinearParams.scales2 /
+    chan_scale; ref: the Marlin GEMM lane this accelerates,
+    crates/ferrum-kernels/vllm_marlin/marlin.cu — scheme per
+    QServe-style W4A8 progressive quantization)."""
+
+    def _params(self, in_f=512, out_f=256, symmetric=True):
+        from ferrum_tpu.ops.quant import make_quant_linear
+        rng = np.random.default_rng(3)
+        w = rng.normal(0, 0.05, (in_f, out_f)).astype(np.float32)
+        # non-uniform group scales
+        w[:128] *= 3.0
+        w[256:384] *= 0.4
+        return w, make_quant_linear(w, group_size=128, symmetric=symmetric)
+
+    def test_invariants(self):
+        from ferrum_tpu.ops.quant import requantize_two_level, unpack_rows
+        w, p = self._params()
+        p2 = requantize_two_level(p)
+        # scales == chan * scales2 exactly (f32 product, bf16 storage)
+        eff = (np.asarray(p2.chan_scale, np.float32)
+               * np.asarray(p2.scales2, np.float32))
+        got = np.asarray(p2.scales, np.float32)
+        np.testing.assert_allclose(got, eff, rtol=1e-2)
+        # idempotent
+        assert requantize_two_level(p2) is p2
+        # int8 product bound: |(q - z) * qs| <= 127
+        q = np.asarray(unpack_rows(p2.qweight, 128))
+        qg = q.reshape(-1, 128, p2.out_features)
+        w8 = ((qg - np.asarray(p2.zeros)[:, None].astype(np.int64))
+              * np.asarray(p2.scales2)[:, None].astype(np.int64))
+        assert np.abs(w8).max() <= 127
+
+    def test_requant_error_bounded(self):
+        from ferrum_tpu.ops.quant import dequantize, requantize_two_level
+        w, p = self._params()
+        p2 = requantize_two_level(p)
+        w0 = np.asarray(dequantize(p, jnp.float32))
+        w2 = np.asarray(dequantize(p2, jnp.float32))
+        e0 = np.sqrt(((w0 - w) ** 2).mean())
+        e2 = np.sqrt(((w2 - w) ** 2).mean())
+        # TL requantization adds a bounded amount of error on top of the
+        # original int4 rounding (step inflation <= 2 on worst groups).
+        assert e2 <= 1.5 * e0, (e0, e2)
+
+    def test_asymmetric_zeros(self):
+        from ferrum_tpu.ops.quant import (
+            dequantize, requantize_two_level, unpack_rows,
+        )
+        w, p = self._params(symmetric=False)
+        p2 = requantize_two_level(p)
+        q = np.asarray(unpack_rows(p2.qweight, 128))
+        qg = q.reshape(-1, 128, p2.out_features)
+        w8 = ((qg - np.asarray(p2.zeros)[:, None].astype(np.int64))
+              * np.asarray(p2.scales2)[:, None].astype(np.int64))
+        assert np.abs(w8).max() <= 127
+        w0 = np.asarray(dequantize(p, jnp.float32))
+        w2 = np.asarray(dequantize(p2, jnp.float32))
+        e0 = np.sqrt(((w0 - w) ** 2).mean())
+        e2 = np.sqrt(((w2 - w) ** 2).mean())
+        assert e2 <= 1.6 * e0, (e0, e2)
+
+    def test_tl_ref_matches_dequant_matmul(self):
+        from ferrum_tpu.ops.quant import (
+            quant_matmul_ref, quant_matmul_w4a8tl_ref, requantize_two_level,
+        )
+        w, p = self._params()
+        p2 = requantize_two_level(p)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.normal(0, 1, (16, 512)), jnp.bfloat16)
+        got = np.asarray(quant_matmul_w4a8tl_ref(x, p2), np.float32)
+        want = np.asarray(quant_matmul_ref(x, p2), np.float32)
+        scale = np.abs(want).max()
+        assert np.abs(got - want).max() / scale < 2e-2
+
+    def test_stacked_experts(self):
+        from ferrum_tpu.ops.quant import (
+            QuantLinearParams, dequantize, requantize_two_level,
+        )
+        from ferrum_tpu.ops.quant import quantize_weight_np
+        rng = np.random.default_rng(5)
+        packs, scs, zs = [], [], []
+        ws = []
+        for e in range(3):
+            w = rng.normal(0, 0.04 * (e + 1), (256, 128)).astype(np.float32)
+            ws.append(w)
+            pk, s, z = quantize_weight_np(w, 128)
+            packs.append(pk), scs.append(s), zs.append(z)
+        p = QuantLinearParams(
+            qweight=jnp.asarray(np.stack(packs)),
+            scales=jnp.asarray(np.stack(scs)),
+            zeros=jnp.asarray(np.stack(zs)), bias=None,
+            in_features=256, out_features=128, group_size=128)
+        p2 = requantize_two_level(p)
+        assert p2.scales2.shape == (3, 2, 128)
+        assert p2.chan_scale.shape == (3, 1, 128)
+        for e in range(3):
+            import dataclasses
+            pe = QuantLinearParams(
+                qweight=p2.qweight[e], scales=p2.scales[e],
+                zeros=p2.zeros[e], bias=None, in_features=256,
+                out_features=128, group_size=128)
+            w2 = np.asarray(dequantize(pe, jnp.float32))
+            e2 = np.sqrt(((w2 - ws[e]) ** 2).mean())
+            assert e2 < 0.012 * (e + 1), e2
