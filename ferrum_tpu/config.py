@@ -64,6 +64,9 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
                               "comma-separated decode batch buckets, e.g. 1,8,32"),
     "FERRUM_DECODE_MULTI_STEP": ("decode_multi_step", int,
                                  "decode tokens per device call (lax.scan)"),
+    "FERRUM_SLOT_SLACK": ("slot_slack", int,
+                          "extra device lanes beyond max_num_seqs so "
+                          "admissions never wait on deferred releases"),
     "FERRUM_PIPELINE_DECODE": ("pipeline_decode", bool,
                                "keep one decode window in flight "
                                "(overlap host/RTT with device compute)"),
@@ -188,6 +191,13 @@ class EngineConfig:
     # (device-chained from W's final tokens) before W's results are
     # fetched, hiding dispatch RTT + host bookkeeping entirely.
     pipeline_decode: bool = True
+    # Extra device lanes beyond max_num_seqs. A finished sequence's
+    # slot/KV release is deferred past the in-flight window (its lanes
+    # may still be written); slack lanes let the replacement request
+    # admit + prefill IMMEDIATELY instead of waiting ~2 windows for the
+    # deferred release — the steady-state TTFT floor under full load.
+    # Costs one KV slot region each in the linear layout.
+    slot_slack: int = 0
     seed: int = 0
     greedy_argmax_device: bool = True
     spec_draft_model: Optional[str] = None
@@ -252,6 +262,12 @@ class EngineConfig:
     @property
     def max_blocks_per_seq(self) -> int:
         return self.max_model_len // self.kv_block_size
+
+    @property
+    def num_slots(self) -> int:
+        """Device lane count: max_num_seqs concurrent sequences plus
+        slack lanes covering deferred slot releases (see slot_slack)."""
+        return self.max_num_seqs + max(0, self.slot_slack)
 
     @classmethod
     def resolve(

@@ -50,7 +50,7 @@ def autosize_kv_blocks(model_cfg: ModelConfig, engine_cfg: EngineConfig,
     # At least enough for one full-length sequence; at most what
     # max_num_seqs * max_model_len could ever use.
     min_blocks = engine_cfg.max_blocks_per_seq + 1
-    max_blocks = engine_cfg.max_num_seqs * engine_cfg.max_blocks_per_seq + 1
+    max_blocks = engine_cfg.num_slots * engine_cfg.max_blocks_per_seq + 1
     if blocks < min_blocks:
         raise ModelLoadError(
             f"not enough HBM for KV: {blocks} blocks fit, need {min_blocks}")
@@ -148,7 +148,7 @@ class EngineBuilder:
         if cfg.kv_layout == "linear":
             # Every slot reserves a full-length region; block ids are the
             # identity mapping slot*max_pages + i.
-            num_blocks = cfg.max_num_seqs * cfg.max_blocks_per_seq
+            num_blocks = cfg.num_slots * cfg.max_blocks_per_seq
         elif cfg.kv_num_blocks:
             num_blocks = cfg.kv_num_blocks
         else:

@@ -303,6 +303,12 @@ class ContinuousBatchEngine:
             batch = self.scheduler.next_batch(pinned=pinned)
             for seq in batch.admitted:
                 self.runner.admit_slot(seq)
+                if seq.guided_fsm is None:
+                    # Reset any stale FSM state a previous guided
+                    # occupant left in this slot — guided-compiled
+                    # windows mask EVERY slot by its gstates row, and
+                    # unguided lanes must sit at the FREE row (0).
+                    self.runner.set_guided_state(seq.slot, 0)
                 if seq.guided_fsm is not None:
                     # (Re-)init the device FSM state for this slot:
                     # fresh requests start at the FSM start; recompute
@@ -516,9 +522,18 @@ class ContinuousBatchEngine:
 
     def _retire_seq(self, seq: Sequence) -> None:
         """Release the sequence's slot + KV — deferred while an
-        outstanding decode window may still write its blocks."""
+        outstanding decode window may still write its blocks.
+
+        Linear layout: release IMMEDIATELY. The slot's KV region is
+        slot-owned (identity block table), so the zombie lane in the
+        in-flight window can only write inside that region, and every
+        state write for a replacement sequence (admit reset, prefill
+        KV, FSM init) is dispatched AFTER the in-flight window —
+        device-order makes slot reuse safe, and the replacement admits
+        ~2 windows sooner (the steady-state TTFT floor under load)."""
         infl = self._inflight
-        if infl is not None and seq.request.request_id in infl.covered:
+        if infl is not None and seq.request.request_id in infl.covered \
+                and self.cfg.kv_layout != "linear":
             seq.phase = Phase.FINISHED   # excluded from future scheduling
             # Prompt KV blocks are immutable once prefilled — only
             # decode-token blocks may still be written by the in-flight
@@ -549,9 +564,13 @@ class ContinuousBatchEngine:
                         self.scheduler.waiting.remove(seq)
                     infl = self._inflight
                     if infl is not None \
-                            and seq.request.request_id in infl.covered:
+                            and seq.request.request_id in infl.covered \
+                            and self.cfg.kv_layout != "linear":
                         # Slot/KV release deferred past the in-flight
-                        # window that may still write its blocks.
+                        # window that may still write its blocks
+                        # (paged: blocks return to the shared pool;
+                        # linear slot regions are reuse-safe, see
+                        # _retire_seq).
                         seq.phase = Phase.FINISHED
                         infl.deferred.append(seq)
                     else:

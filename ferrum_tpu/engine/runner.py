@@ -105,7 +105,7 @@ class ModelRunner:
             attn_impl = "ref"
         self.attn_impl = attn_impl
 
-        s = engine_cfg.max_num_seqs
+        s = engine_cfg.num_slots
         v = model_cfg.vocab_size
         self.num_slots = s
         self.max_pages = engine_cfg.max_blocks_per_seq
@@ -710,7 +710,7 @@ class ModelRunner:
         t_pad = self.chunk_bucket(t)
         ctx_pad = max(self.ctx_bucket(c.start + len(c.tokens))
                       for c in chunks)
-        b_pad = _round_up_pow2(b, 1, max(self.cfg.max_num_seqs, 1))
+        b_pad = _round_up_pow2(b, 1, max(self.cfg.num_slots, 1))
         v = self.model_cfg.vocab_size
 
         packed = np.zeros((b_pad, 5, t_pad), np.int32)
@@ -774,7 +774,7 @@ class ModelRunner:
         for (b_pad, t_pad, ctx_pad, greedy, rl, gd, grows) in list(
                 self._prefill_batch_fns.keys()):
             b = 1
-            while b <= max(self.cfg.max_num_seqs, 1):
+            while b <= max(self.cfg.num_slots, 1):
                 key = (b, t_pad, ctx_pad, greedy, rl, gd, grows)
                 if key not in self._prefill_batch_fns:
                     packed = np.zeros((b, 5, t_pad), np.int32)

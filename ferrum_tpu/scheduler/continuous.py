@@ -92,7 +92,10 @@ class ContinuousBatchScheduler:
             2 if getattr(cfg, "pipeline_decode", False) else 1)
         self.waiting: Deque[Sequence] = deque()
         self.running: List[Sequence] = []     # admission order
-        self._free_slots: List[int] = list(range(cfg.max_num_seqs - 1, -1, -1))
+        # num_slots >= max_num_seqs: slack lanes absorb deferred slot
+        # releases (engine._retire_seq) so a replacement request admits
+        # immediately after its predecessor finishes.
+        self._free_slots: List[int] = list(range(cfg.num_slots - 1, -1, -1))
         self.stats = SchedulerStats()
         self._trace_fh = None
         if cfg.scheduler_trace_path:

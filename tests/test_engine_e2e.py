@@ -289,3 +289,53 @@ def test_pipeline_matches_unpipelined():
     # loop must still complete every request with the same tokens.
     tight = run(pipeline=True, kv_blocks=14)
     assert tight == plain
+
+
+def test_slot_slack_lanes():
+    """slot_slack adds device lanes beyond max_num_seqs so replacement
+    requests admit while a finished lane's release is still deferred
+    past the in-flight window. Greedy outputs must match a no-slack
+    engine exactly."""
+    import jax.numpy as jnp
+    from ferrum_tpu.models.llama_family import init_random_params as irp
+
+    def build(slack):
+        cfg = EngineConfig(
+            model="test", max_num_seqs=2, slot_slack=slack,
+            kv_num_blocks=64, kv_block_size=8, max_model_len=128,
+            max_num_batched_tokens=128, prefill_chunk_size=32,
+            dtype="f32", kv_dtype="f32", seed=0)
+        mc = ModelConfig(
+            family="qwen3", vocab_size=512, hidden_size=64, num_layers=2,
+            num_heads=4, num_kv_heads=2, head_dim=16,
+            intermediate_size=128, qk_norm=True, tie_word_embeddings=True,
+            rope_theta=10000.0, eos_token_ids=(257,))
+        params = irp(mc, seed=0, dtype=jnp.float32)
+        tok = make_byte_tokenizer(vocab_extra=512 - 258)
+        return (EngineBuilder(cfg).with_model(mc, params)
+                .with_tokenizer(tok).build())
+
+    def run_all(eng):
+        outs = {}
+        lock = threading.Lock()
+
+        def worker(i):
+            r = eng.infer(req(prompt=f"req {i} text", max_tokens=6,
+                              temperature=0.0))
+            with lock:
+                outs[i] = r.token_ids
+        ts = [threading.Thread(target=worker, args=(i,)) for i in range(6)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        return outs
+
+    eng = build(slack=2)
+    assert eng.runner.num_slots == 4
+    got = run_all(eng)
+    eng.stop()
+    eng0 = build(slack=0)
+    want = run_all(eng0)
+    eng0.stop()
+    assert len(got) == 6 and got == want
