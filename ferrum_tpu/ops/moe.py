@@ -89,7 +89,10 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
     xs = x[token_of]                                         # [A, hidden]
 
     if isinstance(p.gate, QuantLinearParams):
-        from .pallas.quant_matmul import quant_grouped_matmul
+        from .pallas.quant_matmul import (
+            on_tpu, quant_grouped_matmul, quantize_activation_rows,
+            w4a8_enabled,
+        )
         # Pad the assignment axis to the grouped kernel's m-tile
         # multiple; padded rows sit beyond offsets[E] and are masked
         # inside the kernel.
@@ -98,8 +101,14 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
             else ((a + 127) // 128) * 128
         if a_pad != a:
             xs = jnp.pad(xs, ((0, a_pad - a), (0, 0)))
-        g = quant_grouped_matmul(xs, p.gate, sorted_ids, group_sizes)
-        u = quant_grouped_matmul(xs, p.up, sorted_ids, group_sizes)
+        # gate and up consume the same rows: quantize once.
+        aq = quantize_activation_rows(xs) \
+            if (on_tpu() and w4a8_enabled()
+                and p.gate.scales2 is not None) else None
+        g = quant_grouped_matmul(xs, p.gate, sorted_ids, group_sizes,
+                                 act_quant=aq)
+        u = quant_grouped_matmul(xs, p.up, sorted_ids, group_sizes,
+                                 act_quant=aq)
         act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
                ).astype(x.dtype)
         y = quant_grouped_matmul(act, p.down, sorted_ids, group_sizes)[:a]

@@ -564,13 +564,12 @@ def _qgmm_kernel(gid_ref, mtid_ref, off_ref, valid_ref, x_ref, qw_ref,
     high = qi >> 4
 
     def dequant(plane, g0):
+        # Whole-expert K per step → static group slice; broadcast over
+        # GROUP-row stripes (no per-group loop/concat copies).
         qg = plane.reshape(groups_half, GROUP, bn)
-        parts = []
-        for t in range(groups_half):
-            st = sc_ref[0, g0 + t][None, :].astype(jnp.bfloat16)
-            zt = z_ref[0, g0 + t][None, :].astype(jnp.int32)
-            parts.append((qg[t] - zt).astype(jnp.bfloat16) * st)
-        return parts[0] if groups_half == 1 else jnp.concatenate(parts, 0)
+        st = sc_ref[0, g0:g0 + groups_half].astype(jnp.bfloat16)[:, None, :]
+        zt = z_ref[0, g0:g0 + groups_half].astype(jnp.int32)[:, None, :]
+        return ((qg - zt).astype(jnp.bfloat16) * st).reshape(half, bn)
 
     w_lo = dequant(low, 0)                   # [half, bn]
     w_hi = dequant(high, groups_half)
@@ -663,9 +662,146 @@ def _quant_grouped_2d(x: jnp.ndarray, p: QuantLinearParams,
     )(gid, mtid, offsets, valid, x, p.qweight, p.scales, p.zeros)
 
 
+def _qgmm_w4a8tl_kernel(gid_ref, mtid_ref, off_ref, valid_ref, xq_ref,
+                        xs_ref, qw_ref, qs_ref, z_ref, chan_ref, o_ref,
+                        acc_ref, *, bm: int, bn: int, k: int,
+                        groups_half: int, out_dtype):
+    """Grouped two-level w4a8 step: one (expert, m-tile, n-tile) block.
+
+    Same streaming/metadata scheme as `_qgmm_kernel`, but the weight
+    prep is all-integer (w8 = (q4 - z) * qs stays within int8,
+    QuantLinearParams.scales2) and the contractions run on the int8 MXU
+    with int32 accumulation. Each step's int32 partial is rescaled by
+    ITS expert's per-channel factor before the f32 boundary-tile
+    accumulation (chan differs per expert, so the rescale cannot be
+    deferred past the accumulate); the per-row activation scale is
+    applied at the output write. This removes the VPU bf16-dequant bound
+    that capped the w4a16 grouped kernel at ~38% of the HBM stream rate
+    — the decode-time MoE layer is a pure packed-weight stream.
+    ref: the Marlin MoE GEMM family this replaces
+    (crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu:1-1318);
+    scheme per QServe-style W4A8 progressive quantization."""
+    i = pl.program_id(1)
+    g = gid_ref[i]
+    mt = mtid_ref[i]
+    half = k // 2
+
+    qi = qw_ref[0].astype(jnp.int32)         # [half, bn] bytes → i32
+
+    def prep(plane, g0):
+        # Whole-expert K per step → static group slice; broadcast the
+        # per-group zero/scale over each GROUP-row stripe without any
+        # per-group loop/concat (loop+concat measured 5x off the VPU
+        # prep bound on v5e).
+        qg = plane.reshape(groups_half, GROUP, bn)
+        zt = z_ref[0, g0:g0 + groups_half].astype(jnp.int32)[:, None, :]
+        st = qs_ref[0, g0:g0 + groups_half].astype(jnp.int32)[:, None, :]
+        return ((qg - zt) * st).astype(jnp.int8).reshape(half, bn)
+
+    w_lo = prep(qi & 0xF, 0)                 # [half, bn] int8
+    w_hi = prep(qi >> 4, groups_half)
+
+    rows = mt * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
+    mask = ((rows >= off_ref[g]) & (rows < off_ref[g + 1])
+            & (valid_ref[i] > 0))
+    xv = xq_ref[:]
+    x = jnp.where(mask, xv, jnp.zeros_like(xv))
+
+    p32 = jax.lax.dot(x[:, :half], w_lo,
+                      preferred_element_type=jnp.int32)
+    p32 += jax.lax.dot(x[:, half:], w_hi,
+                       preferred_element_type=jnp.int32)
+    part = p32.astype(jnp.float32) * chan_ref[0].astype(jnp.float32)
+
+    prev_mt = mtid_ref[jnp.maximum(i - 1, 0)]
+    first = jnp.logical_or(i == 0, mt != prev_mt)
+
+    @pl.when(first)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        acc_ref[:] += part
+
+    o_ref[:] = (acc_ref[:] * xs_ref[:]).astype(out_dtype)
+
+
+def _quant_grouped_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
+                             p: QuantLinearParams,
+                             group_sizes: jnp.ndarray, out_dtype,
+                             bm: int = None, bn: int = None):
+    """xq int8 [A, K] sorted by expert, xs f32 [A, 1] per-row scales;
+    p stacked two-level [E, ...]. Returns [A, N] or None on unsupported
+    shapes (caller falls back to the w4a16 grouped kernel)."""
+    a, k = xq.shape
+    e = p.qweight.shape[0]
+    n = p.out_features
+    if bm is None:
+        bm = 128 if a >= 128 else max(32, a)
+    if bn is None:
+        bn = n
+        while bn > 2048 or (bn > 128 and n % bn):
+            bn //= 2
+    if (p.group_size != GROUP or (k // 2) % GROUP or a % bm
+            or n % bn or k != p.in_features):
+        return None
+    groups_half = (k // 2) // GROUP
+    m_tiles = a // bm
+    num_logical = m_tiles + e - 1
+    gid, mtid, offsets, valid = _make_group_metadata(
+        group_sizes, bm, num_logical)
+
+    chan = p.chan_scale.reshape(e, 1, n).astype(jnp.float32)
+    kernel = functools.partial(
+        _qgmm_w4a8tl_kernel, bm=bm, bn=bn, k=k, groups_half=groups_half,
+        out_dtype=out_dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(n // bn, num_logical),
+        in_specs=[
+            pl.BlockSpec((bm, k),
+                         lambda j, i, gid, mtid, off, val: (mtid[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1),
+                         lambda j, i, gid, mtid, off, val: (mtid[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k // 2, bn),
+                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * groups_half, bn),
+                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * groups_half, bn),
+                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn),
+                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (bm, bn), lambda j, i, gid, mtid, off, val: (mtid[i], j),
+            memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((a, n), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * a * k * n,
+            bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * a * n,
+            transcendentals=0),
+    )(gid, mtid, offsets, valid, xq, xs, p.qweight, p.scales2, p.zeros,
+      chan)
+
+
 def quant_grouped_matmul(x: jnp.ndarray, p: QuantLinearParams,
                          sorted_expert_ids: jnp.ndarray,
-                         group_sizes: jnp.ndarray) -> jnp.ndarray:
+                         group_sizes: jnp.ndarray,
+                         act_quant=None) -> jnp.ndarray:
     """Grouped (MoE expert-stacked) int4 matmul — the Marlin-MoE analog
     (ref: crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu).
 
@@ -676,9 +812,21 @@ def quant_grouped_matmul(x: jnp.ndarray, p: QuantLinearParams,
     expert's PACKED block from HBM exactly once per step — the
     dequantized expert stack is never materialized (the round-1
     fallback dequantized all E experts per call, memory-infeasible at
-    30B scale). Fallback (off-TPU / odd shapes): dequantize + ragged_dot
+    30B scale). Two-level params (scales2 present, w4a8 enabled) take
+    the all-integer w4a8tl variant — int8 MXU, weight prep in integer
+    VPU ops — the same ~3x packed-stream win the dense lane measured.
+    `act_quant` optionally passes a precomputed (xq int8, xs f32) pair
+    so gate and up share ONE activation quantization.
+    Fallback (off-TPU / odd shapes): dequantize + ragged_dot
     — also the parity oracle (tests/test_moe.py)."""
     if on_tpu():
+        if _W4A8 and p.scales2 is not None:
+            if act_quant is None:
+                act_quant = quantize_activation_rows(x)
+            xq, xs = act_quant
+            out = _quant_grouped_w4a8tl_2d(xq, xs, p, group_sizes, x.dtype)
+            if out is not None:
+                return out
         out = _quant_grouped_2d(x, p, group_sizes)
         if out is not None:
             return out

@@ -221,3 +221,65 @@ def test_loader_stacks_gptq_moe_experts():
             jnp.float32))
         np.testing.assert_allclose(got, wants[(ex, "gate_proj")],
                                    rtol=1e-5, atol=1e-6)
+
+
+def run_grouped_tl_interpret(xq, xs, p, group_sizes, out_dtype, **kw):
+    from ferrum_tpu.ops.pallas import quant_matmul as qm
+
+    orig = qm.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    qm.pl.pallas_call = patched
+    try:
+        with jax.disable_jit():
+            return qm._quant_grouped_w4a8tl_2d(xq, xs, p, group_sizes,
+                                               out_dtype, **kw)
+    finally:
+        qm.pl.pallas_call = orig
+
+
+@pytest.mark.parametrize("sizes", [
+    (32, 32, 32, 32),            # tile-aligned
+    (7, 50, 0, 71),              # straddle + empty
+    (0, 0, 128, 0),              # single active expert
+])
+def test_grouped_w4a8tl_matches_integer_oracle(sizes):
+    """Two-level grouped kernel == per-expert jnp TL oracle
+    (quant_matmul_w4a8tl_ref applied segment-wise): exact integer
+    arithmetic means tight tolerances."""
+    from ferrum_tpu.ops.quant import (
+        quant_matmul_w4a8tl_ref, requantize_two_level,
+    )
+
+    e, in_f, out_f = len(sizes), 256, 256
+    a = 128
+    p = requantize_two_level(make_stack(e, in_f, out_f, seed=11))
+    assert p.scales2 is not None and p.qweight.shape == (e, in_f // 2, out_f)
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.normal(0, 1, (a, in_f)), jnp.float32)
+    gs = jnp.asarray(np.asarray(sizes, np.int32))
+
+    from ferrum_tpu.ops.pallas.quant_matmul import quantize_activation_rows
+    xq, xs = quantize_activation_rows(x)
+    got = run_grouped_tl_interpret(xq, xs, p, gs, jnp.float32, bm=32)
+    assert got is not None
+    got = np.asarray(got)
+
+    # segment-wise oracle over the same quantized activations
+    start = 0
+    for ex, sz in enumerate(sizes):
+        if sz == 0:
+            continue
+        pe = QuantLinearParams(
+            qweight=p.qweight[ex], scales=p.scales[ex], zeros=p.zeros[ex],
+            bias=None, in_features=in_f, out_features=out_f,
+            group_size=128, scales2=p.scales2[ex],
+            chan_scale=p.chan_scale[ex])
+        want = np.asarray(quant_matmul_w4a8tl_ref(
+            x[start:start + sz], pe))
+        np.testing.assert_allclose(got[start:start + sz], want,
+                                   rtol=5e-3, atol=5e-3)
+        start += sz
