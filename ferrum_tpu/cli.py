@@ -179,6 +179,11 @@ def cmd_serve(args) -> int:
         from .engine.asr import AsrEngine
         asr = AsrEngine(args.asr_model)
         print(f"ASR lane: {args.asr_model}", file=sys.stderr)
+    tts = None
+    if getattr(args, "tts_model", None):
+        from .engine.tts import TtsEngine
+        tts = TtsEngine(args.tts_model)
+        print(f"TTS lane: {args.tts_model}", file=sys.stderr)
     if getattr(args, "embed_model", None):
         # Dedicated encoder checkpoint for /v1/embeddings: BERT (text)
         # or CLIP (text+image), detected from architectures.
@@ -203,9 +208,23 @@ def cmd_serve(args) -> int:
     try:
         serve(engine, model_name=args.served_model_name or args.model,
               host=args.host, port=args.port, api_key=args.api_key,
-              asr_engine=asr, embedding_engine=emb)
+              asr_engine=asr, embedding_engine=emb, tts_engine=tts)
     finally:
         engine.stop()
+    return 0
+
+
+def cmd_tts(args) -> int:
+    """One-shot speech synthesis → WAV file (ref: ferrum-cli tts)."""
+    from .engine.tts import TtsEngine
+
+    eng = TtsEngine(args.model)
+    wav = eng.synthesize_wav(args.text, voice=args.voice,
+                             max_frames=args.max_frames)
+    with open(args.out, "wb") as f:
+        f.write(wav)
+    print(f"wrote {args.out} ({len(wav)} bytes, "
+          f"{eng.sample_rate} Hz)", file=sys.stderr)
     return 0
 
 
@@ -368,6 +387,14 @@ def main(argv=None) -> int:
     p.add_argument("--json", action="store_true")
     p.set_defaults(fn=cmd_transcribe)
 
+    p = sub.add_parser("tts", help="synthesize speech to a WAV file")
+    p.add_argument("model", help="TTS checkpoint dir")
+    p.add_argument("text", help="text to synthesize")
+    p.add_argument("--out", default="out.wav")
+    p.add_argument("--voice", default="default")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.set_defaults(fn=cmd_tts)
+
     p = sub.add_parser("serve", help="OpenAI-compatible HTTP server")
     _add_engine_flags(p)
     p.add_argument("--host", default="127.0.0.1")
@@ -376,6 +403,8 @@ def main(argv=None) -> int:
     p.add_argument("--served-model-name", default=None)
     p.add_argument("--asr-model", default=None,
                    help="whisper checkpoint dir for /v1/audio/transcriptions")
+    p.add_argument("--tts-model", default=None,
+                   help="TTS checkpoint dir for /v1/audio/speech")
     p.add_argument("--embed-model", default=None,
                    help="BERT checkpoint dir for /v1/embeddings "
                         "(default: mean-pooled from the serving model)")

@@ -75,12 +75,14 @@ class FerrumServer:
     def __init__(self, engine: ContinuousBatchEngine, model_name: str,
                  chat_template: Optional[str] = None,
                  api_key: Optional[str] = None,
-                 embedding_engine=None, asr_engine=None):
+                 embedding_engine=None, asr_engine=None,
+                 tts_engine=None):
         self.engine = engine
         self.model_name = model_name
         self.api_key = api_key
         self.embedding_engine = embedding_engine
         self.asr_engine = asr_engine
+        self.tts_engine = tts_engine
         family = engine.runner.model_cfg.family
         self.renderer = ChatTemplateRenderer(
             template=chat_template or engine.tokenizer.chat_template,
@@ -99,6 +101,7 @@ class FerrumServer:
         app.router.add_post("/v1/embeddings", self.embeddings)
         app.router.add_post("/v1/audio/transcriptions",
                             self.transcriptions)
+        app.router.add_post("/v1/audio/speech", self.speech)
         app.router.add_get("/v1/models", self.models)
         app.router.add_get("/health", self.health)
         app.router.add_get("/metrics", self.metrics)
@@ -458,6 +461,42 @@ class FerrumServer:
             body["token_ids"] = result["token_ids"]
         return web.json_response(body)
 
+    async def speech(self, request: web.Request) -> web.Response:
+        """OpenAI-compatible /v1/audio/speech: {model, input, voice,
+        response_format} → audio bytes. ref: axum_server.rs:201
+        speech_handler + the documented explicit-400 contract."""
+        if self.tts_engine is None:
+            raise NotSupportedError(
+                "this server is not running a TTS model "
+                "(start with --tts-model <checkpoint dir>)",
+                param="model")
+        try:
+            body = await request.json()
+        except Exception:
+            raise InvalidRequestError("body must be JSON")
+        text = body.get("input")
+        if not isinstance(text, str) or not text:
+            raise InvalidRequestError(
+                "`input` must be a non-empty string", param="input")
+        fmt = body.get("response_format", "wav")
+        if fmt not in ("wav", "pcm"):
+            raise InvalidRequestError(
+                f"unsupported response_format {fmt!r} (wav|pcm)",
+                param="response_format")
+        voice = body.get("voice", "default")
+        loop = asyncio.get_running_loop()
+        audio = await loop.run_in_executor(
+            None, lambda: self.tts_engine.synthesize(text, voice))
+        if fmt == "pcm":
+            import numpy as _np
+            pcm = (_np.clip(audio, -1, 1) * 32767.0).astype("<i2")
+            return web.Response(body=pcm.tobytes(),
+                                content_type="application/octet-stream")
+        from ..engine.tts import encode_wav
+        return web.Response(
+            body=encode_wav(audio, self.tts_engine.sample_rate),
+            content_type="audio/wav")
+
     async def embeddings(self, request: web.Request) -> web.Response:
         req = await self._parse_json(request, EmbeddingsRequest)
         if req.encoding_format != "float":
@@ -536,9 +575,10 @@ def serve(engine: ContinuousBatchEngine, model_name: str,
           host: str = "127.0.0.1", port: int = 8000,
           chat_template: Optional[str] = None,
           api_key: Optional[str] = None,
-          embedding_engine=None, asr_engine=None) -> None:
+          embedding_engine=None, asr_engine=None,
+          tts_engine=None) -> None:
     server = FerrumServer(engine, model_name, chat_template, api_key,
                           embedding_engine=embedding_engine,
-                          asr_engine=asr_engine)
+                          asr_engine=asr_engine, tts_engine=tts_engine)
     web.run_app(server.make_app(), host=host, port=port,
                 print=lambda *a: None)
