@@ -47,6 +47,9 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_W4A8_TL": ("w4a8_two_level", bool,
                        "two-level requantize: integer group scales -> "
                        "full-speed int8 MXU at all batch sizes"),
+    "FERRUM_FUSE_PROJ": ("fuse_proj", bool,
+                         "build-time q|k|v and gate|up fusion "
+                         "(single-chip; auto-off under a mesh)"),
     "FERRUM_TP": ("tensor_parallel", int, "tensor-parallel degree (mesh 'model' axis)"),
     "FERRUM_DP": ("data_parallel", int, "data-parallel degree (mesh 'data' axis)"),
     "FERRUM_EP": ("expert_parallel", int, "expert-parallel degree (mesh 'expert' axis)"),
@@ -174,6 +177,11 @@ class EngineConfig:
     # included). Slightly perturbs group scales (requantized weights;
     # divergence-gated). Requires w4a8.
     w4a8_two_level: bool = True
+    # Build-time projection fusion: concat q|k|v and gate|up along the
+    # out dim so each layer issues one kernel per site (fixed per-call
+    # pipeline spin-up dominates at decode m). Disabled automatically
+    # under a mesh (fused weights break per-head TP sharding specs).
+    fuse_proj: bool = True
 
     # --- parallelism (mesh axes; 1 = off) ---
     tensor_parallel: int = 1

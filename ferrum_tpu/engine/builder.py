@@ -62,6 +62,52 @@ def params_nbytes(params) -> int:
                if hasattr(x, "nbytes"))
 
 
+def fuse_projections(params):
+    """Build-time q|k|v and gate|up fusion (ops/linear.concat_linears):
+    one kernel invocation per site instead of 2-3 — the fixed Pallas
+    pipeline spin-up and per-call activation quantization dominate at
+    decode batch sizes. Single-chip only (fused out dims break the
+    per-head TP sharding specs in parallel/mesh.py); unsupported
+    combinations fall back silently to the split path."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..models.llama_family import MoeLayerParams
+    from ..ops.linear import concat_linears
+    from ..ops.quant import QuantLinearParams
+
+    def fuse_layer(lp):
+        if lp.gdn is not None:
+            return lp
+        changes = {}
+        if lp.qkv is None and lp.q is not None:
+            qkv = concat_linears([lp.q, lp.k, lp.v])
+            if qkv is not None:
+                # the split params are dropped — fused replaces them
+                changes.update(qkv=qkv, q=None, k=None, v=None)
+        if (lp.gate_up is None and lp.gate is not None
+                and lp.moe is None):
+            gu = concat_linears([lp.gate, lp.up])
+            if gu is not None:
+                changes.update(gate_up=gu, gate=None, up=None)
+        if lp.moe is not None and lp.moe.gate_up is None:
+            m = lp.moe
+            if isinstance(m.gate, QuantLinearParams):
+                gu = concat_linears([m.gate, m.up])
+            elif isinstance(m.gate, jnp.ndarray):
+                gu = jnp.concatenate([m.gate, m.up], axis=-1)
+            else:
+                gu = None
+            if gu is not None:
+                changes["moe"] = dataclasses.replace(
+                    m, gate_up=gu, gate=None, up=None)
+        return dataclasses.replace(lp, **changes) if changes else lp
+
+    return dataclasses.replace(
+        params, layers=[fuse_layer(lp) for lp in params.layers])
+
+
 def apply_two_level(params):
     """Requantize every int4 linear in the tree into the two-level w4a8
     form (ops/quant.requantize_two_level) — enables the all-integer
@@ -144,6 +190,8 @@ class EngineBuilder:
             # Before the KV pool is carved out (transient unpack scratch);
             # no-op when params already carry TL fields.
             self.params = apply_two_level(self.params)
+        if cfg.fuse_proj and self.mesh is None:
+            self.params = fuse_projections(self.params)
 
         if cfg.kv_layout == "linear":
             # Every slot reserves a full-length region; block ids are the

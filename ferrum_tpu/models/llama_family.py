@@ -44,7 +44,8 @@ from .configs import ModelConfig
 # ---------------------------------------------------------------------------
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["router", "gate", "up", "down"], meta_fields=[])
+         data_fields=["router", "gate", "up", "down", "gate_up"],
+         meta_fields=[])
 @dataclass
 class MoeLayerParams:
     """Sparse-MoE MLP params (Qwen3-30B-A3B style).
@@ -53,18 +54,23 @@ class MoeLayerParams:
     gate/up: stacked expert weights — dense [E, hidden, I] arrays or a
              stacked QuantLinearParams batch (leading expert dim).
     down:    [E, I, hidden] likewise.
+    gate_up: build-time fusion of gate|up along the out dim (engine/
+             builder.fuse_projections); one grouped kernel per layer
+             instead of two when set.
     """
 
     router: LinearParams
     gate: Any
     up: Any
     down: Any
+    gate_up: Any = None
 
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["input_norm", "q", "k", "v", "o", "q_norm", "k_norm",
                       "post_attn_norm", "pre_mlp_norm", "post_mlp_norm",
-                      "gate", "up", "down", "moe", "gdn", "shared_expert"],
+                      "gate", "up", "down", "moe", "gdn", "shared_expert",
+                      "qkv", "gate_up"],
          meta_fields=[])
 @dataclass
 class LayerParams:
@@ -88,6 +94,10 @@ class LayerParams:
     # up/down as a LayerParams-like tuple, gate_proj LinearParams).
     gdn: Optional[object] = None
     shared_expert: Optional[object] = None
+    # Build-time fusions (engine/builder.fuse_projections): one kernel
+    # call for q|k|v and for gate|up. None = split path.
+    qkv: Optional[LinearParams] = None
+    gate_up: Optional[LinearParams] = None
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -191,8 +201,12 @@ def _mlp(x: jnp.ndarray, lp: LayerParams, cfg: ModelConfig,
                 apply_linear(se.gate_proj, x).astype(jnp.float32))
             y = y + (gate * so.astype(jnp.float32)).astype(y.dtype)
         return y
-    g = apply_linear(lp.gate, x)
-    u = apply_linear(lp.up, x)
+    if lp.gate_up is not None:
+        gu = apply_linear(lp.gate_up, x)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = apply_linear(lp.gate, x)
+        u = apply_linear(lp.up, x)
     return apply_linear(lp.down, _activation(g, cfg.activation) * u)
 
 
@@ -243,17 +257,27 @@ def forward_hidden(
             gdn_idx += 1
         else:
             gate_out = None
+            kv_sz = cfg.num_kv_heads * cfg.head_dim
+            if lp.qkv is not None:
+                # fused q|k|v projection: ONE kernel call per layer
+                qkv = apply_linear(lp.qkv, x)
+                q_sz = qkv.shape[-1] - 2 * kv_sz
+                q_flat = qkv[..., :q_sz]
+                k = qkv[..., q_sz:q_sz + kv_sz]
+                v = qkv[..., q_sz + kv_sz:]
+            else:
+                q_flat = apply_linear(lp.q, x)
+                k = apply_linear(lp.k, x)
+                v = apply_linear(lp.v, x)
             if cfg.attn_output_gate:
                 # q_proj emits [q, gate] interleaved per head
                 # (qwen3-next): split before q_norm.
-                qg = apply_linear(lp.q, x).reshape(
-                    -1, cfg.num_heads, 2 * cfg.head_dim)
+                qg = q_flat.reshape(-1, cfg.num_heads, 2 * cfg.head_dim)
                 q, gate_out = qg[..., :cfg.head_dim], qg[..., cfg.head_dim:]
             else:
-                q = apply_linear(lp.q, x).reshape(
-                    -1, cfg.num_heads, cfg.head_dim)
-            k = apply_linear(lp.k, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
-            v = apply_linear(lp.v, x).reshape(-1, cfg.num_kv_heads, cfg.head_dim)
+                q = q_flat.reshape(-1, cfg.num_heads, cfg.head_dim)
+            k = k.reshape(-1, cfg.num_kv_heads, cfg.head_dim)
+            v = v.reshape(-1, cfg.num_kv_heads, cfg.head_dim)
 
             if lp.q_norm is not None:  # qwen3/gemma3 per-head qk-norm before rope
                 q = rms_norm(q, lp.q_norm, cfg.rms_norm_eps, gemma_style=gemma)

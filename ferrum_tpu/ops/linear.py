@@ -66,6 +66,58 @@ def apply_linear(p: LinearParams, x: jnp.ndarray) -> jnp.ndarray:
     raise TypeError(f"unknown linear params type {type(p)!r}")
 
 
+def concat_linears(ps) -> Optional[LinearParams]:
+    """Fuse linears sharing one input into a single wider linear
+    (output features concatenated, y = x @ [W0|W1|...]).
+
+    Build-time pass feeding the qkv / gate-up fusions: one kernel
+    invocation instead of N (each Pallas call at decode m carries fixed
+    pipeline spin-up + a separate activation quantization on the w4a8
+    path). Returns None when fusion is unsupported (mixed types, LoRA,
+    act-order perms, mismatched quant geometry) — callers keep the
+    split path. ref: the reference's fused split-qkv kernels
+    (crates/ferrum-kernels/kernels/split_qkv*.cu) approached from the
+    other side: it splits a fused projection, we fuse split ones."""
+    if any(isinstance(p, LoraLinearParams) for p in ps):
+        return None
+    if all(isinstance(p, DenseLinearParams) for p in ps):
+        if any(p.bias is not None for p in ps):
+            bias = jnp.concatenate([
+                p.bias if p.bias is not None
+                else jnp.zeros(p.w.shape[-1], p.w.dtype) for p in ps])
+        else:
+            bias = None
+        return DenseLinearParams(
+            w=jnp.concatenate([p.w for p in ps], axis=-1), bias=bias)
+    if all(isinstance(p, QuantLinearParams) for p in ps):
+        p0 = ps[0]
+        if any(p.in_features != p0.in_features
+               or p.group_size != p0.group_size
+               or p.input_perm is not None for p in ps):
+            return None
+        two_level = [p.scales2 is not None for p in ps]
+        if any(two_level) != all(two_level):
+            return None
+        cat = lambda f: jnp.concatenate([getattr(p, f) for p in ps],  # noqa: E731
+                                        axis=-1)
+        if any(p.bias is not None for p in ps):
+            bias = jnp.concatenate([
+                p.bias if p.bias is not None
+                else jnp.zeros(p.out_features, ps[0].scales.dtype)
+                for p in ps])
+        else:
+            bias = None
+        return QuantLinearParams(
+            qweight=cat("qweight"), scales=cat("scales"),
+            zeros=cat("zeros"), bias=bias,
+            in_features=p0.in_features,
+            out_features=sum(p.out_features for p in ps),
+            group_size=p0.group_size,
+            scales2=cat("scales2") if all(two_level) else None,
+            chan_scale=cat("chan_scale") if all(two_level) else None)
+    return None
+
+
 def linear_out_features(p: LinearParams) -> int:
     if isinstance(p, DenseLinearParams):
         return p.w.shape[-1]

@@ -88,7 +88,7 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
 
     xs = x[token_of]                                         # [A, hidden]
 
-    if isinstance(p.gate, QuantLinearParams):
+    if isinstance(p.down, QuantLinearParams):
         from .pallas.quant_matmul import (
             on_tpu, quant_grouped_matmul, quantize_activation_rows,
             w4a8_enabled,
@@ -102,21 +102,33 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
         if a_pad != a:
             xs = jnp.pad(xs, ((0, a_pad - a), (0, 0)))
         # gate and up consume the same rows: quantize once.
+        first = p.gate_up if p.gate_up is not None else p.gate
         aq = quantize_activation_rows(xs) \
             if (on_tpu() and w4a8_enabled()
-                and p.gate.scales2 is not None) else None
-        g = quant_grouped_matmul(xs, p.gate, sorted_ids, group_sizes,
-                                 act_quant=aq)
-        u = quant_grouped_matmul(xs, p.up, sorted_ids, group_sizes,
-                                 act_quant=aq)
+                and first.scales2 is not None) else None
+        if p.gate_up is not None:
+            # fused gate|up expert stack: ONE grouped kernel pass
+            gu = quant_grouped_matmul(xs, p.gate_up, sorted_ids,
+                                      group_sizes, act_quant=aq)
+            g, u = jnp.split(gu, 2, axis=-1)
+        else:
+            g = quant_grouped_matmul(xs, p.gate, sorted_ids, group_sizes,
+                                     act_quant=aq)
+            u = quant_grouped_matmul(xs, p.up, sorted_ids, group_sizes,
+                                     act_quant=aq)
         act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
                ).astype(x.dtype)
         y = quant_grouped_matmul(act, p.down, sorted_ids, group_sizes)[:a]
     else:
-        g = jax.lax.ragged_dot(xs, p.gate, group_sizes,
-                               preferred_element_type=jnp.float32)
-        u = jax.lax.ragged_dot(xs, p.up, group_sizes,
-                               preferred_element_type=jnp.float32)
+        if p.gate_up is not None:
+            gu = jax.lax.ragged_dot(xs, p.gate_up, group_sizes,
+                                    preferred_element_type=jnp.float32)
+            g, u = jnp.split(gu, 2, axis=-1)
+        else:
+            g = jax.lax.ragged_dot(xs, p.gate, group_sizes,
+                                   preferred_element_type=jnp.float32)
+            u = jax.lax.ragged_dot(xs, p.up, group_sizes,
+                                   preferred_element_type=jnp.float32)
         act = (jax.nn.silu(g) * u).astype(x.dtype)
         y = jax.lax.ragged_dot(act, p.down, group_sizes,
                                preferred_element_type=jnp.float32)

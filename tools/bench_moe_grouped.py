@@ -104,5 +104,47 @@ def main():
               f"  stream {packed/dt/1e9:.0f} GB/s")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("FULL_LAYER"):
     main()
+
+
+def bench_full_layer():
+    """Full moe_mlp layer (router + sort + gathers + 3 grouped kernels
+    + combine) chained — captures the per-layer overhead the isolated
+    kernel bench hides (metadata, sort, scatters)."""
+    import jax
+    import jax.numpy as jnp
+    from ferrum_tpu.models.configs import preset
+    from ferrum_tpu.models.llama_family import MoeLayerParams
+    from ferrum_tpu.ops.linear import DenseLinearParams
+    from ferrum_tpu.ops.moe import moe_mlp
+    from ferrum_tpu.ops.pallas.quant_matmul import set_w4a8
+
+    set_w4a8(True)
+    cfg = preset("qwen3-15b-a3b")
+    m = cfg.moe
+    h = cfg.hidden_size
+    inter = m.moe_intermediate_size
+    e = m.num_experts
+    print(f"full layer: E={e} h={h} inter={inter} top{m.num_experts_per_tok}")
+
+    gate = requantize_two_level(make_stack(e, h, inter))
+    up = requantize_two_level(make_stack(e, h, inter))
+    down = requantize_two_level(make_stack(e, inter, h))
+    router = DenseLinearParams(
+        w=jnp.asarray(RNG.normal(0, 0.5, (h, e)), jnp.bfloat16), bias=None)
+    p = MoeLayerParams(router=router, gate=gate, up=up, down=down)
+
+    def mk():
+        return jnp.asarray(RNG.normal(0, 1, (32, h)), jnp.bfloat16)
+
+    def layer(x):
+        return moe_mlp(x, p, cfg)
+
+    dt = slope(layer, mk, n1=8, n2=48)
+    print(f"moe_mlp layer (t=32): {dt*1e6:.1f} us "
+          f"-> x48 layers = {dt*48*1e3:.2f} ms/step")
+
+
+if __name__ == "__main__" and os.environ.get("FULL_LAYER"):
+    bench_full_layer()

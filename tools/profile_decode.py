@@ -44,6 +44,12 @@ def main():
         prefill_chunk_size=512, kv_block_size=32,
         kv_layout="linear", dtype="bf16", kv_dtype="bf16", seed=0)
     params = init_random_quant_params(model_cfg, seed=0)
+    if os.environ.get("TL", "1") == "1":
+        from ferrum_tpu.engine.builder import apply_two_level
+        params = apply_two_level(params)
+    if os.environ.get("FUSE", "1") == "1":
+        from ferrum_tpu.engine.builder import fuse_projections
+        params = fuse_projections(params)
     T = int(os.environ.get("T", cfg.decode_multi_step or 8))
     n_win = int(os.environ.get("NWIN", 10))
     impls = os.environ.get("IMPLS", "skip,append_only,linear").split(",")
