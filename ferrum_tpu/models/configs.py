@@ -368,6 +368,22 @@ def preset(name: str) -> ModelConfig:
                                      original_max_position_embeddings=8192),
             bos_token_id=128000, eos_token_ids=(128001, 128008, 128009),
         )
+    if n in ("llama-3.3-70b", "llama3.3:70b", "llama-70b"):
+        # The reference's 70B-class lane (DeepSeek-R1-distill-70B /
+        # Llama-3.3 on 2x4090 layer-split, layer_split.rs:1-60). Here
+        # the story is TP sharding over ICI — parallel/fit.py proves
+        # int4 fits TP>=4 on 16 GB v5e chips (tests/test_fit_plan.py).
+        return ModelConfig(
+            family="llama", vocab_size=128256, hidden_size=8192,
+            num_layers=80, num_heads=64, num_kv_heads=8, head_dim=128,
+            intermediate_size=28672, rope_theta=500000.0,
+            max_position_embeddings=131072,
+            rope_scaling=RopeScaling(rope_type="llama3", factor=8.0,
+                                     low_freq_factor=1.0,
+                                     high_freq_factor=4.0,
+                                     original_max_position_embeddings=8192),
+            bos_token_id=128000, eos_token_ids=(128001, 128008, 128009),
+        )
     if n in ("qwen3-0.6b", "qwen3:0.6b"):
         return ModelConfig(
             family="qwen3", vocab_size=151936, hidden_size=1024, num_layers=28,
