@@ -77,8 +77,11 @@ def env_hash(extra: Dict[str, str]) -> str:
 
 def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
              num_requests: int, input_len: int = 256, output_len: int = 128,
-             seed: int = 0, warmup: int = 2) -> Dict:
-    """One closed-loop concurrency cell. Returns the cell report dict."""
+             seed: int = 0, warmup: int = 2,
+             guided_schema: Optional[Dict] = None) -> Dict:
+    """One closed-loop concurrency cell. Returns the cell report dict.
+    guided_schema: attach a strict json_schema constraint to every
+    request (guided-throughput evidence cells)."""
     rng = np.random.default_rng(seed)
     vocab = engine.runner.model_cfg.vocab_size
     eos = set(engine.tokenizer.eos_token_ids)
@@ -86,8 +89,12 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
 
     def mkreq():
         ids = rng.choice(cand, size=input_len).tolist()
+        guided = None
+        if guided_schema is not None:
+            from ..types import GuidedOptions
+            guided = GuidedOptions(json_schema=guided_schema, strict=False)
         return InferenceRequest(
-            prompt_token_ids=ids,
+            prompt_token_ids=ids, guided=guided,
             sampling=SamplingParams(temperature=0.0, max_tokens=output_len,
                                     ignore_eos=True))
 
@@ -169,7 +176,8 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
 def run_bench(engine: ContinuousBatchEngine, *, concurrencies=(1, 4, 16, 32),
               num_requests_per_cell: Optional[Dict[int, int]] = None,
               input_len: int = 256, output_len: int = 128,
-              model_label: str = "", n_repeats: int = 1) -> Dict:
+              model_label: str = "", n_repeats: int = 1,
+              guided_schema: Optional[Dict] = None) -> Dict:
     """n_repeats > 1 re-runs every cell (warmup only before the first
     repeat) and reports mean/stddev/ci95 over repeats — the reference's
     bench-core runs every gate cell x3 (ferrum-bench-core ScalarStats)."""
@@ -178,7 +186,8 @@ def run_bench(engine: ContinuousBatchEngine, *, concurrencies=(1, 4, 16, 32),
         n = (num_requests_per_cell or {}).get(c, max(2 * c, 8))
         reps = [run_cell(engine, concurrency=c, num_requests=n,
                          input_len=input_len, output_len=output_len,
-                         seed=rep, warmup=2 if rep == 0 else 0)
+                         seed=rep, warmup=2 if rep == 0 else 0,
+                         guided_schema=guided_schema)
                 for rep in range(max(1, n_repeats))]
         cell = dict(reps[-1])
         if len(reps) > 1:

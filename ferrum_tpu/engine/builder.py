@@ -78,19 +78,25 @@ def fuse_projections(params):
     from ..ops.quant import QuantLinearParams
 
     def fuse_layer(lp):
+        # In-place: the split params must be FREED as each layer is
+        # fused, or peak HBM hits 2x weights and a 7.6 GB MoE model
+        # OOMs a 16 GB chip at build (observed). Param dataclasses are
+        # plain (not frozen); mutation pre-jit is safe.
         if lp.gdn is not None:
-            return lp
-        changes = {}
+            return
         if lp.qkv is None and lp.q is not None:
             qkv = concat_linears([lp.q, lp.k, lp.v])
             if qkv is not None:
-                # the split params are dropped — fused replaces them
-                changes.update(qkv=qkv, q=None, k=None, v=None)
+                jax.block_until_ready(qkv.qweight
+                                      if hasattr(qkv, "qweight") else qkv.w)
+                lp.qkv, lp.q, lp.k, lp.v = qkv, None, None, None
         if (lp.gate_up is None and lp.gate is not None
                 and lp.moe is None):
             gu = concat_linears([lp.gate, lp.up])
             if gu is not None:
-                changes.update(gate_up=gu, gate=None, up=None)
+                jax.block_until_ready(gu.qweight
+                                      if hasattr(gu, "qweight") else gu.w)
+                lp.gate_up, lp.gate, lp.up = gu, None, None
         if lp.moe is not None and lp.moe.gate_up is None:
             m = lp.moe
             if isinstance(m.gate, QuantLinearParams):
@@ -100,12 +106,15 @@ def fuse_projections(params):
             else:
                 gu = None
             if gu is not None:
-                changes["moe"] = dataclasses.replace(
-                    m, gate_up=gu, gate=None, up=None)
-        return dataclasses.replace(lp, **changes) if changes else lp
+                jax.block_until_ready(gu.qweight
+                                      if hasattr(gu, "qweight") else gu)
+                m.gate_up, m.gate, m.up = gu, None, None
 
-    return dataclasses.replace(
-        params, layers=[fuse_layer(lp) for lp in params.layers])
+    import jax
+
+    for lp in params.layers:
+        fuse_layer(lp)
+    return params
 
 
 def apply_two_level(params):

@@ -2,9 +2,16 @@
 fused q|k|v / gate|up forward must match the split path bit-for-bit
 on the reference (CPU) kernels."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 import pytest
+
+
+def structural_copy(params):
+    # tree_map rebuilds the dataclass containers (leaves shared), so the
+    # in-place fusion pass cannot touch the copy.
+    return jax.tree_util.tree_map(lambda x: x, params)
 
 from ferrum_tpu.engine.builder import fuse_projections
 from ferrum_tpu.models.configs import ModelConfig, MoeConfig
@@ -31,7 +38,9 @@ def test_fused_forward_matches_split(tiny_cfg, quant):
     params = init_random_params(tiny_cfg, seed=0, dtype=jnp.float32)
     if quant:
         params = quantize_model_params(params, group_size=32, dtype=jnp.float32)
+    split = structural_copy(params)
     fused = fuse_projections(params)
+    params = split
     lp = fused.layers[0]
     assert lp.qkv is not None and lp.q is None
     assert lp.gate_up is not None and lp.gate is None
@@ -47,7 +56,9 @@ def test_fused_moe_matches_split():
     cfg = moe_cfg()
     params = init_random_params(cfg, seed=1, dtype=jnp.float32)
     params = quantize_model_params(params, group_size=32, dtype=jnp.float32)
+    split = structural_copy(params)
     fused = fuse_projections(params)
+    params = split
     m = fused.layers[0].moe
     assert isinstance(m.gate_up, QuantLinearParams)
     assert m.gate is None and m.up is None
