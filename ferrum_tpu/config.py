@@ -73,6 +73,14 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_PIPELINE_DECODE": ("pipeline_decode", bool,
                                "keep one decode window in flight "
                                "(overlap host/RTT with device compute)"),
+    "FERRUM_MIXED_PREFILL": ("mixed_prefill", bool,
+                             "fold one prefill chunk per decode window "
+                             "into the window's trunk (rides the "
+                             "already-paid weight stream)"),
+    "FERRUM_FUSE_SITES": ("fuse_sites", str,
+                          "comma list of build-time fusion sites: "
+                          "qkv,gate_up,moe (moe off by default — "
+                          "see engine/builder.fuse_projections)"),
 }
 
 
@@ -182,6 +190,11 @@ class EngineConfig:
     # pipeline spin-up dominates at decode m). Disabled automatically
     # under a mesh (fused weights break per-head TP sharding specs).
     fuse_proj: bool = True
+    # Which fusion sites fuse_projections applies (comma list). The
+    # moe expert-stack site is OFF by default: fused 48-layer MoE
+    # prefill programs hit an unexplained multi-GB HBM transient and
+    # OOM a v5e at runtime (engine/builder.fuse_projections docstring).
+    fuse_sites: str = "qkv,gate_up"
 
     # --- parallelism (mesh axes; 1 = off) ---
     tensor_parallel: int = 1
@@ -199,6 +212,15 @@ class EngineConfig:
     # (device-chained from W's final tokens) before W's results are
     # fetched, hiding dispatch RTT + host bookkeeping entirely.
     pipeline_decode: bool = True
+    # Mixed prefill+decode windows: one slot's prefill chunk rides each
+    # decode window's trunk (the weight stream is already paid by the
+    # decode steps, so a steady-state slot refill costs ~zero extra HBM
+    # traffic and TTFT drops to ~a window). Applies on the linear/win
+    # attention path for plain (non-hybrid, non-spec, unguided-seq)
+    # lanes; everything else falls back to the standalone batched
+    # prefill program. ref: the reference's mixed decode+prefill
+    # iteration batches (continuous_engine/inner/batch.rs).
+    mixed_prefill: bool = True
     # Extra device lanes beyond max_num_seqs. A finished sequence's
     # slot/KV release is deferred past the in-flight window (its lanes
     # may still be written); slack lanes let the replacement request

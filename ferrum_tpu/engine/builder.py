@@ -62,13 +62,25 @@ def params_nbytes(params) -> int:
                if hasattr(x, "nbytes"))
 
 
-def fuse_projections(params):
+def fuse_projections(params, sites="qkv,gate_up"):
     """Build-time q|k|v and gate|up fusion (ops/linear.concat_linears):
     one kernel invocation per site instead of 2-3 — the fixed Pallas
     pipeline spin-up and per-call activation quantization dominate at
     decode batch sizes. Single-chip only (fused out dims break the
     per-head TP sharding specs in parallel/mesh.py); unsupported
-    combinations fall back silently to the split path."""
+    combinations fall back silently to the split path.
+
+    `sites` (cfg.fuse_sites / FERRUM_FUSE_SITES): comma list of sites
+    to fuse — any of qkv, gate_up, moe. Default: qkv,gate_up. The moe
+    site
+    (expert-stack gate|up concat) is OFF by default: on a 7.6 GB
+    48-layer MoE the fused prefill program hits a multi-GB HBM
+    transient and OOMs a v5e at runtime (reproduced at two pool
+    sizes; the isolated fused grouped kernel shows no extra temp —
+    cause unidentified). Its only win over the split path is one
+    kernel spin-up per layer — the shared activation quantization is
+    already captured by ops/moe.py passing one act_quant to both
+    grouped calls."""
     import dataclasses
 
     import jax.numpy as jnp
@@ -77,6 +89,8 @@ def fuse_projections(params):
     from ..ops.linear import concat_linears
     from ..ops.quant import QuantLinearParams
 
+    sites = set(sites.split(","))
+
     def fuse_layer(lp):
         # In-place: the split params must be FREED as each layer is
         # fused, or peak HBM hits 2x weights and a 7.6 GB MoE model
@@ -84,20 +98,20 @@ def fuse_projections(params):
         # plain (not frozen); mutation pre-jit is safe.
         if lp.gdn is not None:
             return
-        if lp.qkv is None and lp.q is not None:
+        if "qkv" in sites and lp.qkv is None and lp.q is not None:
             qkv = concat_linears([lp.q, lp.k, lp.v])
             if qkv is not None:
                 jax.block_until_ready(qkv.qweight
                                       if hasattr(qkv, "qweight") else qkv.w)
                 lp.qkv, lp.q, lp.k, lp.v = qkv, None, None, None
-        if (lp.gate_up is None and lp.gate is not None
-                and lp.moe is None):
+        if ("gate_up" in sites and lp.gate_up is None
+                and lp.gate is not None and lp.moe is None):
             gu = concat_linears([lp.gate, lp.up])
             if gu is not None:
                 jax.block_until_ready(gu.qweight
                                       if hasattr(gu, "qweight") else gu.w)
                 lp.gate_up, lp.gate, lp.up = gu, None, None
-        if lp.moe is not None and lp.moe.gate_up is None:
+        if "moe" in sites and lp.moe is not None and lp.moe.gate_up is None:
             m = lp.moe
             if isinstance(m.gate, QuantLinearParams):
                 gu = concat_linears([m.gate, m.up])
@@ -200,7 +214,7 @@ class EngineBuilder:
             # no-op when params already carry TL fields.
             self.params = apply_two_level(self.params)
         if cfg.fuse_proj and self.mesh is None:
-            self.params = fuse_projections(self.params)
+            self.params = fuse_projections(self.params, cfg.fuse_sites)
 
         if cfg.kv_layout == "linear":
             # Every slot reserves a full-length region; block ids are the

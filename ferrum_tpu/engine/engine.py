@@ -322,31 +322,32 @@ class ContinuousBatchEngine:
             self.metrics.iterations_total += 1
 
         # --- (c) dispatch prefill chunks (async; fetched next iter) ---
-        # Chunks sharing a (chunk, context) bucket fuse into ONE batched
-        # program — the weight stream is amortized across the admitted
-        # wave (m = B*T) instead of paid per sequence.
-        if batch.prefill_chunks:
-            groups: Dict[Tuple[int, int], list] = {}
+        # One eligible chunk is held back to ride the decode window's
+        # trunk (mixed prefill+decode — the weight stream is already
+        # paid by the decode steps); the rest fuse into batched prefill
+        # programs per (chunk, context) bucket (the weight stream is
+        # amortized across the admitted wave, m = B*T).
+        t_steps = batch.decode_steps or max(1, self.cfg.decode_multi_step)
+        pf_chunk = None
+        will_decode = any(s.phase == Phase.DECODING
+                          and (s.guided_processor is None
+                               or s.guided_fsm is not None)
+                          for s in batch.decode_seqs)
+        if (batch.prefill_chunks and self.cfg.mixed_prefill
+                and will_decode and self.spec is None
+                and self.cfg.pipeline_decode
+                and self.runner.attn_impl == "linear"
+                and not self.runner.hybrid):
             for chunk in batch.prefill_chunks:
-                k = (self.runner.chunk_bucket(len(chunk.tokens)),
-                     self.runner.ctx_bucket(
-                         chunk.start + len(chunk.tokens)))
-                groups.setdefault(k, []).append(chunk)
-            for chunks in groups.values():
-                # Host-masked guided requests (FSM fallback) need the
-                # final-position logits; device-FSM requests sample
-                # under the mask on device like plain ones.
-                host_guided = any(
-                    c.seq.guided_processor is not None
-                    and c.seq.guided_fsm is None and c.is_last
-                    for c in chunks)
-                res = self.runner.run_prefill_batch(
-                    chunks, return_logits=host_guided)
-                for chunk in chunks:
-                    self.scheduler.note_prefill_done(chunk)
-                    self.metrics.tokens_prefilled += len(chunk.tokens)
-                    if chunk.is_last:
-                        self._pending_first.append((chunk.seq, res))
+                sq = chunk.seq
+                if (sq.guided_processor is None
+                        and sq.num_output_tokens == 0
+                        and len(chunk.tokens) <= 128 * t_steps):
+                    pf_chunk = chunk
+                    break
+        old_chunks = [c for c in batch.prefill_chunks if c is not pf_chunk]
+        if old_chunks:
+            self._dispatch_prefill_groups(old_chunks)
 
         # --- (d) decode: dispatch W+1, then fetch + process W ---
         decode_seqs = [s for s in batch.decode_seqs
@@ -360,7 +361,6 @@ class ContinuousBatchEngine:
         plain_seqs = [s for s in decode_seqs
                       if s.guided_processor is None
                       or s.guided_fsm is not None]
-        t_steps = batch.decode_steps or max(1, self.cfg.decode_multi_step)
 
         new_window = None
         if self.spec is not None:
@@ -390,7 +390,18 @@ class ContinuousBatchEngine:
                 pass
             elif plain_seqs:
                 new_window = self.runner.start_decode_window(
-                    plain_seqs, t_steps, prev=self._inflight)
+                    plain_seqs, t_steps, prev=self._inflight,
+                    pf_chunk=pf_chunk)
+                if pf_chunk is not None:
+                    self.scheduler.note_prefill_done(pf_chunk)
+                    self.metrics.tokens_prefilled += len(pf_chunk.tokens)
+                    pf_chunk = None
+
+        if pf_chunk is not None:
+            # The held-back chunk found no window to ride this iteration
+            # (chain break / deferred decode / no plain lanes after
+            # phase filtering): dispatch it standalone.
+            self._dispatch_prefill_groups([pf_chunk])
 
         prev, self._inflight = self._inflight, new_window
         if prev is not None:
@@ -419,6 +430,31 @@ class ContinuousBatchEngine:
         return did_work or not batch.is_empty \
             or self._inflight is not None
 
+    def _dispatch_prefill_groups(self, chunks) -> None:
+        """Batched standalone prefill: chunks sharing a (chunk, context)
+        bucket fuse into ONE program; final chunks' first tokens are
+        fetched next iteration (_pending_first)."""
+        groups: Dict[Tuple[int, int], list] = {}
+        for chunk in chunks:
+            k = (self.runner.chunk_bucket(len(chunk.tokens)),
+                 self.runner.ctx_bucket(chunk.start + len(chunk.tokens)))
+            groups.setdefault(k, []).append(chunk)
+        for group in groups.values():
+            # Host-masked guided requests (FSM fallback) need the
+            # final-position logits; device-FSM requests sample under
+            # the mask on device like plain ones.
+            host_guided = any(
+                c.seq.guided_processor is not None
+                and c.seq.guided_fsm is None and c.is_last
+                for c in group)
+            res = self.runner.run_prefill_batch(
+                group, return_logits=host_guided)
+            for chunk in group:
+                self.scheduler.note_prefill_done(chunk)
+                self.metrics.tokens_prefilled += len(chunk.tokens)
+                if chunk.is_last:
+                    self._pending_first.append((chunk.seq, res))
+
     def _process_window(self, window) -> None:
         """Fetch an outstanding window's tokens, accept them, and release
         resources whose cleanup was deferred past this window.
@@ -436,6 +472,15 @@ class ContinuousBatchEngine:
             token_lists = self.runner.sync_window(window)
             self._accept_window_tokens(window.seqs, token_lists,
                                        window.num_steps)
+            pf = getattr(window, "pf_seq", None)
+            if (pf is not None and window.pf_is_last
+                    and pf.phase == Phase.DECODING
+                    and not pf.output_tokens):
+                # Mixed-prefill first token: sampled in-window at the
+                # chunk's last row, carried in the slot's final output
+                # row (the next window already chained from it).
+                self._accept_token(
+                    pf, token_lists[pf.request.request_id][-1])
         for seq in window.deferred:
             with self._lock:
                 self.scheduler.finish(seq)

@@ -42,6 +42,7 @@ from ..sampling.device import (
 )
 from ..scheduler.continuous import PrefillChunk
 from ..scheduler.sequence import Sequence
+from ..types import NotSupportedError
 
 
 def _round_up_pow2(x: int, lo: int, hi: int) -> int:
@@ -79,6 +80,10 @@ class DecodeWindow:
     # Sequences whose slot/KV release is deferred until this window's
     # results are fetched (their lanes may still be written by it).
     deferred: List["Sequence"] = None
+    # Mixed prefill+decode: the chunk that rode this window (its first
+    # token, when pf_is_last, sits at toks[num_steps - 1, pf_seq.slot]).
+    pf_seq: Optional["Sequence"] = None
+    pf_is_last: bool = False
 
     def __post_init__(self):
         if self.deferred is None:
@@ -336,8 +341,21 @@ class ModelRunner:
 
     def _get_decode_window_fn(self, ctx_pad: int, num_steps: int,
                               greedy: bool = False, guided: bool = False,
-                              grows: int = 0):
+                              grows: int = 0, p_rows: int = 0):
         """T decode steps fused into one compiled program via lax.scan.
+
+        p_rows > 0 (mixed prefill+decode, linear/win path only): each
+        step additionally processes a P-row block of ONE slot's prefill
+        chunk through the same trunk call — the chunk rides the weight
+        stream the decode steps already pay, so a steady-state slot
+        refill costs ~zero extra HBM traffic (vs a full per-chunk model
+        read in the standalone prefill program). The chunk's K/V
+        accumulates in its own window carry and lands in the pool with
+        the decode window's single append; if the chunk completes the
+        prompt, its first sampled token is written into the final
+        output row of the chunk's slot so the NEXT window can chain
+        from it on device (ref: the mixed decode+prefill iteration
+        batches of continuous_engine/inner/batch.rs).
 
         The sampled token of step t feeds step t+1 on device; positions,
         context lengths and KV flat slots advance on device (flat slots
@@ -355,7 +373,7 @@ class ModelRunner:
         dispatch window W+1 before reading W's results, keeping the
         device 100% busy across host bookkeeping + tunnel RTT.
         """
-        key = (ctx_pad, num_steps, greedy, guided, grows)
+        key = (ctx_pad, num_steps, greedy, guided, grows, p_rows)
         fn = self._decode_multi_fns.get(key)
         if fn is not None:
             return fn
@@ -373,9 +391,19 @@ class ModelRunner:
         # copy per step (~16 ms/step at 4.3 GB on v5e).
         use_win = attn_impl == "linear"
 
+        if p_rows and not use_win:
+            raise NotSupportedError(
+                "mixed prefill+decode windows require the linear/win "
+                f"attention path, not attn_impl={attn_impl!r}")
+
         def step_fn(params, kv, counts, keys, packed, prev_toks,
                     block_tables, samp, gstates, ginit, gtrans, gmask,
-                    gtokcp, rec_conv, rec_delta):
+                    gtokcp, rec_conv, rec_delta,
+                    pf_packed=None, pf_scal=None):
+            # pf_packed int32 [4, T, P]: tokens, count_tokens (vocab =
+            # pad), positions (OOB = pad), flat_slots (OOB_SENTINEL =
+            # pad). pf_scal int32 [8]: slot, chunk_start, valid_len,
+            # last_t, last_j, is_last, min_tokens_active, (reserved).
             # packed int32 [7, S]: tokens, positions, context_lens,
             # pos_limit, active_slots, min_tokens_active, use_carry
             tokens0 = jnp.where(packed[6] == 1, prev_toks[-1], packed[0])
@@ -394,6 +422,12 @@ class ModelRunner:
                     (lkv, num_steps, s, kv.kv_heads, kv.head_dim),
                     kv.k.dtype if not kv.quantized else jnp.bfloat16)
                 win_v0 = jnp.zeros_like(win_k0)
+                win_pk0 = win_pv0 = 0
+                if p_rows:
+                    win_pk0 = jnp.zeros(
+                        (lkv, num_steps, p_rows, kv.kv_heads,
+                         kv.head_dim), win_k0.dtype)
+                    win_pv0 = jnp.zeros_like(win_pk0)
                 w_iota = jnp.arange(num_steps, dtype=jnp.int32)
                 # Hoist the per-layer ctx-window slices OUT of the scan:
                 # the [:, :ctx_pad] slice materializes a tiled copy on
@@ -426,7 +460,8 @@ class ModelRunner:
 
             def body(carry, step):
                 (tokens, positions, context_lens, kv_c, counts, keys,
-                 gstates, rec_conv, rec_delta, win_k, win_v) = carry
+                 gstates, rec_conv, rec_delta, win_k, win_v,
+                 win_pk, win_pv) = carry
                 flat = flat_of(positions)
                 win = None
                 if use_win:
@@ -435,12 +470,23 @@ class ModelRunner:
                            "cache_len": cache_len0,
                            "k_lins": k_lins, "v_lins": v_lins,
                            "ks_lins": ks_lins, "vs_lins": vs_lins}
+                fwd_tokens, fwd_positions = tokens, positions
+                if p_rows:
+                    pos_p = pf_packed[2, step]               # [P]
+                    win["pk"], win["pv"] = win_pk, win_pv
+                    win["pf"] = {"slot": pf_scal[0],
+                                 "chunk_start": pf_scal[1],
+                                 "valid_len": pf_scal[2],
+                                 "positions": pos_p}
+                    fwd_tokens = jnp.concatenate(
+                        [tokens, pf_packed[0, step]])
+                    fwd_positions = jnp.concatenate([positions, pos_p])
                 kw = {}
                 if hybrid:
                     kw["rec"] = {"conv": rec_conv, "delta": rec_delta}
                 out = decode_forward(
-                    params, mc, kv_c, tokens, positions, block_tables,
-                    context_lens, flat, ctx_pad=ctx_pad,
+                    params, mc, kv_c, fwd_tokens, fwd_positions,
+                    block_tables, context_lens, flat, ctx_pad=ctx_pad,
                     attn_impl=attn_impl, win=win, **kw)
                 if use_win and hybrid:
                     h, win, rec = out
@@ -452,6 +498,10 @@ class ModelRunner:
                     h, kv_c = out
                 if use_win:
                     win_k, win_v = win["k"], win["v"]
+                h_p = None
+                if p_rows:
+                    win_pk, win_pv = win["pk"], win["pv"]
+                    h, h_p = h[:s], h[s:]
                 if hybrid:
                     rec_conv, rec_delta = rec["conv"], rec["delta"]
                 logits = logits_from_hidden(params, mc, h)
@@ -459,22 +509,33 @@ class ModelRunner:
                                         min_tok_active)
                 mask = guided_mask_rows(gmask, gstates, vocab) \
                     if guided else None
+                keys_in = keys
                 out_tokens, keys = sample_step(logits, sp, counts, keys,
                                                eos_ids, greedy_only=greedy,
                                                allowed_mask=mask)
+                if p_rows:
+                    # The prefilling slot's PRNG key must not advance
+                    # with the (inactive) decode lanes: its first token
+                    # is sampled AFTER the scan from the fresh key —
+                    # bit-identical to the standalone prefill program.
+                    # (mode="drop": slot == num_slots sentinel makes the
+                    # whole pf path a no-op — used by warm dispatches.)
+                    keys = keys.at[pf_scal[0]].set(
+                        keys_in[pf_scal[0]], mode="drop")
                 if guided:
                     gstates = guided_advance(gtrans, gtokcp, gstates,
                                              out_tokens)
                 counts = update_counts(counts, active_slots, out_tokens)
+                ys = (out_tokens, h_p) if p_rows else out_tokens
                 return ((out_tokens, positions + 1, context_lens + 1,
                          kv_c, counts, keys, gstates, rec_conv, rec_delta,
-                         win_k, win_v),
-                        out_tokens)
+                         win_k, win_v, win_pk, win_pv),
+                        ys)
 
             if use_win:
                 carry = (tokens0, packed[1], packed[2], None, counts,
                          keys, gstates, rec_conv, rec_delta, win_k0,
-                         win_v0)
+                         win_v0, win_pk0, win_pv0)
 
                 def body_win(carry, step):
                     c = list(carry)
@@ -485,19 +546,57 @@ class ModelRunner:
                     return tuple(new_c), tok
 
                 (tokens, positions, context_lens, _none, counts, keys,
-                 gstates, rec_conv, rec_delta, win_k, win_v), all_toks = \
-                    jax.lax.scan(body_win, carry, w_iota)
+                 gstates, rec_conv, rec_delta, win_k, win_v, win_pk,
+                 win_pv), ys = jax.lax.scan(body_win, carry, w_iota)
+                all_toks = ys[0] if p_rows else ys
                 # ONE append for the whole window.
                 flat_mat = jax.vmap(
                     lambda t: flat_of(packed[1] + t))(w_iota)   # [T, S]
+                if p_rows:
+                    # Chunk K/V joins the same single append (its flat
+                    # slots ride pf_packed[3]; pads carry OOB_SENTINEL).
+                    win_k = jnp.concatenate([win_k, win_pk], axis=2)
+                    win_v = jnp.concatenate([win_v, win_pv], axis=2)
+                    flat_mat = jnp.concatenate(
+                        [flat_mat, pf_packed[3]], axis=1)   # [T, S+P]
                 kv2 = append_window_kv(kv, win_k, win_v, flat_mat)
+                if p_rows:
+                    # First-token sample for the chunk's slot (mirrors
+                    # the standalone prefill program: prompt-token
+                    # counts, fresh key, is_last-gated commits), then
+                    # write it into the final output row so the next
+                    # window chains from it on device.
+                    sl = pf_scal[0]
+                    is_last = pf_scal[5] == 1
+                    counts = counts.at[
+                        sl, pf_packed[1].reshape(-1)].add(1, mode="drop")
+                    h_last = ys[1][pf_scal[3], pf_scal[4]]      # [H]
+                    logits_p = logits_from_hidden(params, mc,
+                                                  h_last[None])  # [1, V]
+                    sp1 = SlotSamplingParams(
+                        temps[sl][None], top_ks[sl][None],
+                        top_ps[sl][None], penalties[sl][None],
+                        (pf_scal[6] == 1)[None])
+                    tok_p, nk = sample_step(
+                        logits_p, sp1, counts[sl][None], keys[sl][None],
+                        eos_ids, greedy_only=greedy)
+                    keys = keys.at[sl].set(
+                        jnp.where(is_last, nk[0], keys[sl]),
+                        mode="drop")
+                    counts = counts.at[
+                        sl, jnp.where(is_last, tok_p[0], vocab)].add(
+                        1, mode="drop")
+                    all_toks = all_toks.at[num_steps - 1, sl].set(
+                        jnp.where(is_last, tok_p[0],
+                                  all_toks[num_steps - 1, sl]),
+                        mode="drop")
                 return (all_toks, kv2, counts, keys, gstates, rec_conv,
                         rec_delta)
 
             carry = (tokens0, packed[1], packed[2], kv, counts, keys,
-                     gstates, rec_conv, rec_delta, 0, 0)
+                     gstates, rec_conv, rec_delta, 0, 0, 0, 0)
             (tokens, positions, context_lens, kv, counts, keys,
-             gstates, rec_conv, rec_delta, _a, _b), all_toks = \
+             gstates, rec_conv, rec_delta, _a, _b, _c, _d), all_toks = \
                 jax.lax.scan(body, carry,
                              jnp.arange(num_steps, dtype=jnp.int32))
             return all_toks, kv, counts, keys, gstates, rec_conv, rec_delta
@@ -516,7 +615,8 @@ class ModelRunner:
         return z
 
     def start_decode_window(self, seqs: List[Sequence], num_steps: int,
-                            prev: Optional[DecodeWindow] = None
+                            prev: Optional[DecodeWindow] = None,
+                            pf_chunk: Optional[PrefillChunk] = None
                             ) -> DecodeWindow:
         """Dispatch one fused decode window WITHOUT waiting for results.
 
@@ -525,7 +625,14 @@ class ModelRunner:
         (prev.toks[-1]) and positions continue from prev.end_pos — the
         host does not need to have read prev's tokens. Everything else
         (new joiners after prefill, re-admissions) gets host-provided
-        rows."""
+        rows.
+
+        pf_chunk: one slot's prefill chunk to fold into this window
+        (mixed prefill+decode): its tokens split into T blocks of P
+        rows riding the decode steps' trunk. When the chunk is the
+        prompt's last, the sampled first token lands in the final
+        output row of its slot and the window `covers` the sequence,
+        so the NEXT window chains from it without a host readback."""
         s = self.num_slots
         packed = np.zeros((7, s), np.int32)
         packed[4] = s                            # inactive sentinel
@@ -551,10 +658,46 @@ class ModelRunner:
                                 < seq.request.sampling.min_tokens)
             end_pos[sl] = pos + num_steps
             max_len = max(max_len, pos + 1)
+        covered = set(seq.request.request_id for seq in seqs)
+
+        pf_packed = pf_scal = None
+        p_rows = 0
+        if pf_chunk is not None:
+            seq_p = pf_chunk.seq
+            n = len(pf_chunk.tokens)
+            p_rows = _round_up_pow2(
+                (n + num_steps - 1) // num_steps, 8, 512)
+            total_rows = num_steps * p_rows
+            v = self.model_cfg.vocab_size
+            pos_oob = self.cfg.max_model_len + (1 << 16)
+            toks = np.zeros(total_rows, np.int32)
+            cnts = np.full(total_rows, v, np.int32)
+            poss = np.full(total_rows, pos_oob, np.int32)
+            flats = np.full(total_rows, OOB_SENTINEL, np.int32)
+            start = pf_chunk.start
+            toks[:n] = pf_chunk.tokens
+            cnts[:n] = pf_chunk.tokens
+            poss[:n] = np.arange(start, start + n)
+            flats[:n] = [seq_p.blocks.flat_slot(p)
+                         for p in range(start, start + n)]
+            pf_packed = jnp.asarray(np.stack([toks, cnts, poss, flats])
+                                    .reshape(4, num_steps, p_rows))
+            pf_scal = jnp.asarray(np.array([
+                seq_p.slot, start, n, (n - 1) // p_rows,
+                (n - 1) % p_rows, int(pf_chunk.is_last),
+                int(seq_p.num_output_tokens
+                    < seq_p.request.sampling.min_tokens), 0], np.int32))
+            self._sync_tables([seq_p])
+            max_len = max(max_len, start + n)
+            if pf_chunk.is_last:
+                covered.add(seq_p.request.request_id)
+                end_pos[seq_p.slot] = start + n
         self._sync_tables(seqs)
 
         ctx_pad = self.ctx_bucket(max_len + num_steps)
-        greedy = bool(all(self._temps[seq.slot] == 0 for seq in seqs))
+        greedy = bool(all(self._temps[seq.slot] == 0 for seq in seqs)
+                      and (pf_chunk is None
+                           or self._temps[pf_chunk.seq.slot] == 0))
         guided = any(getattr(seq, "guided_fsm_offset", None) is not None
                      for seq in seqs)
         if guided:
@@ -566,7 +709,7 @@ class ModelRunner:
             ginit = self._gdummy_init
             gtokcp = self._gdummy_tokcp
         fn = self._get_decode_window_fn(ctx_pad, num_steps, greedy,
-                                        guided, grows)
+                                        guided, grows, p_rows)
         if prev is not None:
             # Chaining requires matching carry shape; the engine breaks
             # the chain (syncs first) when the window length changes.
@@ -579,21 +722,30 @@ class ModelRunner:
             self.params, self.kv, self.counts, self.keys,
             jnp.asarray(packed), prev_toks, self._tables_dev, self.samp,
             self._gstates, ginit, gtrans, gmask, gtokcp,
-            self.rec_conv, self.rec_delta)
+            self.rec_conv, self.rec_delta, pf_packed, pf_scal)
         self.decode_device_time += time.perf_counter() - t0
         self.decode_steps += num_steps
+        if pf_chunk is not None:
+            self.prefill_steps += 1
         return DecodeWindow(
-            seqs=list(seqs),
-            covered=frozenset(seq.request.request_id for seq in seqs),
-            toks=all_toks, end_pos=end_pos, num_steps=num_steps)
+            seqs=list(seqs), covered=frozenset(covered),
+            toks=all_toks, end_pos=end_pos, num_steps=num_steps,
+            pf_seq=pf_chunk.seq if pf_chunk is not None else None,
+            pf_is_last=bool(pf_chunk.is_last) if pf_chunk is not None
+            else False)
 
     def sync_window(self, window: DecodeWindow) -> Dict[str, List[int]]:
-        """Fetch a window's sampled tokens (the one blocking sync)."""
+        """Fetch a window's sampled tokens (the one blocking sync).
+        A completed mixed-prefill chunk's sequence is included: its
+        first token is the LAST entry of its row."""
         t0 = time.perf_counter()
         tok_host = np.asarray(window.toks)       # [T, S]
         self.decode_sync_time += time.perf_counter() - t0
+        seqs = list(window.seqs)
+        if window.pf_seq is not None and window.pf_is_last:
+            seqs.append(window.pf_seq)
         return {seq.request.request_id: tok_host[:, seq.slot].tolist()
-                for seq in window.seqs}
+                for seq in seqs}
 
     def run_decode_multi(self, seqs: List[Sequence], num_steps: int
                          ) -> Dict[str, List[int]]:
@@ -804,6 +956,58 @@ class ModelRunner:
                     np.asarray(toks)  # block until compiled + run
                     done += 1
                 b *= 2
+        return done + self.warm_mixed_windows()
+
+    def warm_mixed_windows(self) -> int:
+        """Compile mixed prefill+decode variants of every already-
+        compiled decode-window bucket via NO-OP executions (pf slot ==
+        num_slots sentinel → every pf write drops; decode lanes all
+        inactive). Serving then folds chunks into windows from the
+        first post-warmup admission without a mid-request compile."""
+        if self.attn_impl != "linear" or self.hybrid \
+                or not self.cfg.mixed_prefill:
+            return 0
+        done = 0
+        s = self.num_slots
+        chunk_cap = max(16, min(self.cfg.prefill_chunk_size,
+                                self.cfg.max_num_batched_tokens))
+        for (ctx_pad, num_steps, greedy, guided, grows, p0) in list(
+                self._decode_multi_fns.keys()):
+            if p0:
+                continue
+            p_want = {_round_up_pow2(
+                (n + num_steps - 1) // num_steps, 8, 512)
+                for n in (256, chunk_cap) if n <= 128 * num_steps}
+            for p_rows in sorted(p_want):
+                key = (ctx_pad, num_steps, greedy, guided, grows, p_rows)
+                if key in self._decode_multi_fns:
+                    continue
+                fn = self._get_decode_window_fn(
+                    ctx_pad, num_steps, greedy, guided, grows, p_rows)
+                packed = np.zeros((7, s), np.int32)
+                packed[4] = s
+                pfp = np.zeros((4, num_steps, p_rows), np.int32)
+                pfp[1] = self.model_cfg.vocab_size
+                pfp[2] = self.cfg.max_model_len + (1 << 16)
+                pfp[3] = OOB_SENTINEL
+                pfs = np.zeros(8, np.int32)
+                pfs[0] = s                       # sentinel slot: no-op
+                if guided:
+                    gtrans, gmask, _ = self._guided_tables()
+                    gtokcp = self._gtokcp_dev
+                else:
+                    gtrans, gmask, _ = self._gdummy()
+                    gtokcp = self._gdummy_tokcp
+                ginit = self._gdummy_init         # no pending-init drain
+                (toks, self.kv, self.counts, self.keys, self._gstates,
+                 self.rec_conv, self.rec_delta) = fn(
+                    self.params, self.kv, self.counts, self.keys,
+                    jnp.asarray(packed), self._zero_window(num_steps),
+                    self._tables_dev, self.samp, self._gstates, ginit,
+                    gtrans, gmask, gtokcp, self.rec_conv,
+                    self.rec_delta, jnp.asarray(pfp), jnp.asarray(pfs))
+                np.asarray(toks)
+                done += 1
         return done
 
     # ------------------------------------------------------------------

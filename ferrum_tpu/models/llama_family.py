@@ -379,9 +379,21 @@ def decode_forward(
     win: Optional[dict] = None,  # KV-out-of-carry window accumulator:
                                  # {"k"/"v": [L, W, S, Hkv, D],
                                  #  "step": int32 scalar,
-                                 #  "valid": bool [S, W]}
+                                 #  "valid": bool [S, W],
+                                 #  optional mixed-prefill block:
+                                 #  "pk"/"pv": [L, W, P, Hkv, D],
+                                 #  "pf": {"slot", "chunk_start",
+                                 #         "valid_len", "positions" [P]}}
 ):
     """One batched decode step → (hidden [S, H], updated kv[, rec]).
+
+    Mixed prefill+decode (win mode only): when win["pf"] is set, tokens/
+    positions carry P EXTRA rows after the S decode lanes — one chunk
+    block of a single prefilling slot. The trunk (embeddings, matmuls,
+    MoE) runs once over S+P rows, so the chunk rides the decode steps'
+    already-paid weight stream; attention splits per phase (the TPU
+    answer to the reference's mixed decode+prefill iteration batches,
+    crates/ferrum-engine/src/continuous_engine/inner/batch.rs).
 
     `win` mode (the fused-window hot path): the cache is READ-ONLY —
     this step's K/V goes into the win accumulator at index `step`, and
@@ -450,21 +462,57 @@ def decode_forward(
                         s_slots, -1, hkv)[:, :ctx_pad]
                     vs_lin = state["vs"][kli * nb:(kli + 1) * nb].reshape(
                         s_slots, -1, hkv)[:, :ctx_pad]
+            pf = win.get("pf")
+            if pf is not None:
+                q_d, q_p = q[:s_slots], q[s_slots:]
+                kn_d, kn_p = k_new[:s_slots], k_new[s_slots:]
+                vn_d, vn_p = v_new[:s_slots], v_new[s_slots:]
+            else:
+                q_d, kn_d, vn_d = q, k_new, v_new
             # Record this step's K/V into the window accumulator; the
             # cache itself is never written inside the window.
             win["k"] = jax.lax.dynamic_update_slice(
-                win["k"], k_new[None, None].astype(win["k"].dtype),
+                win["k"], kn_d[None, None].astype(win["k"].dtype),
                 (li, win["step"], 0, 0, 0))
             win["v"] = jax.lax.dynamic_update_slice(
-                win["v"], v_new[None, None].astype(win["v"].dtype),
+                win["v"], vn_d[None, None].astype(win["v"].dtype),
                 (li, win["step"], 0, 0, 0))
-            return flat_decode_attention(
-                q, k_lin, v_lin, context_lens, k_new, v_new,
+            out_d = flat_decode_attention(
+                q_d, k_lin, v_lin, context_lens, kn_d, vn_d,
                 hkv=hkv, scale=cfg.attn_scale, sliding_window=sw,
                 softcap=cfg.attn_logit_softcap,
                 k_scale=ks_lin, v_scale=vs_lin,
                 k_win=win["k"][li], v_win=win["v"][li],
                 win_valid=win["valid"], cache_len=win["cache_len"])
+            if pf is None:
+                return out_d
+            from ..ops.attention import flat_prefill_window_attention
+            win["pk"] = jax.lax.dynamic_update_slice(
+                win["pk"], kn_p[None, None].astype(win["pk"].dtype),
+                (li, win["step"], 0, 0, 0))
+            win["pv"] = jax.lax.dynamic_update_slice(
+                win["pv"], vn_p[None, None].astype(win["pv"].dtype),
+                (li, win["step"], 0, 0, 0))
+            sl_pf = pf["slot"]
+            k_ctx = jax.lax.dynamic_index_in_dim(
+                k_lin, sl_pf, axis=0, keepdims=False)
+            v_ctx = jax.lax.dynamic_index_in_dim(
+                v_lin, sl_pf, axis=0, keepdims=False)
+            ks_ctx = vs_ctx = None
+            if quant:
+                ks_ctx = jax.lax.dynamic_index_in_dim(
+                    ks_lin, sl_pf, axis=0, keepdims=False)
+                vs_ctx = jax.lax.dynamic_index_in_dim(
+                    vs_lin, sl_pf, axis=0, keepdims=False)
+            out_p = flat_prefill_window_attention(
+                q_p, k_ctx, v_ctx, pf["chunk_start"],
+                win["pk"][li], win["pv"][li], win["step"],
+                pf["chunk_start"], pf["valid_len"], kn_p, vn_p,
+                pf["positions"],
+                hkv=hkv, scale=cfg.attn_scale, sliding_window=sw,
+                softcap=cfg.attn_logit_softcap,
+                k_scale=ks_ctx, v_scale=vs_ctx)
+            return jnp.concatenate([out_d, out_p], axis=0)
         if deferred:
             new_ks.append(k_new)
             new_vs.append(v_new)

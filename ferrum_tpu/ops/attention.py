@@ -496,6 +496,96 @@ def flat_decode_attention(
     return out.astype(q.dtype)
 
 
+def flat_prefill_window_attention(
+    q: jnp.ndarray,               # [P, Hq, D] — step-t block of ONE slot's chunk
+    k_ctx: jnp.ndarray,           # [C, F] the slot's pool region (prefix)
+    v_ctx: jnp.ndarray,
+    ctx_len: jnp.ndarray,         # int32 scalar: pool tokens for this slot
+    win_k: jnp.ndarray,           # [T, P, Hkv, D] in-window prefill K acc
+    win_v: jnp.ndarray,
+    step: jnp.ndarray,            # int32 scalar: rows of steps < step visible
+    chunk_start: jnp.ndarray,     # int32 scalar: position of win row 0
+    valid_len: jnp.ndarray,       # int32 scalar: real rows in the chunk
+    k_new: jnp.ndarray,           # [P, Hkv, D] this block's K (pre-append)
+    v_new: jnp.ndarray,
+    q_positions: jnp.ndarray,     # int32 [P] (pad rows: large OOB, increasing)
+    *,
+    hkv: int,
+    scale: float,
+    sliding_window: Optional[int] = None,
+    softcap: Optional[float] = None,
+    k_scale: Optional[jnp.ndarray] = None,   # f32 [C, Hkv] (int8 KV pool)
+    v_scale: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Chunked-prefill attention for a P-row block INSIDE a fused decode
+    window (the mixed prefill+decode design: prefill rows ride the
+    decode steps' already-paid weight stream, so a steady-state refill
+    costs ~zero extra HBM traffic instead of a full per-chunk model
+    read — the TPU answer to the reference's mixed decode+prefill
+    batches, crates/ferrum-engine/src/continuous_engine/inner/batch.rs).
+
+    Three key segments, one softmax:
+      - the slot's pool prefix (tokens prefilled BEFORE this window;
+        int8 KV dequant rides post-QK / pre-PV as flat_decode_attention)
+      - earlier in-window blocks of the same chunk (steps < `step`,
+        accumulated in win_k/win_v — not yet in the pool)
+      - the current block itself, causal.
+    """
+    p, hq, d = q.shape
+    c_pad = k_ctx.shape[0]
+    t_steps = win_k.shape[0]
+    rep = hq // hkv
+    f = hkv * d
+    qf = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    qt = _mask_q_flat(qf, hkv)                               # [P, Hq, F]
+
+    kc = k_ctx.astype(qt.dtype) if k_ctx.dtype == jnp.int8 else k_ctx
+    vc = v_ctx.astype(qt.dtype) if v_ctx.dtype == jnp.int8 else v_ctx
+    kw = win_k.reshape(t_steps * p, f).astype(qt.dtype)
+    vw = win_v.reshape(t_steps * p, f).astype(qt.dtype)
+    kn = k_new.reshape(p, f).astype(qt.dtype)
+    vn = v_new.reshape(p, f).astype(qt.dtype)
+    k_all = jnp.concatenate([kc, kw, kn], axis=0)            # [C+T*P+P, F]
+    v_all = jnp.concatenate([vc, vw, vn], axis=0)
+
+    w_idx = jax.lax.iota(jnp.int32, t_steps * p)
+    kpos = jnp.concatenate([
+        jax.lax.iota(jnp.int32, c_pad),                      # pool prefix
+        chunk_start + w_idx,                                 # earlier blocks
+        q_positions])                                        # self block
+    valid_base = jnp.concatenate([
+        jax.lax.iota(jnp.int32, c_pad) < ctx_len,
+        (w_idx < step * p) & (w_idx < valid_len),
+        q_positions < (chunk_start + valid_len)])
+    qpos = q_positions[:, None]
+    valid = valid_base[None, :] & (kpos[None, :] <= qpos)
+    # Causal tie-break: the self block's own row attends to itself; no
+    # two VALID rows share a position, so <= is exact.
+    if sliding_window is not None:
+        valid &= kpos[None, :] > (qpos - sliding_window)
+
+    scores = jnp.einsum("pqf,cf->pqc", qt, k_all,
+                        preferred_element_type=jnp.float32)
+    if k_scale is not None:
+        ones = jnp.ones((t_steps * p + p, hkv), k_scale.dtype)
+        ks_all = jnp.concatenate([k_scale, ones], axis=0)
+        scores = scores * jnp.repeat(ks_all.T, rep, axis=0)[None]
+    scores = _maybe_softcap(scores, softcap)
+    scores = jnp.where(valid[:, None, :], scores, NEG_INF)
+    # Pad q rows can have all keys masked; guard the softmax.
+    any_valid = jnp.any(valid, axis=-1)                      # [P]
+    scores = jnp.where(any_valid[:, None, None], scores, 0.0)
+    probs = jax.nn.softmax(scores, axis=-1)
+    if v_scale is not None:
+        ones = jnp.ones((t_steps * p + p, hkv), v_scale.dtype)
+        vs_all = jnp.concatenate([v_scale, ones], axis=0)
+        probs = probs * jnp.repeat(vs_all.T, rep, axis=0)[None]
+    probs = probs.astype(qt.dtype)
+    out_all = jnp.einsum("pqc,cf->pqf", probs, v_all,
+                         preferred_element_type=jnp.float32)
+    return _unmask_out_flat(out_all, hq, hkv, d).astype(q.dtype)
+
+
 def flat_prefill_attention(
     q: jnp.ndarray,               # [T, Hq, D] — one slot's chunk
     k_flat: jnp.ndarray,          # [C, F] slot region (prefix only)

@@ -34,11 +34,12 @@ def main():
     from ferrum_tpu.scheduler.sequence import Sequence
     from ferrum_tpu.types import InferenceRequest, SamplingParams
 
-    model_cfg = preset("llama-3.1-8b")
+    model_cfg = preset(os.environ.get("FERRUM_BENCH_MODEL", "llama-3.1-8b"))
     cfg = EngineConfig.resolve(
         model="bench", max_num_seqs=32, max_num_batched_tokens=2048,
         max_model_len=1024, prefill_chunk_size=512, kv_block_size=32,
-        kv_layout="linear", dtype="bf16", kv_dtype="bf16", seed=0)
+        kv_layout="linear", decode_multi_step=4,
+        dtype="bf16", kv_dtype="bf16", seed=0)
     t0 = time.time()
     params = init_random_quant_params(model_cfg, seed=0)
     print(f"params init: {time.time()-t0:.1f}s", flush=True)
@@ -46,6 +47,15 @@ def main():
     engine = EngineBuilder(cfg).with_model(model_cfg, params).build()
     runner = engine.runner
     sched = engine.scheduler
+    try:
+        ms = jax.local_devices()[0].memory_stats()
+        print("hbm after build: "
+              f"in_use={ms.get('bytes_in_use', 0)/2**30:.2f}GiB "
+              f"limit={ms.get('bytes_limit', 0)/2**30:.2f}GiB "
+              f"peak={ms.get('peak_bytes_in_use', 0)/2**30:.2f}GiB",
+              flush=True)
+    except Exception:
+        pass
 
     # Admit 32 sequences with 256-token prompts via the real scheduler.
     seqs = []
