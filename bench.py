@@ -21,7 +21,9 @@ import os
 import sys
 import time
 
-BASELINE_C32 = 745.6  # cuda-llama-dense gate, c=32 (BASELINE.md)
+BASELINE_C32 = 745.6      # cuda-llama-dense gate, c=32 (BASELINE.md)
+BASELINE_MOE_C32 = 706.0  # cuda-full Qwen3-30B-A3B gate, c=32
+                          # (docs/release/g0/0.7.7/cuda-full/summary.json)
 
 
 def main() -> None:
@@ -91,16 +93,19 @@ def main() -> None:
         engine.stop()
 
     report["total_bench_s"] = time.time() - t0
-    with open("bench_report.json", "w") as f:
+    moe = model_cfg.moe is not None
+    out_json = "bench_report_moe.json" if moe else "bench_report.json"
+    with open(out_json, "w") as f:
         json.dump(report, f, indent=2)
 
+    baseline = BASELINE_MOE_C32 if moe else BASELINE_C32
     main_cell = report["cells"][-1]
     value = round(main_cell["output_tok_s"], 1)
     line = {
         "metric": f"output_tok_s_c{main_cell['concurrency']}_{label}_256x128",
         "value": value,
         "unit": "tok/s",
-        "vs_baseline": round(value / BASELINE_C32, 3),
+        "vs_baseline": round(value / baseline, 3),
     }
     print(json.dumps(line))
 

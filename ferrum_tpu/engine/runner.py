@@ -923,10 +923,21 @@ class ModelRunner:
         Returns the number of programs compiled."""
         v = self.model_cfg.vocab_size
         done = 0
+        budget = self.cfg.max_num_batched_tokens
         for (b_pad, t_pad, ctx_pad, greedy, rl, gd, grows) in list(
                 self._prefill_batch_fns.keys()):
+            # A (b, t_pad) group's chunks each carry > t_pad/2 tokens
+            # (pow2 bucketing), and the scheduler admits within the
+            # token budget — so b beyond budget/(t_pad/2+1) can never
+            # be dispatched. Warming it anyway costs compile time and,
+            # at b=32 x t=512 (m=16k rows), more transient HBM than a
+            # 16 GB chip has next to an 8B model + KV pool (observed
+            # RESOURCE_EXHAUSTED with fused projections).
+            max_b = _round_up_pow2(
+                max(1, budget // max(1, t_pad // 2 + 1)), 1,
+                max(self.cfg.num_slots, 1))
             b = 1
-            while b <= max(self.cfg.num_slots, 1):
+            while b <= max_b:
                 key = (b, t_pad, ctx_pad, greedy, rl, gd, grows)
                 if key not in self._prefill_batch_fns:
                     packed = np.zeros((b, 5, t_pad), np.int32)
