@@ -60,6 +60,69 @@ def moe_mlp_ref(x: jnp.ndarray, p: "MoeLayerParams",
     return out.astype(x.dtype)
 
 
+def moe_mlp_dense_decode(x: jnp.ndarray, p: "MoeLayerParams",
+                         cfg: "ModelConfig"):
+    """All-experts decode path: compute EVERY expert for every token.
+
+    At decode batch sizes t·topk ≳ E, so the sort/gather dispatch reads
+    the whole packed expert stack from HBM anyway — the memory traffic
+    (which sets decode speed) is identical whether we compute 8 experts
+    per token or all E. Computing all of them deletes the per-layer
+    argsort + bincount + token gather + scatter-add combine and the
+    grouped kernel's metadata/masking entirely: three dense batched
+    kernels (gate|up, down) and one [t,E]×[E,t,H] combine einsum. The
+    extra MXU flops are free at m ≤ 64 (memory-bound regime).
+    ref: the bucketed Marlin MoE GEMM + align/combine machinery this
+    collapses (crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu,
+    moe_align_block_size.cu, moe_combine.cu).
+
+    Returns None when the Pallas kernel doesn't support the shapes /
+    params (caller falls back to the sort path)."""
+    from ..ops.linear import apply_linear
+    from .pallas.quant_matmul import (
+        quant_bmm_all_experts, quantize_activation_rows,
+    )
+
+    m = cfg.moe
+    t = x.shape[0]
+    e = m.num_experts
+
+    first = p.gate_up if p.gate_up is not None else p.gate
+    logits = apply_linear(p.router, x)
+    weights, ids = route_topk(logits, m.num_experts_per_tok,
+                              m.norm_topk_prob)
+    combine = jnp.zeros((t, e), jnp.float32).at[
+        jnp.arange(t)[:, None], ids].add(weights)          # [t, E]
+
+    t_pad = ((t + 31) // 32) * 32
+    xp = jnp.pad(x, ((0, t_pad - t), (0, 0))) if t_pad != t else x
+    xq, xs = quantize_activation_rows(xp)
+    if p.gate_up is not None:
+        gu = quant_bmm_all_experts(xq[None], xs[None], p.gate_up,
+                                   jnp.bfloat16)            # [E, tp, 2I]
+        if gu is None:
+            return None
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = quant_bmm_all_experts(xq[None], xs[None], p.gate,
+                                  jnp.bfloat16)
+        u = quant_bmm_all_experts(xq[None], xs[None], p.up, jnp.bfloat16)
+        if g is None or u is None:
+            return None
+    act = (jax.nn.silu(g.astype(jnp.float32)) * u.astype(jnp.float32)
+           ).astype(jnp.bfloat16)                           # [E, tp, I]
+    inter = act.shape[-1]
+    aq, a_s = quantize_activation_rows(act.reshape(e * t_pad, inter))
+    y = quant_bmm_all_experts(aq.reshape(e, t_pad, inter),
+                              a_s.reshape(e, t_pad, 1), p.down,
+                              jnp.bfloat16)                 # [E, tp, H]
+    if y is None:
+        return None
+    out = jnp.einsum("te,eth->th", combine,
+                     y[:, :t].astype(jnp.float32))
+    return out.astype(x.dtype)
+
+
 def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
             cfg: "ModelConfig") -> jnp.ndarray:
     """Sort + ragged_dot dispatch (production path).
@@ -67,7 +130,10 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
     T*k assignments are sorted by expert id; `group_sizes[e]` counts
     tokens routed to expert e; ragged_dot runs the grouped GEMMs without
     materializing per-token expert weights.
-    """
+
+    Decode batch sizes (t·topk >= E, t <= 64) with two-level w4a8
+    expert stacks take the all-experts dense path instead — same HBM
+    traffic, zero dispatch overhead (moe_mlp_dense_decode)."""
     from ..ops.linear import apply_linear
     from ..ops.quant import QuantLinearParams
 
@@ -75,6 +141,17 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
     t = x.shape[0]
     k = m.num_experts_per_tok
     e = m.num_experts
+
+    if isinstance(p.down, QuantLinearParams):
+        from .pallas.quant_matmul import on_tpu as _on_tpu
+        from .pallas.quant_matmul import w4a8_enabled as _w4a8
+        _first = p.gate_up if p.gate_up is not None else p.gate
+        if (_on_tpu() and _w4a8() and _first.scales2 is not None
+                and p.down.scales2 is not None
+                and t * k >= e and t <= 64):
+            out = moe_mlp_dense_decode(x, p, cfg)
+            if out is not None:
+                return out
 
     logits = apply_linear(p.router, x)
     weights, ids = route_topk(logits, k, m.norm_topk_prob)   # [T,k]

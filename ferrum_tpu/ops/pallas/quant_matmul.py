@@ -798,6 +798,131 @@ def _quant_grouped_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
       chan)
 
 
+def _qbmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
+                        z_ref, chan_ref, o_ref, acc_ref, *, n_k_steps: int,
+                        half_groups: int, bn: int, gpt: int, out_dtype):
+    """All-experts batched two-level w4a8 step: one (expert, n-tile,
+    K-step) block computing x @ W_e for EVERY expert e.
+
+    Unlike the grouped kernel there is no dispatch metadata at all: the
+    grid enumerates experts directly, the activation block is either
+    shared across experts (gate/up: index map pins it) or the expert's
+    own row block (down), and the output is the dense [E, t, N] stack.
+    Weight prep is the same all-integer (q - z) * qs scheme; one int8
+    MXU dot per nibble plane per K-step into an int32 scratch, with the
+    per-expert chan and per-row activation scales applied at the final
+    write. ref: the Marlin MoE GEMM family this replaces
+    (crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qi = qw_ref[0].astype(jnp.int32)         # [bkb, bn] bytes → i32
+
+    def prep(plane, g0):
+        qg = plane.reshape(gpt, GROUP, bn)
+        zt = z_ref[0, pl.ds(g0, gpt)].astype(jnp.int32)[:, None, :]
+        st = qs_ref[0, pl.ds(g0, gpt)].astype(jnp.int32)[:, None, :]
+        return ((qg - zt) * st).astype(jnp.int8).reshape(gpt * GROUP, bn)
+
+    w_lo = prep(qi & 0xF, kk * gpt)          # [bkb, bn] int8
+    w_hi = prep(qi >> 4, half_groups + kk * gpt)
+
+    acc_ref[:] += jax.lax.dot(xq_lo_ref[0], w_lo,
+                              preferred_element_type=jnp.int32)
+    acc_ref[:] += jax.lax.dot(xq_hi_ref[0], w_hi,
+                              preferred_element_type=jnp.int32)
+
+    @pl.when(kk == n_k_steps - 1)
+    def _():
+        o_ref[0] = (acc_ref[:].astype(jnp.float32) * xs_ref[0]
+                    * chan_ref[0].astype(jnp.float32)).astype(out_dtype)
+
+
+def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
+                          p: QuantLinearParams, out_dtype,
+                          bkb: int = None, bn: int = None):
+    """Batched all-experts two-level w4a8 matmul: out[e] = xq3[e|0] @ W_e.
+
+    xq3 int8 [Bx, t_pad, K] with Bx in {1, E} — Bx == 1 shares one
+    activation block across every expert (gate/up), Bx == E gives each
+    expert its own rows (down). xs3 f32 [Bx, t_pad, 1] per-row scales.
+    Returns [E, t_pad, N] in out_dtype, or None on unsupported shapes
+    (caller falls back to the sort/grouped path). Streams the packed
+    expert stack from HBM exactly once; the activation block rides VMEM."""
+    e = p.qweight.shape[0]
+    k = p.in_features
+    n = p.out_features
+    bx, t_pad, k2 = xq3.shape
+    if k2 != k or bx not in (1, e) or t_pad % 32 or p.scales2 is None:
+        return None
+    if bkb is None:
+        bkb = 512
+        while bkb >= GROUP and (k // 2) % bkb:
+            bkb //= 2
+    if bn is None:
+        bn = n
+        while bn > 2048 or (bn > 128 and n % bn):
+            bn //= 2
+    if p.group_size != GROUP or bkb < GROUP or n % bn or (k // 2) % GROUP:
+        return None
+    half_groups = (k // 2) // GROUP
+    n_k = (k // 2) // bkb
+    gpt = bkb // GROUP
+
+    if bx == 1:
+        x_lo_idx = lambda eh, j, kk: (0, 0, kk)                  # noqa: E731
+        x_hi_idx = lambda eh, j, kk, nk=n_k: (0, 0, nk + kk)     # noqa: E731
+        xs_idx = lambda eh, j, kk: (0, 0, 0)                     # noqa: E731
+    else:
+        x_lo_idx = lambda eh, j, kk: (eh, 0, kk)                 # noqa: E731
+        x_hi_idx = lambda eh, j, kk, nk=n_k: (eh, 0, nk + kk)    # noqa: E731
+        xs_idx = lambda eh, j, kk: (eh, 0, 0)                    # noqa: E731
+
+    qs3 = p.scales2.reshape(e, -1, n)
+    z3 = p.zeros.reshape(e, -1, n)
+    chan = p.chan_scale.reshape(e, 1, n)
+    kernel = functools.partial(
+        _qbmm_w4a8tl_kernel, n_k_steps=n_k, half_groups=half_groups,
+        bn=bn, gpt=gpt, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(e, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((1, t_pad, bkb), x_lo_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, bkb), x_hi_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, 1), xs_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkb, bn), lambda eh, j, kk: (eh, kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * half_groups, bn),
+                         lambda eh, j, kk: (eh, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * half_groups, bn),
+                         lambda eh, j, kk: (eh, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bn), lambda eh, j, kk: (eh, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, t_pad, bn), lambda eh, j, kk: (eh, 0, j),
+            memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((e, t_pad, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((t_pad, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * e * t_pad * k * n,
+            bytes_accessed=p.qweight.nbytes + xq3.nbytes
+            + 2 * e * t_pad * n,
+            transcendentals=0),
+    )(xq3, xq3, xs3, p.qweight, qs3, z3, chan)
+
+
 def quant_grouped_matmul(x: jnp.ndarray, p: QuantLinearParams,
                          sorted_expert_ids: jnp.ndarray,
                          group_sizes: jnp.ndarray,

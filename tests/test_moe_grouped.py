@@ -283,3 +283,116 @@ def test_grouped_w4a8tl_matches_integer_oracle(sizes):
         np.testing.assert_allclose(got[start:start + sz], want,
                                    rtol=5e-3, atol=5e-3)
         start += sz
+
+
+def run_bmm_interpret(xq3, xs3, p, out_dtype, **kw):
+    from ferrum_tpu.ops.pallas import quant_matmul as qm
+
+    orig = qm.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    qm.pl.pallas_call = patched
+    try:
+        with jax.disable_jit():
+            return qm.quant_bmm_all_experts(xq3, xs3, p, out_dtype, **kw)
+    finally:
+        qm.pl.pallas_call = orig
+
+
+@pytest.mark.parametrize("shared", [True, False])
+def test_bmm_all_experts_matches_tl_oracle(shared):
+    """All-experts batched kernel == per-expert jnp TL oracle, for both
+    the shared-activation form (gate/up) and per-expert rows (down)."""
+    from ferrum_tpu.ops.quant import (
+        quant_matmul_w4a8tl_ref, requantize_two_level,
+    )
+    from ferrum_tpu.ops.pallas.quant_matmul import quantize_activation_rows
+
+    e, in_f, out_f, t = 4, 256, 256, 32
+    p = requantize_two_level(make_stack(e, in_f, out_f, seed=21))
+    rng = np.random.default_rng(22)
+    if shared:
+        x = jnp.asarray(rng.normal(0, 1, (t, in_f)), jnp.float32)
+        xq, xs = quantize_activation_rows(x)
+        xq3, xs3 = xq[None], xs[None]
+    else:
+        x = jnp.asarray(rng.normal(0, 1, (e, t, in_f)), jnp.float32)
+        xq, xs = quantize_activation_rows(x.reshape(e * t, in_f))
+        xq3, xs3 = xq.reshape(e, t, in_f), xs.reshape(e, t, 1)
+    got = run_bmm_interpret(xq3, xs3, p, jnp.float32)
+    assert got is not None
+    got = np.asarray(got)
+    assert got.shape == (e, t, out_f)
+    for ex in range(e):
+        pe = QuantLinearParams(
+            qweight=p.qweight[ex], scales=p.scales[ex], zeros=p.zeros[ex],
+            bias=None, in_features=in_f, out_features=out_f,
+            group_size=128, scales2=p.scales2[ex],
+            chan_scale=p.chan_scale[ex])
+        xe = x if shared else x[ex]
+        want = np.asarray(quant_matmul_w4a8tl_ref(xe, pe))
+        np.testing.assert_allclose(got[ex], want, rtol=5e-3, atol=5e-3)
+
+
+def test_moe_dense_decode_matches_float_oracle():
+    """moe_mlp_dense_decode (all-experts, interpret-mode kernels) tracks
+    the dense float oracle within int4+int8-activation tolerance."""
+    from dataclasses import dataclass, field
+
+    from ferrum_tpu.models.configs import MoeConfig
+    from ferrum_tpu.models.llama_family import MoeLayerParams
+    from ferrum_tpu.ops.linear import DenseLinearParams
+    from ferrum_tpu.ops.moe import moe_mlp_dense_decode, moe_mlp_ref
+    from ferrum_tpu.ops.quant import dequantize, requantize_two_level
+    from ferrum_tpu.ops.pallas import quant_matmul as qm
+
+    e, h, inter, t, k = 4, 256, 256, 16, 2
+    gate = requantize_two_level(make_stack(e, h, inter, seed=31))
+    up = requantize_two_level(make_stack(e, h, inter, seed=32))
+    down = requantize_two_level(make_stack(e, inter, h, seed=33))
+    rng = np.random.default_rng(34)
+    router = DenseLinearParams(
+        w=jnp.asarray(rng.normal(0, 0.5, (h, e)), jnp.float32), bias=None)
+
+    @dataclass
+    class Cfg:
+        hidden_size: int = h
+        moe: MoeConfig = field(default_factory=lambda: MoeConfig(
+            num_experts=e, num_experts_per_tok=k,
+            moe_intermediate_size=inter, norm_topk_prob=True))
+
+    pq = MoeLayerParams(router=router, gate=gate, up=up, down=down)
+
+    def dense_of(stack):
+        return jax.vmap(lambda qw, s, z: dequantize(
+            QuantLinearParams(qweight=qw, scales=s, zeros=z, bias=None,
+                              in_features=stack.in_features,
+                              out_features=stack.out_features,
+                              group_size=128), dtype=jnp.float32))(
+            stack.qweight, stack.scales, stack.zeros)
+
+    pd = MoeLayerParams(router=router, gate=dense_of(gate),
+                        up=dense_of(up), down=dense_of(down))
+
+    x = jnp.asarray(rng.normal(0, 1, (t, h)), jnp.float32)
+
+    orig = qm.pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    qm.pl.pallas_call = patched
+    try:
+        with jax.disable_jit():
+            got = moe_mlp_dense_decode(x, pq, Cfg())
+    finally:
+        qm.pl.pallas_call = orig
+    assert got is not None
+    want = moe_mlp_ref(x, pd, Cfg())
+    scale = np.abs(np.asarray(want)).max()
+    err = np.abs(np.asarray(got) - np.asarray(want)).max() / scale
+    assert err < 3e-2, err
