@@ -544,8 +544,8 @@ def _make_group_metadata(group_sizes: jnp.ndarray, bm: int,
 
 
 def _qgmm_kernel(gid_ref, mtid_ref, off_ref, valid_ref, x_ref, qw_ref,
-                 sc_ref, z_ref, o_ref, acc_ref, *, bm: int, bn: int,
-                 k: int, groups_half: int, out_dtype):
+                 sc_lo_ref, sc_hi_ref, z_lo_ref, z_hi_ref, o_ref, acc_ref,
+                 *, bm: int, bn: int, k: int, groups_half: int, out_dtype):
     """Grouped int4 GEMM step: one (expert, m-tile, n-tile) block.
 
     Each step dequantizes ONE expert's [k, bn] weight block (streamed
@@ -563,16 +563,17 @@ def _qgmm_kernel(gid_ref, mtid_ref, off_ref, valid_ref, x_ref, qw_ref,
     low = qi & 0xF
     high = qi >> 4
 
-    def dequant(plane, g0):
-        # Whole-expert K per step → static group slice; broadcast over
-        # GROUP-row stripes (no per-group loop/concat copies).
+    def dequant(plane, sc_ref, z_ref):
+        # Per-plane group params arrive pre-blocked ([E, 2, Gh, n]
+        # BlockSpec) — an in-kernel slice at offset groups_half would
+        # be sublane-misaligned whenever groups_half % 8 != 0.
         qg = plane.reshape(groups_half, GROUP, bn)
-        st = sc_ref[0, g0:g0 + groups_half].astype(jnp.bfloat16)[:, None, :]
-        zt = z_ref[0, g0:g0 + groups_half].astype(jnp.int32)[:, None, :]
+        st = sc_ref[0, 0].astype(jnp.bfloat16)[:, None, :]
+        zt = z_ref[0, 0].astype(jnp.int32)[:, None, :]
         return ((qg - zt).astype(jnp.bfloat16) * st).reshape(half, bn)
 
-    w_lo = dequant(low, 0)                   # [half, bn]
-    w_hi = dequant(high, groups_half)
+    w_lo = dequant(low, sc_lo_ref, z_lo_ref)     # [half, bn]
+    w_hi = dequant(high, sc_hi_ref, z_hi_ref)
 
     rows = mt * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
     # valid==0 tail steps (grid padding) contribute nothing — without
@@ -627,6 +628,12 @@ def _quant_grouped_2d(x: jnp.ndarray, p: QuantLinearParams,
     kernel = functools.partial(
         _qgmm_kernel, bm=bm, bn=bn, k=k, groups_half=groups_half,
         out_dtype=x.dtype)
+    # Plane-split group params: [E, 2, Gh, n] so each plane's block is
+    # sublane-aligned regardless of groups_half.
+    sc4 = p.scales.reshape(e, 2, groups_half, n)
+    z4 = p.zeros.reshape(e, 2, groups_half, n)
+    g_lo = lambda j, i, gid, mtid, off, val: (gid[i], 0, 0, j)  # noqa: E731
+    g_hi = lambda j, i, gid, mtid, off, val: (gid[i], 1, 0, j)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n // bn, num_logical),
@@ -637,11 +644,13 @@ def _quant_grouped_2d(x: jnp.ndarray, p: QuantLinearParams,
             pl.BlockSpec((1, k // 2, bn),
                          lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * groups_half, bn),
-                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+            pl.BlockSpec((1, 1, groups_half, bn), g_lo,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * groups_half, bn),
-                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+            pl.BlockSpec((1, 1, groups_half, bn), g_hi,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups_half, bn), g_lo,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups_half, bn), g_hi,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -659,13 +668,13 @@ def _quant_grouped_2d(x: jnp.ndarray, p: QuantLinearParams,
             flops=2 * a * k * n,
             bytes_accessed=p.qweight.nbytes + x.nbytes + 2 * a * n,
             transcendentals=0),
-    )(gid, mtid, offsets, valid, x, p.qweight, p.scales, p.zeros)
+    )(gid, mtid, offsets, valid, x, p.qweight, sc4, sc4, z4, z4)
 
 
 def _qgmm_w4a8tl_kernel(gid_ref, mtid_ref, off_ref, valid_ref, xq_ref,
-                        xs_ref, qw_ref, qs_ref, z_ref, chan_ref, o_ref,
-                        acc_ref, *, bm: int, bn: int, k: int,
-                        groups_half: int, out_dtype):
+                        xs_ref, qw_ref, qs_lo_ref, qs_hi_ref, z_lo_ref,
+                        z_hi_ref, chan_ref, o_ref, acc_ref, *, bm: int,
+                        bn: int, k: int, groups_half: int, out_dtype):
     """Grouped two-level w4a8 step: one (expert, m-tile, n-tile) block.
 
     Same streaming/metadata scheme as `_qgmm_kernel`, but the weight
@@ -688,18 +697,20 @@ def _qgmm_w4a8tl_kernel(gid_ref, mtid_ref, off_ref, valid_ref, xq_ref,
 
     qi = qw_ref[0].astype(jnp.int32)         # [half, bn] bytes → i32
 
-    def prep(plane, g0):
-        # Whole-expert K per step → static group slice; broadcast the
-        # per-group zero/scale over each GROUP-row stripe without any
-        # per-group loop/concat (loop+concat measured 5x off the VPU
-        # prep bound on v5e).
+    def prep(plane, z_ref, s_ref):
+        # Whole-expert K per step; per-plane group params arrive pre-
+        # blocked ([E, 2, Gh, n] BlockSpec — in-kernel slices at offset
+        # groups_half are sublane-misaligned when groups_half % 8 != 0).
+        # Broadcast the per-group zero/scale over each GROUP-row stripe
+        # without any per-group loop/concat (loop+concat measured 5x
+        # off the VPU prep bound on v5e).
         qg = plane.reshape(groups_half, GROUP, bn)
-        zt = z_ref[0, g0:g0 + groups_half].astype(jnp.int32)[:, None, :]
-        st = qs_ref[0, g0:g0 + groups_half].astype(jnp.int32)[:, None, :]
+        zt = z_ref[0, 0].astype(jnp.int32)[:, None, :]
+        st = s_ref[0, 0].astype(jnp.int32)[:, None, :]
         return ((qg - zt) * st).astype(jnp.int8).reshape(half, bn)
 
-    w_lo = prep(qi & 0xF, 0)                 # [half, bn] int8
-    w_hi = prep(qi >> 4, groups_half)
+    w_lo = prep(qi & 0xF, z_lo_ref, qs_lo_ref)   # [half, bn] int8
+    w_hi = prep(qi >> 4, z_hi_ref, qs_hi_ref)
 
     rows = mt * bm + jax.lax.broadcasted_iota(jnp.int32, (bm, 1), 0)
     mask = ((rows >= off_ref[g]) & (rows < off_ref[g + 1])
@@ -756,6 +767,11 @@ def _quant_grouped_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
     kernel = functools.partial(
         _qgmm_w4a8tl_kernel, bm=bm, bn=bn, k=k, groups_half=groups_half,
         out_dtype=out_dtype)
+    # Plane-split group params: [E, 2, Gh, n] (see _qgmm_kernel).
+    qs4 = p.scales2.reshape(e, 2, groups_half, n)
+    z4 = p.zeros.reshape(e, 2, groups_half, n)
+    g_lo = lambda j, i, gid, mtid, off, val: (gid[i], 0, 0, j)  # noqa: E731
+    g_hi = lambda j, i, gid, mtid, off, val: (gid[i], 1, 0, j)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(n // bn, num_logical),
@@ -769,11 +785,13 @@ def _quant_grouped_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
             pl.BlockSpec((1, k // 2, bn),
                          lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * groups_half, bn),
-                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+            pl.BlockSpec((1, 1, groups_half, bn), g_lo,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * groups_half, bn),
-                         lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
+            pl.BlockSpec((1, 1, groups_half, bn), g_hi,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups_half, bn), g_lo,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, groups_half, bn), g_hi,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn),
                          lambda j, i, gid, mtid, off, val: (gid[i], 0, j),
@@ -794,13 +812,14 @@ def _quant_grouped_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
             flops=2 * a * k * n,
             bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * a * n,
             transcendentals=0),
-    )(gid, mtid, offsets, valid, xq, xs, p.qweight, p.scales2, p.zeros,
+    )(gid, mtid, offsets, valid, xq, xs, p.qweight, qs4, qs4, z4, z4,
       chan)
 
 
-def _qbmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
-                        z_ref, chan_ref, o_ref, acc_ref, *, n_k_steps: int,
-                        half_groups: int, bn: int, gpt: int, out_dtype):
+def _qbmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_lo_ref,
+                        qs_hi_ref, z_lo_ref, z_hi_ref, chan_ref, o_ref,
+                        acc_ref, *, n_k_steps: int, bn: int, gpt: int,
+                        out_dtype):
     """All-experts batched two-level w4a8 step: one (expert, n-tile,
     K-step) block computing x @ W_e for EVERY expert e.
 
@@ -811,8 +830,11 @@ def _qbmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
     Weight prep is the same all-integer (q - z) * qs scheme; one int8
     MXU dot per nibble plane per K-step into an int32 scratch, with the
     per-expert chan and per-row activation scales applied at the final
-    write. ref: the Marlin MoE GEMM family this replaces
-    (crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu)."""
+    write. Per-K-step group params arrive pre-sliced through their
+    BlockSpec index maps ([E, 2*n_k, gpt, n] blocking) — in-kernel
+    `pl.ds(kk*gpt, gpt)` slices at non-tile-aligned offsets fail
+    Mosaic's sublane alignment check. ref: the Marlin MoE GEMM family
+    this replaces (crates/ferrum-kernels/kernels/vllm_marlin_moe/ops.cu)."""
     kk = pl.program_id(2)
 
     @pl.when(kk == 0)
@@ -821,14 +843,14 @@ def _qbmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
 
     qi = qw_ref[0].astype(jnp.int32)         # [bkb, bn] bytes → i32
 
-    def prep(plane, g0):
+    def prep(plane, z_ref, s_ref):
         qg = plane.reshape(gpt, GROUP, bn)
-        zt = z_ref[0, pl.ds(g0, gpt)].astype(jnp.int32)[:, None, :]
-        st = qs_ref[0, pl.ds(g0, gpt)].astype(jnp.int32)[:, None, :]
+        zt = z_ref[0, 0].astype(jnp.int32)[:, None, :]     # [gpt, 1, bn]
+        st = s_ref[0, 0].astype(jnp.int32)[:, None, :]
         return ((qg - zt) * st).astype(jnp.int8).reshape(gpt * GROUP, bn)
 
-    w_lo = prep(qi & 0xF, kk * gpt)          # [bkb, bn] int8
-    w_hi = prep(qi >> 4, half_groups + kk * gpt)
+    w_lo = prep(qi & 0xF, z_lo_ref, qs_lo_ref)   # [bkb, bn] int8
+    w_hi = prep(qi >> 4, z_hi_ref, qs_hi_ref)
 
     acc_ref[:] += jax.lax.dot(xq_lo_ref[0], w_lo,
                               preferred_element_type=jnp.int32)
@@ -881,12 +903,18 @@ def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
         x_hi_idx = lambda eh, j, kk, nk=n_k: (eh, 0, nk + kk)    # noqa: E731
         xs_idx = lambda eh, j, kk: (eh, 0, 0)                    # noqa: E731
 
-    qs3 = p.scales2.reshape(e, -1, n)
-    z3 = p.zeros.reshape(e, -1, n)
+    # Group params blocked per K-step: [E, 2*n_k, gpt, n]; row (plane *
+    # n_k + kk) holds the gpt groups that step's weight tile needs, so
+    # the BlockSpec delivers an aligned [gpt, bn] block and the kernel
+    # never slices at a non-tile-aligned sublane offset.
+    qs4 = p.scales2.reshape(e, 2 * n_k, gpt, n)
+    z4 = p.zeros.reshape(e, 2 * n_k, gpt, n)
     chan = p.chan_scale.reshape(e, 1, n)
     kernel = functools.partial(
-        _qbmm_w4a8tl_kernel, n_k_steps=n_k, half_groups=half_groups,
-        bn=bn, gpt=gpt, out_dtype=out_dtype)
+        _qbmm_w4a8tl_kernel, n_k_steps=n_k, bn=bn, gpt=gpt,
+        out_dtype=out_dtype)
+    g_lo_idx = lambda eh, j, kk: (eh, kk, 0, j)                  # noqa: E731
+    g_hi_idx = lambda eh, j, kk, nk=n_k: (eh, nk + kk, 0, j)     # noqa: E731
     return pl.pallas_call(
         kernel,
         grid=(e, n // bn, n_k),
@@ -899,11 +927,13 @@ def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, bkb, bn), lambda eh, j, kk: (eh, kk, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * half_groups, bn),
-                         lambda eh, j, kk: (eh, 0, j),
+            pl.BlockSpec((1, 1, gpt, bn), g_lo_idx,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 2 * half_groups, bn),
-                         lambda eh, j, kk: (eh, 0, j),
+            pl.BlockSpec((1, 1, gpt, bn), g_hi_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gpt, bn), g_lo_idx,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, gpt, bn), g_hi_idx,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, bn), lambda eh, j, kk: (eh, 0, j),
                          memory_space=pltpu.VMEM),
@@ -920,7 +950,7 @@ def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
             bytes_accessed=p.qweight.nbytes + xq3.nbytes
             + 2 * e * t_pad * n,
             transcendentals=0),
-    )(xq3, xq3, xs3, p.qweight, qs3, z3, chan)
+    )(xq3, xq3, xs3, p.qweight, qs4, qs4, z4, z4, chan)
 
 
 def quant_grouped_matmul(x: jnp.ndarray, p: QuantLinearParams,
