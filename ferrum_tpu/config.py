@@ -64,7 +64,8 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_SPEC_DRAFT": ("spec_draft_model", str, "draft model for speculative decoding"),
     "FERRUM_SPEC_K": ("spec_num_tokens", int, "speculative draft length"),
     "FERRUM_DECODE_BUCKETS": ("decode_bucket_spec", str,
-                              "comma-separated decode batch buckets, e.g. 1,8,32"),
+                              "decode lane buckets: '' = auto pow2 ladder, "
+                              "'max' = full frame, or e.g. '1,8,32'"),
     "FERRUM_DECODE_MULTI_STEP": ("decode_multi_step", int,
                                  "decode tokens per device call (lax.scan)"),
     "FERRUM_SLOT_SLACK": ("slot_slack", int,
@@ -234,7 +235,10 @@ class EngineConfig:
     spec_num_tokens: int = 4
 
     # --- decode batch buckets (padded compile sizes) ---
-    decode_bucket_spec: str = ""        # "" = single bucket at max_num_seqs
+    # "" = auto pow2 ladder 1,2,4,..,max_num_seqs (occupancy-compacted
+    # decode windows); "max" = single bucket at max_num_seqs (full slot
+    # frame, the pre-bucketing behavior); or an explicit "1,4,16" list.
+    decode_bucket_spec: str = ""
 
     # --- caches / product ---
     session_cache_entries: int = 64
@@ -276,17 +280,30 @@ class EngineConfig:
 
     @property
     def decode_buckets(self) -> Tuple[int, ...]:
-        """Padded decode batch sizes, ascending; always ends at max_num_seqs.
+        """Padded decode batch sizes, ascending; always ends at num_slots
+        (max_num_seqs + slot_slack — with slack lanes, more than
+        max_num_seqs sequences may decode concurrently while a
+        predecessor's release is deferred).
 
         The TPU analog of the reference's CUDA-graph cache keyed by padded
         batch m (llama_family.rs:36-38): one XLA compilation per bucket.
+        Decode windows compact active sequences into the smallest bucket
+        that fits, so attention/sampling cost scales with occupancy.
         """
+        top = self.num_slots
         if not self.decode_bucket_spec:
-            return (self.max_num_seqs,)
+            sizes, b = [], 1
+            while b < top:
+                sizes.append(b)
+                b *= 2
+            sizes.append(top)
+            return tuple(sizes)
+        if self.decode_bucket_spec == "max":
+            return (top,)
         sizes = sorted({int(s) for s in self.decode_bucket_spec.split(",") if s.strip()})
-        sizes = [s for s in sizes if 0 < s <= self.max_num_seqs]
-        if not sizes or sizes[-1] != self.max_num_seqs:
-            sizes.append(self.max_num_seqs)
+        sizes = [s for s in sizes if 0 < s <= top]
+        if not sizes or sizes[-1] != top:
+            sizes.append(top)
         return tuple(sizes)
 
     @property

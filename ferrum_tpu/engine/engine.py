@@ -372,17 +372,9 @@ class ContinuousBatchEngine:
                     plain_seqs, prev=self._inflight)
             plain_seqs = []
         elif plain_seqs and self.cfg.pipeline_decode:
-            if self._inflight is not None \
-                    and self._inflight.num_steps != t_steps:
-                # Window length changed (capacity-clamped minimum-
-                # progress mode): the device carry shape no longer
-                # matches — fetch + process the outstanding window
-                # before dispatching, then drop newly-finished lanes.
-                self._process_window(self._inflight)
-                self._inflight = None
-                plain_seqs = [s for s in plain_seqs
-                              if s.phase == Phase.DECODING]
-                did_work = True
+            # Window length and lane-bucket changes chain freely: the
+            # device carry is the slot-indexed last_toks array, not the
+            # previous window's output shape.
             if batch.deferred_decodes and pinned:
                 # KV pressure unresolvable while the chain pins every
                 # victim: break the chain (one unoverlapped window) so

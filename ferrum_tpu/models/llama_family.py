@@ -382,8 +382,11 @@ def decode_forward(
                                  #  "valid": bool [S, W],
                                  #  optional mixed-prefill block:
                                  #  "pk"/"pv": [L, W, P, Hkv, D],
-                                 #  "pf": {"slot", "chunk_start",
-                                 #         "valid_len", "positions" [P]}}
+                                 #  "pf": {"chunk_start", "valid_len",
+                                 #         "positions" [P], and the
+                                 #         slot's pre-hoisted ctx rows
+                                 #         "k_ctx"/"v_ctx"[li] [C, F]
+                                 #         (+"ks_ctx"/"vs_ctx" int8 KV)}}
 ):
     """One batched decode step → (hidden [S, H], updated kv[, rec]).
 
@@ -493,17 +496,15 @@ def decode_forward(
             win["pv"] = jax.lax.dynamic_update_slice(
                 win["pv"], vn_p[None, None].astype(win["pv"].dtype),
                 (li, win["step"], 0, 0, 0))
-            sl_pf = pf["slot"]
-            k_ctx = jax.lax.dynamic_index_in_dim(
-                k_lin, sl_pf, axis=0, keepdims=False)
-            v_ctx = jax.lax.dynamic_index_in_dim(
-                v_lin, sl_pf, axis=0, keepdims=False)
+            # The prefilling slot is not a decode lane: its ctx rows are
+            # pre-hoisted by the runner (pf["k_ctx"][li] etc.), one
+            # [ctx_pad, F] row per layer gathered outside the scan.
+            k_ctx = pf["k_ctx"][kli]
+            v_ctx = pf["v_ctx"][kli]
             ks_ctx = vs_ctx = None
             if quant:
-                ks_ctx = jax.lax.dynamic_index_in_dim(
-                    ks_lin, sl_pf, axis=0, keepdims=False)
-                vs_ctx = jax.lax.dynamic_index_in_dim(
-                    vs_lin, sl_pf, axis=0, keepdims=False)
+                ks_ctx = pf["ks_ctx"][kli]
+                vs_ctx = pf["vs_ctx"][kli]
             out_p = flat_prefill_window_attention(
                 q_p, k_ctx, v_ctx, pf["chunk_start"],
                 win["pk"][li], win["pv"][li], win["step"],

@@ -320,10 +320,12 @@ def _qmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref, z_ref,
 
 def _quant_matmul_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
                             p: QuantLinearParams, out_dtype,
-                            bkb: int = None, bn: int = None):
+                            bkb: int = None, bn: int = None,
+                            bm: int = None):
     """xq int8 [m, K] (m mult of 32), xs f32 [m, 1]. Requires two-level
     params (scales2/chan_scale). Returns [m, N] or None on unsupported
-    shapes (caller falls back)."""
+    shapes (caller falls back). bkb/bn/bm override the tile sizes
+    (tools/bench_prefill_tiles.py sweeps them)."""
     m, k = xq.shape
     n = p.out_features
     assert k == p.in_features
@@ -338,7 +340,8 @@ def _quant_matmul_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
             bn //= 2
     if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return None
-    bm = min(m, 256)
+    if bm is None:
+        bm = min(m, 256)
     while bm > 32 and m % bm:
         bm //= 2
     if m % bm:
@@ -890,7 +893,6 @@ def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
             bn //= 2
     if p.group_size != GROUP or bkb < GROUP or n % bn or (k // 2) % GROUP:
         return None
-    half_groups = (k // 2) // GROUP
     n_k = (k // 2) // bkb
     gpt = bkb // GROUP
 

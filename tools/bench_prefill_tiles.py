@@ -14,7 +14,7 @@ import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax
@@ -81,64 +81,10 @@ def main():
 
 def _call(x, p, bm, bn):
     xq, xs = qmm.quantize_activation_rows(x)
-    out = _2d_with_bm(xq, xs, p, jnp.bfloat16, None, bn, bm)
+    out = qmm._quant_matmul_w4a8tl_2d(xq, xs, p, jnp.bfloat16,
+                                      bn=bn, bm=bm)
     assert out is not None
     return out
-
-
-def _2d_with_bm(xq, xs, p, out_dtype, bkb, bn, bm):
-    """Copy of _quant_matmul_w4a8tl_2d with an explicit bm."""
-    import functools
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-    GROUP = qmm.GROUP
-    m, k = xq.shape
-    n = p.out_features
-    if bkb is None:
-        bkb = 512
-        while bkb >= GROUP and (k // 2) % bkb:
-            bkb //= 2
-    if bn is None:
-        bn = 512
-        while bn > 128 and n % bn:
-            bn //= 2
-    n_k = (k // 2) // bkb
-    half_groups = (k // 2) // GROUP
-    qs3 = p.scales2.reshape(-1, 1, n)
-    z3 = p.zeros.reshape(-1, 1, n)
-    chan = p.chan_scale.astype(jnp.float32).reshape(1, n)
-    kernel = functools.partial(
-        qmm._qmm_w4a8tl_kernel, n_k_steps=n_k, half_groups=half_groups,
-        bn=bn, gpt=bkb // GROUP, out_dtype=out_dtype)
-    return pl.pallas_call(
-        kernel,
-        grid=(m // bm, n // bn, n_k),
-        in_specs=[
-            pl.BlockSpec((bm, bkb), lambda i, j, kk: (i, kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, bkb),
-                         lambda i, j, kk, nk=n_k: (i, nk + kk),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((bkb, bn), lambda i, j, kk: (kk, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
-        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary")),
-        cost_estimate=pl.CostEstimate(
-            flops=2 * m * k * n,
-            bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * m * n,
-            transcendentals=0),
-    )(xq, xq, xs, p.qweight, qs3, z3, chan)
 
 
 if __name__ == "__main__":

@@ -59,9 +59,10 @@ def main():
                                  * cfg.max_blocks_per_seq,
                                  cfg.kv_block_size, dtype=jnp.bfloat16)
         runner = ModelRunner(model_cfg, cfg, params, kv, attn_impl=impl)
-        s = runner.num_slots
+        s_full = runner.num_slots
+        s = int(os.environ.get("LANES", s_full))   # occupancy bucket
         ctx_pad = 512
-        fn = runner._get_decode_window_fn(ctx_pad, T, True)
+        fn = runner._get_decode_window_fn(ctx_pad, T, s, True)
         packed = np.zeros((7, s), np.int32)
         for sl in range(s):
             packed[0, sl] = 17
@@ -70,30 +71,30 @@ def main():
             packed[3, sl] = cfg.max_model_len
             packed[4, sl] = sl
         runner._tables_np[:] = np.arange(
-            s * runner.max_pages).reshape(s, runner.max_pages)
+            s_full * runner.max_pages).reshape(s_full, runner.max_pages)
         runner._tables_dev = jnp.asarray(runner._tables_np)
         def gargs():
             return (runner._gstates, runner._gdummy_init,
                     *runner._gdummy()[:2], runner._gdummy_tokcp,
                     runner.rec_conv, runner.rec_delta)
-        pk = jnp.asarray(packed)
-        prev = runner._zero_window(T)
-        (toks, runner.kv, runner.counts, runner.keys, runner._gstates,
-         runner.rec_conv, runner.rec_delta) = fn(
-            runner.params, runner.kv, runner.counts, runner.keys,
-            pk, prev, runner._tables_dev, runner.samp, *gargs())
+        def run(pk):
+            out = fn(runner.params, runner.kv, runner.counts,
+                     runner.keys, pk, runner._last_toks,
+                     runner._tables_dev, runner.samp, *gargs())
+            (toks, runner._last_toks, runner.kv, runner.counts,
+             runner.keys, runner._gstates, runner.rec_conv,
+             runner.rec_delta) = out[:8]
+            return toks
+        toks = run(jnp.asarray(packed))
         np.asarray(toks)
         packed[6] = 1
         pk2 = jnp.asarray(packed)
         t0 = time.time()
         for _ in range(n_win):
-            (toks, runner.kv, runner.counts, runner.keys,
-             runner._gstates, runner.rec_conv, runner.rec_delta) = \
-                fn(runner.params, runner.kv, runner.counts, runner.keys,
-                   pk2, toks, runner._tables_dev, runner.samp, *gargs())
+            toks = run(pk2)
         np.asarray(toks)
         dt = time.time() - t0
-        print(f"decode[{impl:12s}] {dt/n_win*1e3:7.1f} ms/window "
+        print(f"decode[{impl:12s}] lanes={s} {dt/n_win*1e3:7.1f} ms/window "
               f"({dt/n_win/T*1e3:5.2f} ms/step) -> "
               f"{s*T*n_win/dt:5.0f} tok/s", flush=True)
         del runner, kv
