@@ -12,6 +12,7 @@ tiny models (tests/test_quant.py int4 logit fidelity).
 
 from __future__ import annotations
 
+import json
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
@@ -85,20 +86,142 @@ def quant_token_divergence(engine_hi: ContinuousBatchEngine,
                             divergence_rate=rate, passed=rate < gate)
 
 
+def completions_logprobs(base_url: str, prompt: str,
+                         model: str = "ferrum",
+                         timeout: float = 300.0) -> Dict:
+    """POST /v1/completions with echo+logprobs+max_tokens=0 (the
+    lm_eval local-completions loglikelihood contract) and return the
+    OpenAI logprobs object ({tokens, token_logprobs, top_logprobs,
+    text_offset}). Pure-stdlib client so the gate runs anywhere."""
+    import urllib.request
+
+    body = json.dumps({"model": model, "prompt": prompt,
+                       "max_tokens": 0, "echo": True,
+                       "logprobs": 1}).encode()
+    req = urllib.request.Request(
+        base_url.rstrip("/") + "/v1/completions", data=body,
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        out = json.loads(resp.read())
+    return out["choices"][0]["logprobs"]
+
+
+def loglikelihood(base_url: str, context: str, continuation: str,
+                  model: str = "ferrum") -> Dict:
+    """Sum of continuation-token logprobs given the context, plus the
+    is_greedy flag — exactly what loglikelihood tasks (mmlu/arc) score.
+    Continuation tokens are located by text offset (robust to the
+    context/continuation boundary splitting a token: a boundary-
+    straddling token counts toward the continuation, matching lm_eval's
+    tokenizer-side behavior closely enough for gating)."""
+    lp = completions_logprobs(base_url, context + continuation, model)
+    cut = len(context)
+    ll = 0.0
+    greedy = True
+    for off, tok_lp, top in zip(lp["text_offset"],
+                                lp["token_logprobs"],
+                                lp["top_logprobs"]):
+        if off < cut or tok_lp is None:
+            continue
+        ll += tok_lp
+        if top:
+            best = max(top.values())
+            greedy = greedy and tok_lp >= best - 1e-6
+    return {"loglikelihood": ll, "is_greedy": greedy}
+
+
+def perplexity(base_url: str, texts: Sequence[str],
+               model: str = "ferrum") -> Dict:
+    """Corpus perplexity over the scored positions — the BASELINE.md
+    'within 0.1 perplexity of the reference INT4 path' gate. Returns
+    {perplexity, tokens, total_logprob}."""
+    import math
+
+    total_lp = 0.0
+    n = 0
+    for t in texts:
+        lp = completions_logprobs(base_url, t, model)
+        for tok_lp in lp["token_logprobs"]:
+            if tok_lp is not None:
+                total_lp += tok_lp
+                n += 1
+    return {"perplexity": math.exp(-total_lp / max(n, 1)),
+            "tokens": n, "total_logprob": total_lp}
+
+
+def compare_to_baseline(results: Dict[str, float],
+                        baseline: Dict[str, float],
+                        rtol: float = 0.05) -> Dict:
+    """Per-metric rtol comparison vs a committed baseline file (the
+    docs/accuracy_runbook.md format). Missing baseline metrics are
+    recorded, not failed."""
+    report = {"rtol": rtol, "metrics": {}, "passed": True}
+    for k, v in results.items():
+        base = baseline.get(k)
+        entry = {"value": v, "baseline": base}
+        if base is not None:
+            ok = abs(v - base) <= rtol * abs(base)
+            entry["passed"] = ok
+            report["passed"] = report["passed"] and ok
+        report["metrics"][k] = entry
+    return report
+
+
+# Primary result metric per lm_eval task (lm_eval_light.sh ladder).
+_TASK_METRIC = {"mmlu": "acc,none", "arc_easy": "acc,none",
+                "gsm8k": "exact_match,strict-match"}
+
+
 def lm_eval_light(base_url: str, tasks: Optional[Dict[str, int]] = None,
                   rtol: float = 0.05,
-                  baseline: Optional[Dict[str, float]] = None) -> Dict:
+                  baseline: Optional[Dict[str, float]] = None,
+                  model: str = "ferrum",
+                  tokenizer: Optional[str] = None,
+                  num_concurrent: int = 4) -> Dict:
     """lm-evaluation-harness subsets against a /v1/completions endpoint
-    (mmlu 100q 5-shot, arc_easy 100q, gsm8k 50q — lm_eval_light.sh).
+    (mmlu 100q 5-shot, arc_easy 100q, gsm8k 50q — the reference's
+    scripts/lm_eval_light.sh ladder), via lm_eval's local-completions
+    model wired to `base_url`. Loglikelihood tasks ride the
+    echo+logprobs scoring path this server implements.
 
     Requires the `lm_eval` package and dataset access; in offline/CI
-    environments this returns a skipped report rather than failing.
-    """
+    environments this returns a skipped report rather than failing
+    (the request/scoring path itself is covered hardware-free by
+    tests/test_logprobs_server.py). See docs/accuracy_runbook.md for
+    the run recipe + baseline file format."""
     tasks = tasks or {"mmlu": 100, "arc_easy": 100, "gsm8k": 50}
     try:
-        import lm_eval  # noqa: F401
+        import lm_eval
     except ImportError:
         return {"skipped": "lm_eval not installed (offline environment)",
                 "tasks": tasks}
-    raise NotImplementedError(
-        "wire lm_eval's local-completions model to base_url")
+
+    model_args = (
+        f"base_url={base_url.rstrip('/')}/v1/completions,"
+        f"model={model},num_concurrent={num_concurrent},max_retries=2")
+    if tokenizer:
+        model_args += f",tokenizer={tokenizer},tokenizer_backend=huggingface"
+
+    results: Dict[str, float] = {}
+    raw = {}
+    for task, limit in tasks.items():
+        out = lm_eval.simple_evaluate(
+            model="local-completions", model_args=model_args,
+            tasks=[task], limit=limit,
+            num_fewshot=5 if task == "mmlu" else None)
+        raw[task] = out["results"]
+        metric = _TASK_METRIC.get(task, "acc,none")
+        # mmlu aggregates subtasks; take the task's own row when
+        # present, else the mean of its subtask rows.
+        row = out["results"].get(task)
+        if row is not None and metric in row:
+            results[task] = float(row[metric])
+        else:
+            vals = [float(r[metric]) for r in out["results"].values()
+                    if metric in r]
+            results[task] = sum(vals) / max(len(vals), 1)
+
+    report = {"tasks": tasks, "results": results}
+    if baseline:
+        report["gate"] = compare_to_baseline(results, baseline, rtol)
+    return report

@@ -76,6 +76,9 @@ class ContinuousBatchEngine:
         # prefill first-token device handles deferred to next iteration.
         self._inflight: Optional[DecodeWindow] = None
         self._pending_first: List = []
+        # Prompt-logprob scoring: (chunk, result) pairs whose score rows
+        # are fetched next iteration (one readback per dispatch).
+        self._pending_scores: List = []
         self._lock = threading.Lock()
         self._work_event = threading.Event()
         self._stop = False
@@ -108,6 +111,22 @@ class ContinuousBatchEngine:
             raise InvalidRequestError(
                 f"prompt length {len(ids)} exceeds max_model_len "
                 f"{self.cfg.max_model_len}", param="prompt")
+
+        if request.echo and request.sampling.logprobs is not None:
+            # Prompt-logprob scoring (lm_eval local-completions
+            # loglikelihood contract): prefill-only.
+            if request.sampling.max_tokens != 0:
+                raise InvalidRequestError(
+                    "echo+logprobs is supported for max_tokens=0 "
+                    "scoring only", param="echo")
+            if request.guided is not None:
+                raise InvalidRequestError(
+                    "echo+logprobs cannot be combined with guided "
+                    "decoding", param="echo")
+        elif request.sampling.max_tokens == 0:
+            raise InvalidRequestError(
+                "max_tokens=0 requires echo+logprobs scoring",
+                param="max_tokens")
 
         seq = Sequence(request, ids)
         if request.guided is not None:
@@ -195,7 +214,8 @@ class ContinuousBatchEngine:
             prompt_tokens=last.prompt_tokens,
             completion_tokens=last.completion_tokens,
             ttft=ttft,
-            e2e_latency=time.monotonic() - t0)
+            e2e_latency=time.monotonic() - t0,
+            logprobs=last.logprobs)
 
     def abort(self, request_id: str) -> None:
         with self._lock:
@@ -265,6 +285,22 @@ class ContinuousBatchEngine:
         self._drain_aborts()
         did_work = False
 
+        # --- (a0) score rows from scoring prefills (one readback per
+        # dispatch; must land before the final-chunk handling below) ---
+        if self._pending_scores:
+            pend, self._pending_scores = self._pending_scores, []
+            for chunk, res in pend:
+                seq = chunk.seq
+                if seq.phase == Phase.FINISHED or seq.blocks is None:
+                    continue
+                row = res.rows[seq.request.request_id]
+                n = len(chunk.tokens)
+                seq.score_parts[chunk.start] = (
+                    np.asarray(res.score_lp[row, :n]),
+                    np.asarray(res.score_argmax[row, :n]),
+                    np.asarray(res.score_argmax_lp[row, :n]))
+            did_work = True
+
         # --- (a) first tokens from prefills dispatched last iteration ---
         if self._pending_first:
             pending, self._pending_first = self._pending_first, []
@@ -276,6 +312,11 @@ class ContinuousBatchEngine:
             for seq, res in pending:
                 if seq.phase == Phase.FINISHED or seq.blocks is None:
                     continue  # aborted/preempted while in flight
+                if seq.request.sampling.max_tokens == 0:
+                    # Prompt-only scoring: no token accepted; finish
+                    # with the assembled prompt logprobs.
+                    self._finish_prompt_only(seq)
+                    continue
                 row = res.rows[seq.request.request_id]
                 if seq.guided_processor is not None \
                         and seq.guided_fsm is None:
@@ -341,6 +382,7 @@ class ContinuousBatchEngine:
             for chunk in batch.prefill_chunks:
                 sq = chunk.seq
                 if (sq.guided_processor is None
+                        and not sq.score_mode
                         and sq.num_output_tokens == 0
                         and len(chunk.tokens) <= 128 * t_steps):
                     pf_chunk = chunk
@@ -425,7 +467,21 @@ class ContinuousBatchEngine:
     def _dispatch_prefill_groups(self, chunks) -> None:
         """Batched standalone prefill: chunks sharing a (chunk, context)
         bucket fuse into ONE program; final chunks' first tokens are
-        fetched next iteration (_pending_first)."""
+        fetched next iteration (_pending_first).
+
+        Scoring chunks (echo+logprobs) dispatch alone through the score
+        program variant (b=1 bounds the [t_pad, V] softmax-stat
+        transient); their per-position rows are fetched next iteration
+        (_pending_scores)."""
+        score_chunks = [c for c in chunks if c.seq.score_mode]
+        chunks = [c for c in chunks if not c.seq.score_mode]
+        for chunk in score_chunks:
+            res = self.runner.run_prefill_batch([chunk], score=True)
+            self.scheduler.note_prefill_done(chunk)
+            self.metrics.tokens_prefilled += len(chunk.tokens)
+            self._pending_scores.append((chunk, res))
+            if chunk.is_last:
+                self._pending_first.append((chunk.seq, res))
         groups: Dict[Tuple[int, int], list] = {}
         for chunk in chunks:
             k = (self.runner.chunk_bucket(len(chunk.tokens)),
@@ -485,6 +541,60 @@ class ContinuousBatchEngine:
                 self._accept_token(
                     seq, token_lists[seq.request.request_id][step])
                 self.metrics.tokens_decoded += 1
+
+    # ------------------------------------------------------------------
+    def _finish_prompt_only(self, seq: Sequence) -> None:
+        """Finish a max_tokens=0 request after its prefill: emit ONE
+        final chunk carrying the assembled prompt logprobs (score mode)
+        and release the sequence."""
+        logprobs = None
+        if seq.score_mode:
+            logprobs = self._assemble_prompt_logprobs(seq)
+        state = self._requests.get(seq.request.request_id)
+        seq.finish_reason = FinishReason.LENGTH
+        if state is not None:
+            state.out_queue.put(StreamChunk(
+                request_id=seq.request.request_id, text="",
+                token_ids=[], finished=True,
+                finish_reason=FinishReason.LENGTH,
+                prompt_tokens=seq.num_prompt_tokens,
+                completion_tokens=0, logprobs=logprobs))
+        with self._lock:
+            self._requests.pop(seq.request.request_id, None)
+            self.metrics.requests_completed += 1
+        self._retire_seq(seq)
+
+    def _assemble_prompt_logprobs(self, seq: Sequence):
+        """Stitch per-chunk score rows into per-prompt-token entries.
+
+        Entry p holds the logprob of prompt token p given tokens < p
+        (None at p=0), plus the argmax token at that position — enough
+        for lm_eval's loglikelihood sum AND its is_greedy check.
+        Chunk at `start` scored targets start+1 .. start+len."""
+        n = seq.num_prompt_tokens
+        lp = np.full(n, np.nan, np.float64)
+        am = np.full(n, -1, np.int64)
+        am_lp = np.full(n, np.nan, np.float64)
+        for start in sorted(seq.score_parts):
+            t_lp, t_am, t_am_lp = seq.score_parts[start]
+            m = min(len(t_lp), n - 1 - start)   # last position: no target
+            if m <= 0:
+                continue
+            lp[start + 1:start + 1 + m] = t_lp[:m]
+            am[start + 1:start + 1 + m] = t_am[:m]
+            am_lp[start + 1:start + 1 + m] = t_am_lp[:m]
+        out = []
+        for p in range(n):
+            if p == 0 or np.isnan(lp[p]):
+                out.append({"token_id": seq.prompt_tokens[p],
+                            "logprob": None, "argmax_id": None,
+                            "argmax_logprob": None})
+            else:
+                out.append({"token_id": seq.prompt_tokens[p],
+                            "logprob": float(lp[p]),
+                            "argmax_id": int(am[p]),
+                            "argmax_logprob": float(am_lp[p])})
+        return out
 
     # ------------------------------------------------------------------
     def _guided_sample(self, seq: Sequence, logits_row: np.ndarray) -> int:

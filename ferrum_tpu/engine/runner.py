@@ -57,6 +57,11 @@ class BatchPrefillResult:
     tokens: "jax.Array"               # int32 [B_pad] sampled first tokens
     logits: Optional["jax.Array"]     # f32 [B_pad, V] final-position logits
     rows: Dict[str, int]              # request id -> row index
+    # Score mode (prompt logprobs — /v1/completions echo+logprobs):
+    # per-position target logprob, argmax id, argmax logprob [B, t_pad].
+    score_lp: Optional["jax.Array"] = None
+    score_argmax: Optional["jax.Array"] = None
+    score_argmax_lp: Optional["jax.Array"] = None
 
 
 @dataclass
@@ -837,14 +842,25 @@ class ModelRunner:
     def _get_prefill_batch_fn(self, b_pad: int, t_pad: int, ctx_pad: int,
                               greedy: bool = False,
                               return_logits: bool = False,
-                              guided: bool = False, grows: int = 0):
+                              guided: bool = False, grows: int = 0,
+                              score: bool = False):
         """B sequences' prefill chunks fused into ONE compiled program.
 
         The trunk runs at m = B*T, so the (4 GB at 8B-int4) weight
         stream is amortized across the whole admitted wave instead of
         per sequence — measured 80 ms/seq serial → ~22 ms/seq at B=8
-        on v5e. TTFT under concurrent load is dominated by this."""
-        key = (b_pad, t_pad, ctx_pad, greedy, return_logits, guided, grows)
+        on v5e. TTFT under concurrent load is dominated by this.
+
+        score=True (prompt-logprob scoring, the /v1/completions
+        echo+logprobs contract lm_eval's local-completions client
+        consumes — ref: scripts/lm_eval_light.sh): packed gains a 6th
+        row of per-position TARGET ids (the next prompt token) and the
+        program additionally returns, per position, the target's
+        logprob plus the argmax id and its logprob — computed on device
+        so the [T, V] logits never cross the tunnel. Dispatched b=1
+        (the [t_pad, V] f32 softmax stats are the transient cost)."""
+        key = (b_pad, t_pad, ctx_pad, greedy, return_logits, guided, grows,
+               score)
         fn = self._prefill_batch_fns.get(key)
         if fn is not None:
             return fn
@@ -859,9 +875,10 @@ class ModelRunner:
         def step(params, kv, counts, keys, packed, tables, samp,
                  gstates, ginit, gtrans, gmask, gtokcp,
                  rec_conv, rec_delta):
-            # packed int32 [B, 5, t_pad]: per row — tokens, count_tokens,
-            # positions, flat_slots, scalars(slot, last_idx, total_len,
-            # min_tokens_active, is_last, ...pad). Pad rows carry
+            # packed int32 [B, 5(+1), t_pad]: per row — tokens,
+            # count_tokens, positions, flat_slots, scalars(slot,
+            # last_idx, total_len, min_tokens_active, is_last, ...pad)
+            # [, score targets (vocab = masked pad)]. Pad rows carry
             # slot == num_slots (scatters drop them).
             scalars = packed[:, 4]                        # [B, t_pad]
             slots = scalars[:, 0]                         # [B]
@@ -889,6 +906,25 @@ class ModelRunner:
                     ctx_pad=ctx_pad, attn_impl=attn_impl)  # [B, T, H]
             counts = counts.at[slots[:, None], packed[:, 1]].add(
                 1, mode="drop")
+            score_out = None
+            if score:
+                # Per-position scoring: lp(target | prefix), argmax id +
+                # its lp. Stats (max, logsumexp) reduce the [B*T, V]
+                # logits on device — only [B, T] rows return.
+                lg = logits_from_hidden(
+                    params, mc, h.reshape(-1, h.shape[-1])
+                ).astype(jnp.float32)                      # [B*T, V]
+                mx = jnp.max(lg, axis=-1)
+                lse = mx + jnp.log(
+                    jnp.sum(jnp.exp(lg - mx[:, None]), axis=-1))
+                tgt = jnp.clip(packed[:, 5].reshape(-1), 0, vocab - 1)
+                t_lp = jnp.take_along_axis(
+                    lg, tgt[:, None], axis=1)[:, 0] - lse
+                am = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                am_lp = mx - lse
+                score_out = (t_lp.reshape(b_pad, t_pad),
+                             am.reshape(b_pad, t_pad),
+                             am_lp.reshape(b_pad, t_pad))
             hs = jnp.take_along_axis(
                 h, last_idx[:, None, None], axis=1)[:, 0]  # [B, H]
             logits = logits_from_hidden(params, mc, hs)    # [B, V]
@@ -918,10 +954,12 @@ class ModelRunner:
                 mode="drop")
             counts = counts.at[
                 slots, jnp.where(is_last, toks, vocab)].add(1, mode="drop")
+            out = (toks, kv, counts, keys, gstates, rec_conv, rec_delta)
             if return_logits:
-                return (toks, kv, counts, keys, gstates, rec_conv,
-                        rec_delta, logits)
-            return toks, kv, counts, keys, gstates, rec_conv, rec_delta
+                out = out + (logits,)
+            if score:
+                out = out + score_out
+            return out
 
         fn = jax.jit(step, donate_argnums=(1, 2, 7, 12, 13))
         self._prefill_batch_fns[key] = fn
@@ -929,14 +967,19 @@ class ModelRunner:
         return fn
 
     def run_prefill_batch(self, chunks: List[PrefillChunk],
-                          return_logits: bool = False
+                          return_logits: bool = False,
+                          score: bool = False
                           ) -> "BatchPrefillResult":
         """Dispatch B prefill chunks as one program (no sync).
 
         Chunks must belong to distinct sequences (one chunk per sequence
         per engine iteration — scheduler invariant). Returns a
         BatchPrefillResult whose .tokens is a [B_pad] DEVICE array; the
-        engine fetches it once per iteration for all final chunks."""
+        engine fetches it once per iteration for all final chunks.
+
+        score=True additionally returns per-position prompt logprobs
+        (see _get_prefill_batch_fn); targets are each position's NEXT
+        token in the chunk's prefill target."""
         b = len(chunks)
         t = max(len(c.tokens) for c in chunks)
         t_pad = self.chunk_bucket(t)
@@ -945,11 +988,13 @@ class ModelRunner:
         b_pad = _round_up_pow2(b, 1, max(self.cfg.num_slots, 1))
         v = self.model_cfg.vocab_size
 
-        packed = np.zeros((b_pad, 5, t_pad), np.int32)
+        packed = np.zeros((b_pad, 6 if score else 5, t_pad), np.int32)
         packed[:, 1] = v                                  # count pads drop
         packed[:, 2] = self.cfg.max_model_len + ctx_pad   # pos pads: OOB
         packed[:, 3] = OOB_SENTINEL                       # write pads drop
         packed[:, 4, 0] = self.num_slots                  # pad rows: slot OOB
+        if score:
+            packed[:, 5] = v                              # masked targets
         rows: Dict[str, int] = {}
         for i, c in enumerate(chunks):
             seq = c.seq
@@ -965,6 +1010,10 @@ class ModelRunner:
                 int(seq.num_output_tokens
                     < seq.request.sampling.min_tokens),
                 int(c.is_last)]
+            if score:
+                target = seq.prefill_target
+                nxt = target[c.start + 1:total + 1]       # pos p -> t[p+1]
+                packed[i, 5, :len(nxt)] = nxt
             rows[seq.request.request_id] = i
         self._sync_tables([c.seq for c in chunks])
 
@@ -980,7 +1029,8 @@ class ModelRunner:
             ginit = self._gdummy_init
             gtokcp = self._gdummy_tokcp
         fn = self._get_prefill_batch_fn(b_pad, t_pad, ctx_pad, greedy,
-                                        return_logits, guided, grows)
+                                        return_logits, guided, grows,
+                                        score)
         t0 = time.perf_counter()
         out = fn(self.params, self.kv, self.counts, self.keys,
                  jnp.asarray(packed), self._tables_dev, self.samp,
@@ -989,9 +1039,14 @@ class ModelRunner:
         (toks, self.kv, self.counts, self.keys, self._gstates,
          self.rec_conv, self.rec_delta) = out[:7]
         logits = out[7] if return_logits else None
+        s_lp = s_am = s_am_lp = None
+        if score:
+            s_lp, s_am, s_am_lp = out[7 + int(return_logits):]
         self.prefill_device_time += time.perf_counter() - t0
         self.prefill_steps += len(chunks)
-        return BatchPrefillResult(tokens=toks, logits=logits, rows=rows)
+        return BatchPrefillResult(tokens=toks, logits=logits, rows=rows,
+                                  score_lp=s_lp, score_argmax=s_am,
+                                  score_argmax_lp=s_am_lp)
 
     def warm_prefill_siblings(self) -> int:
         """Compile every pow2 b_pad sibling of the already-compiled
@@ -1004,8 +1059,10 @@ class ModelRunner:
         v = self.model_cfg.vocab_size
         done = 0
         budget = self.cfg.max_num_batched_tokens
-        for (b_pad, t_pad, ctx_pad, greedy, rl, gd, grows) in list(
+        for (b_pad, t_pad, ctx_pad, greedy, rl, gd, grows, score) in list(
                 self._prefill_batch_fns.keys()):
+            if score:
+                continue                 # score programs stay b=1
             # A (b, t_pad) group's chunks each carry > t_pad/2 tokens
             # (pow2 bucketing), and the scheduler admits within the
             # token budget — so b beyond budget/(t_pad/2+1) can never
@@ -1018,7 +1075,7 @@ class ModelRunner:
                 max(self.cfg.num_slots, 1))
             b = 1
             while b <= max_b:
-                key = (b, t_pad, ctx_pad, greedy, rl, gd, grows)
+                key = (b, t_pad, ctx_pad, greedy, rl, gd, grows, False)
                 if key not in self._prefill_batch_fns:
                     packed = np.zeros((b, 5, t_pad), np.int32)
                     packed[:, 1] = v

@@ -277,7 +277,10 @@ class ContinuousBatchScheduler:
             seq.blocks = blocks
             reused_blocks: List[int] = []
             reused = 0
-            if self.prefix_cache is not None and seq.prefilled == 0:
+            if self.prefix_cache is not None and seq.prefilled == 0 \
+                    and not seq.score_mode:
+                # Score requests need EVERY position prefilled (reused
+                # blocks would leave their positions unscored).
                 reused_blocks, reused = self.prefix_cache.match_prefix(
                     seq.prompt_tokens)
             if reused:

@@ -61,6 +61,11 @@ class Sequence:
         # plus the TokenFsm itself (for state re-init on re-admission).
         self.guided_fsm = None
         self.guided_fsm_offset: Optional[int] = None
+        # Prompt-logprob scoring (echo+logprobs): per-chunk score rows
+        # keyed by chunk start — (target_lp, argmax_id, argmax_lp).
+        self.score_mode = bool(request.echo
+                               and request.sampling.logprobs is not None)
+        self.score_parts: dict = {}
 
     # --- derived ---
     @property

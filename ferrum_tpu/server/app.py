@@ -354,16 +354,55 @@ class FerrumServer:
         validate_completion_request(req)
         stop = req.stop if isinstance(req.stop, list) else (
             [req.stop] if req.stop else [])
+        score = bool(req.echo and req.logprobs)
         sampling = SamplingParams(
             temperature=req.temperature if req.temperature is not None else 1.0,
             top_p=req.top_p if req.top_p is not None else 1.0,
             top_k=req.top_k or 0,
-            max_tokens=req.max_tokens or 16,
+            max_tokens=0 if score else (req.max_tokens or 16),
             min_tokens=req.min_tokens or 0,
+            logprobs=req.logprobs if score else None,
             stop=stop, seed=req.seed, ignore_eos=bool(req.ignore_eos))
         inf_req = InferenceRequest(prompt=req.prompt, sampling=sampling,
+                                   echo=score,
                                    guided=guided_from_completion(req))
         rid = completion_id("cmpl")
+
+        if score:
+            # Prompt scoring (lm_eval local-completions loglikelihood):
+            # one blocking round returns the OpenAI logprobs object for
+            # the echoed prompt; no text is generated.
+            chunks = await self._collect(inf_req)
+            last = chunks[-1]
+            entries = last.logprobs or []
+            toks, tok_lps, top_lps, offs = [], [], [], []
+            off = 0
+            for e in entries:
+                text_tok = self.engine.tokenizer.decode([e["token_id"]])
+                toks.append(text_tok)
+                offs.append(off)
+                off += len(text_tok)
+                tok_lps.append(e["logprob"])
+                if e["logprob"] is None:
+                    top_lps.append(None)
+                else:
+                    top = {self.engine.tokenizer.decode([e["argmax_id"]]):
+                           e["argmax_logprob"]}
+                    top.setdefault(text_tok, e["logprob"])
+                    top_lps.append(top)
+            return web.json_response({
+                "id": rid, "object": "text_completion",
+                "created": int(time.time()), "model": self.model_name,
+                "choices": [{"index": 0, "text": req.prompt,
+                             "logprobs": {
+                                 "tokens": toks,
+                                 "token_logprobs": tok_lps,
+                                 "top_logprobs": top_lps,
+                                 "text_offset": offs},
+                             "finish_reason": "length"}],
+                "usage": {"prompt_tokens": last.prompt_tokens,
+                          "completion_tokens": 0,
+                          "total_tokens": last.prompt_tokens}})
 
         if req.stream:
             resp = web.StreamResponse(headers={

@@ -176,12 +176,18 @@ def validate_completion_request(req: CompletionRequest) -> None:
         _reject("prompt must be a single string", "prompt")
     if req.n != 1:
         _reject("only n=1 is supported", "n")
-    if req.logprobs:
-        _reject("logprobs is not supported", "logprobs")
+    if req.logprobs and not req.echo:
+        _reject("logprobs requires echo=true (prompt scoring); "
+                "completion-token logprobs are not supported", "logprobs")
+    if req.echo and not req.logprobs:
+        _reject("echo without logprobs is not supported", "echo")
+    if req.echo and (req.max_tokens or 0) != 0:
+        _reject("echo+logprobs requires max_tokens=0 (prompt scoring)",
+                "max_tokens")
+    if req.echo and req.stream:
+        _reject("echo+logprobs cannot stream", "stream")
     if req.stream_options is not None and not req.stream:
         _reject("stream_options requires stream=true", "stream_options")
-    if req.echo:
-        _reject("echo is not supported", "echo")
 
 
 def flatten_content(content) -> str:

@@ -87,8 +87,9 @@ class SamplingParams:
             raise InvalidRequestError("top_p must be in (0, 1]", param="top_p")
         if self.top_k < 0:
             raise InvalidRequestError("top_k must be >= 0", param="top_k")
-        if self.max_tokens < 1:
-            raise InvalidRequestError("max_tokens must be >= 1", param="max_tokens")
+        if self.max_tokens < 0:
+            # 0 = prompt-only scoring (echo+logprobs, no generation).
+            raise InvalidRequestError("max_tokens must be >= 0", param="max_tokens")
         if self.repetition_penalty <= 0.0:
             raise InvalidRequestError(
                 "repetition_penalty must be > 0", param="repetition_penalty"
@@ -123,6 +124,10 @@ class InferenceRequest:
     prompt_token_ids: Optional[List[int]] = None
     sampling: SamplingParams = field(default_factory=SamplingParams)
     guided: Optional[GuidedOptions] = None
+    # Prompt-logprob scoring (/v1/completions echo+logprobs with
+    # max_tokens=0 — the lm_eval local-completions loglikelihood
+    # contract): the engine returns per-prompt-position logprobs.
+    echo: bool = False
     request_id: str = field(default_factory=lambda: f"req-{uuid.uuid4().hex[:16]}")
     priority: int = 0
     arrival_time: float = field(default_factory=time.monotonic)
