@@ -36,6 +36,8 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_PREFILL_CHUNK": ("prefill_chunk_size", int, "max prefill chunk tokens"),
     "FERRUM_ENABLE_PREFIX_CACHE": ("enable_prefix_cache", bool, "block-hash prefix reuse"),
     "FERRUM_PREFIX_CACHE_POLICY": ("prefix_cache_policy", str, "eviction policy: lru|fifo|clock"),
+    "FERRUM_PREFIX_CACHE_BLOCKS": ("prefix_cache_blocks", int,
+                                   "linear-layout store extent blocks (-1 auto, 0 off)"),
     "FERRUM_ENABLE_CHUNKED_PREFILL": ("enable_chunked_prefill", bool, ""),
     "FERRUM_SCHEDULER": ("scheduler", str, "continuous|fifo|priority"),
     "FERRUM_KV_DTYPE": ("kv_dtype", str, "bf16|f32|int8"),
@@ -173,6 +175,10 @@ class EngineConfig:
     enable_prefix_cache: bool = True
     # Cache eviction policy (ref: managers/eviction.rs LRU/FIFO/Clock).
     prefix_cache_policy: str = "lru"    # lru | fifo | clock
+    # Linear layout only: size (in KV blocks) of the dedicated prefix
+    # store extent (kv/linear_prefix.py). -1 = auto (a quarter of the
+    # slot pool), 0 = disable copy-based prefix reuse.
+    prefix_cache_blocks: int = -1
 
     # --- numerics / quant ---
     dtype: str = "bf16"
@@ -309,6 +315,16 @@ class EngineConfig:
     @property
     def max_blocks_per_seq(self) -> int:
         return self.max_model_len // self.kv_block_size
+
+    @property
+    def resolved_prefix_cache_blocks(self) -> int:
+        """Store-extent size for the linear-layout prefix cache:
+        -1 → a quarter of the slot pool (bounded HBM overhead),
+        explicit values pass through."""
+        if self.prefix_cache_blocks >= 0:
+            return self.prefix_cache_blocks
+        return max(self.max_blocks_per_seq,
+                   self.num_slots * self.max_blocks_per_seq // 4)
 
     @property
     def num_slots(self) -> int:

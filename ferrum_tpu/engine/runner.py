@@ -163,6 +163,10 @@ class ModelRunner:
         # chains survive occupancy-bucket and window-length changes.
         self._last_toks = jnp.zeros(s, jnp.int32)
 
+        # Linear-layout prefix store (ensure_prefix_store): None until
+        # the engine enables copy-based prefix reuse.
+        self.prefix_store: Optional[PagedKvCache] = None
+
         # --- device-FSM guided decoding (sampling/token_fsm.py) ---
         # Stacked tables for every registered FSM; row 0 = FREE state
         # (all tokens allowed, self-loop) for unguided slots. Per-slot
@@ -243,6 +247,121 @@ class ModelRunner:
         self.counts, self.keys, self.samp = self._admit_fn(
             self.counts, self.keys, self.samp, slot, key,
             jnp.asarray(svals))
+
+    # ------------------------------------------------------------------
+    # Prefix store (linear-layout prefix cache; kv/linear_prefix.py)
+    # ------------------------------------------------------------------
+    def ensure_prefix_store(self, num_blocks: int) -> None:
+        """Allocate the device-side prefix store: a block extent with the
+        same (layer, page, head) geometry as the KV pool, holding cached
+        full prompt blocks. The linear layout hard-rejects CoW block
+        sharing (slot regions are identity-mapped), so prefix reuse is
+        copy-based instead: finish copies prompt blocks slot→store, a
+        prefix hit copies them store→slot at admission (ref: prefix.rs
+        reuse semantics, crates/ferrum-kv/src/cache/prefix.rs:113)."""
+        if getattr(self, "prefix_store", None) is not None:
+            return
+        self.prefix_store = PagedKvCache.create(
+            self.model_cfg, num_blocks, self.page,
+            dtype=self.kv.k.dtype)
+        self._prefix_copy_fns: Dict[Tuple, "jax.stages.Wrapped"] = {}
+        self._count_fns: Dict[int, "jax.stages.Wrapped"] = {}
+
+    def _get_prefix_copy_fn(self, r_pad: int):
+        fn = self._prefix_copy_fns.get(r_pad)
+        if fn is not None:
+            return fn
+        quant = self.kv.quantized
+        hkv = self.kv.kv_heads
+
+        def copy(src_k, src_v, dst_k, dst_v, src_rows, dst_rows,
+                 src_ks=None, src_vs=None, dst_ks=None, dst_vs=None):
+            # src_rows/dst_rows int32 [r_pad] flat token rows; pad rows
+            # carry dst=OOB_SENTINEL (scatter drops) + src clipped.
+            L, nbs, page, f = src_k.shape
+            sk = src_k.reshape(L, nbs * page, f)
+            sv = src_v.reshape(L, nbs * page, f)
+            src = jnp.clip(src_rows, 0, nbs * page - 1)
+            dk = dst_k.reshape(L, -1, f).at[:, dst_rows].set(
+                sk[:, src], mode="drop")
+            dv = dst_v.reshape(L, -1, f).at[:, dst_rows].set(
+                sv[:, src], mode="drop")
+            out = (dk.reshape(dst_k.shape), dv.reshape(dst_v.shape))
+            if quant:
+                sks = src_ks.reshape(L, nbs * page, hkv)
+                svs = src_vs.reshape(L, nbs * page, hkv)
+                dks = dst_ks.reshape(L, -1, hkv).at[:, dst_rows].set(
+                    sks[:, src], mode="drop")
+                dvs = dst_vs.reshape(L, -1, hkv).at[:, dst_rows].set(
+                    svs[:, src], mode="drop")
+                out = out + (dks.reshape(dst_ks.shape),
+                             dvs.reshape(dst_vs.shape))
+            return out
+
+        fn = jax.jit(copy, donate_argnums=(2, 3) + ((8, 9) if quant
+                                                    else ()))
+        self._prefix_copy_fns[r_pad] = fn
+        self.compilations += 1
+        return fn
+
+    def copy_prefix_blocks(self, src_blocks: List[int],
+                           dst_blocks: List[int], to_store: bool) -> None:
+        """Copy whole KV blocks between the slot pool and the prefix
+        store (to_store=True: save at finish; False: restore on a prefix
+        hit at admission). One compiled gather+scatter program over all
+        layers; dispatch-ordered with the windows that read/write the
+        same rows, so no host sync is needed."""
+        page = self.page
+        r = len(src_blocks) * page
+        r_pad = _round_up_pow2(r, page, 1 << 22)
+        src_rows = np.zeros(r_pad, np.int32)
+        dst_rows = np.full(r_pad, OOB_SENTINEL, np.int32)
+        for i, (sb, db) in enumerate(zip(src_blocks, dst_blocks)):
+            src_rows[i * page:(i + 1) * page] = np.arange(
+                sb * page, (sb + 1) * page)
+            dst_rows[i * page:(i + 1) * page] = np.arange(
+                db * page, (db + 1) * page)
+        fn = self._get_prefix_copy_fn(r_pad)
+        store = self.prefix_store
+        src, dst = (self.kv, store) if to_store else (store, self.kv)
+        args = (src.k, src.v, dst.k, dst.v,
+                jnp.asarray(src_rows), jnp.asarray(dst_rows))
+        if self.kv.quantized:
+            args = args + (src.k_scale, src.v_scale,
+                           dst.k_scale, dst.v_scale)
+        out = fn(*args)
+        new = PagedKvCache(
+            k=out[0], v=out[1], page=page, kv_heads=dst.kv_heads,
+            head_dim=dst.head_dim,
+            k_scale=out[2] if self.kv.quantized else None,
+            v_scale=out[3] if self.kv.quantized else None)
+        if to_store:
+            self.prefix_store = new
+        else:
+            self.kv = new
+
+    def add_prompt_counts(self, slot: int, tokens: List[int]) -> None:
+        """Seed repetition-penalty counts for prompt tokens that were
+        NOT prefilled (prefix-cache reuse): the prefill program counts
+        only the tokens it processes, so reused-prefix tokens must be
+        counted here for sampled output to match the uncached run."""
+        if not hasattr(self, "_count_fns"):
+            self._count_fns = {}
+        n = len(tokens)
+        if n == 0:
+            return
+        v = self.model_cfg.vocab_size
+        n_pad = _round_up_pow2(n, 8, 1 << 20)
+        fn = self._count_fns.get(n_pad)
+        if fn is None:
+            def add(counts, slot, toks):
+                return counts.at[slot, toks].add(1, mode="drop")
+            fn = jax.jit(add, donate_argnums=(0,))
+            self._count_fns[n_pad] = fn
+            self.compilations += 1
+        arr = np.full(n_pad, v, np.int32)   # pads: vocab → dropped
+        arr[:n] = tokens
+        self.counts = fn(self.counts, slot, jnp.asarray(arr))
 
     # ------------------------------------------------------------------
     # Guided decoding (device FSM)

@@ -146,7 +146,16 @@ class SlotBlocks(SequenceBlocks):
 
     def append_shared_prefix(self, block_ids: List[int], tokens: int) -> None:
         raise CapacityError("linear kv_layout does not support block "
-                            "sharing (prefix cache requires paged)")
+                            "sharing (prefix reuse is copy-based: "
+                            "adopt_copied_prefix)")
+
+    def adopt_copied_prefix(self, tokens: int) -> None:
+        """Reserve the slot-region blocks a restored prefix will occupy
+        (the device copy store→slot is dispatched by the engine at
+        admission — see kv/linear_prefix.py)."""
+        assert not self.blocks, "copied prefix must come first"
+        self.ensure_capacity(tokens)
+        self.num_tokens = tokens
 
     def release(self) -> None:
         self.blocks.clear()

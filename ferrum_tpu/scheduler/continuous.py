@@ -131,7 +131,11 @@ class ContinuousBatchScheduler:
             seq.slot = None
         if seq.blocks is not None:
             if self.prefix_cache is not None and seq.num_prompt_tokens \
-                    >= self.pool.page_size:
+                    >= self.pool.page_size \
+                    and seq.prefilled >= seq.num_prompt_tokens:
+                # prefilled guard: an aborted/waiting sequence's later
+                # blocks were never written — caching them would serve
+                # garbage KV to future prefix hits.
                 self.prefix_cache.insert(seq.prompt_tokens, seq.blocks.blocks)
             seq.blocks.release()
             seq.blocks = None
@@ -284,7 +288,14 @@ class ContinuousBatchScheduler:
                 reused_blocks, reused = self.prefix_cache.match_prefix(
                     seq.prompt_tokens)
             if reused:
-                blocks.append_shared_prefix(reused_blocks, reused)
+                if linear:
+                    # Copy-based reuse: reserve the slot-region blocks;
+                    # the engine dispatches the store→slot device copy
+                    # at admission (kv/linear_prefix.py).
+                    blocks.adopt_copied_prefix(reused)
+                    seq.pending_prefix_copy = (reused_blocks, reused)
+                else:
+                    blocks.append_shared_prefix(reused_blocks, reused)
                 seq.prefilled = reused
                 seq.prefix_reused_tokens = reused
                 first_chunk = min(seq.prefill_remaining, chunk_cap, budget)
@@ -296,6 +307,7 @@ class ContinuousBatchScheduler:
                     seq.blocks = None
                     seq.prefilled = 0
                     seq.prefix_reused_tokens = 0
+                    seq.pending_prefix_copy = None
                     break
             if not self._try_alloc(seq, seq.prefilled + first_chunk):
                 # No KV room for even the first chunk → stop admitting.

@@ -43,8 +43,11 @@ class Sequence:
         # rebuilt (the reference preempt_victim recompute semantics,
         # continuous_engine/inner/batch.rs:998; vLLM recompute policy).
         self.recompute = False
-        # Prefix-cache adoption at admission time.
+        # Prefix-cache adoption at admission time. For the linear layout
+        # pending_prefix_copy holds (store_block_ids, covered) until the
+        # engine dispatches the store→slot copy (kv/linear_prefix.py).
         self.prefix_reused_tokens = 0
+        self.pending_prefix_copy = None
         self.preempt_count = 0
         # Timing
         self.first_token_time: Optional[float] = None
@@ -117,6 +120,7 @@ class Sequence:
         continuous.rs:559-726)."""
         self.prefilled = 0
         self.prefix_reused_tokens = 0
+        self.pending_prefix_copy = None
         self.slot = None
         self.phase = Phase.PREEMPTED
         self.preempt_count += 1

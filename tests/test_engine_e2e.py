@@ -218,7 +218,9 @@ def test_linear_layout_matches_paged():
         e_paged.tokenizer).build()
     try:
         assert e_lin.runner.attn_impl == "linear"
-        assert not e_lin.prefix_cache.enabled
+        # Linear gets copy-based prefix reuse (kv/linear_prefix.py).
+        from ferrum_tpu.kv.linear_prefix import LinearPrefixCache
+        assert isinstance(e_lin.prefix_cache, LinearPrefixCache)
         for prompt in ("linear layout check", "second prompt xyz"):
             r1 = e_paged.infer(req(prompt=prompt, max_tokens=8))
             r2 = e_lin.infer(req(prompt=prompt, max_tokens=8))
