@@ -164,11 +164,11 @@ class ContinuousBatchEngine:
         states / non-uniform astral-plane transitions).
 
         ref: guided.rs masks on the host every step; SURVEY §7 'guided
-        decoding on device' is this table design."""
-        if self.spec is not None:
-            # Speculative verify doesn't apply guided masks; guided
-            # requests use the host path when a draft model is wired.
-            return
+        decoding on device' is this table design. With a draft model
+        wired, the FSM also composes with speculative rounds: the draft
+        samples under the mask and the verify program masks the target
+        per position (spec_decode.py), so guided requests keep
+        speculative speed."""
         key = (opts.regex, getattr(opts, "json_schema", None) and
                str(opts.json_schema), bool(opts.json_mode))
         hit = self._fsm_cache.get(key)

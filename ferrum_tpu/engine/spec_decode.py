@@ -52,7 +52,8 @@ from ..models.llama_family import (
     logits_from_hidden, prefill_forward_batched,
 )
 from ..sampling.device import (
-    SlotSamplingParams, processed_probs, sample_step,
+    SlotSamplingParams, guided_advance, guided_mask_rows, processed_probs,
+    sample_step,
 )
 from ..scheduler.sequence import Sequence
 from .speculative import SpeculativeStats
@@ -97,8 +98,9 @@ class SpecDecoder:
         self.device_time = 0.0
 
     # ------------------------------------------------------------------
-    def _get_fn(self, ctx_pad: int, greedy: bool):
-        key = (ctx_pad, greedy)
+    def _get_fn(self, ctx_pad: int, greedy: bool,
+                guided: bool = False, grows: int = 0):
+        key = (ctx_pad, greedy, guided, grows)
         fn = self._fns.get(key)
         if fn is not None:
             return fn
@@ -112,15 +114,32 @@ class SpecDecoder:
         vocab = mc_t.vocab_size
 
         def spec_round(params_t, params_d, kv_t, kv_d, counts, keys,
-                       packed, carry_tok, carry_pos, tables, samp):
+                       packed, carry_tok, carry_pos, tables, samp,
+                       gstates, ginit, gtrans, gmask, gtokcp):
             # packed int32 [5, S]: tokens, positions, pos_limit,
             # active_slots (== num_slots for dead lanes), use_carry.
+            # Guided (spec × FSM composition): the draft samples under
+            # the FSM mask advanced along its own proposals, and the
+            # target's verify distribution is masked per position with
+            # the state reached after the previous (proposed) tokens.
+            # Leviathan accept/reject over the MASKED p and q preserves
+            # the masked target distribution exactly — same output law
+            # as the non-speculative guided window.
             use_carry = packed[4] == 1
             tok0 = jnp.where(use_carry, carry_tok, packed[0])
             pos0 = jnp.where(use_carry, carry_pos, packed[1])
             pos_limit = packed[2]
             active = packed[3]
             s = tok0.shape[0]
+            if guided:
+                # Drain queued FSM resets (slot space), then gather the
+                # per-lane start state (dead lanes → FREE row 0 via
+                # clip; their outputs are discarded anyway).
+                gstates = jnp.where(ginit >= 0, ginit, gstates)
+                st0 = gstates[jnp.clip(active, 0, num_slots - 1)]
+                st0 = jnp.where(active < num_slots, st0, 0)
+            else:
+                st0 = jnp.zeros(s, jnp.int32)
             temps = samp["temps"]
             sp_draft = SlotSamplingParams(
                 temps, samp["top_ks"], samp["top_ps"],
@@ -141,21 +160,30 @@ class SpecDecoder:
 
             # --- 1. draft: K+1 chained steps (the +1 writes d_K's KV) ---
             def dbody(carry, _):
-                tok, pos, kv_d, keys = carry
+                tok, pos, kv_d, keys, st = carry
                 h, kv_d = decode_forward(
                     params_d, mc_d, kv_d, tok, pos, tables, pos + 1,
                     flat_for(pos), ctx_pad=ctx_pad, attn_impl=attn_impl)
                 logits = logits_from_hidden(params_d, mc_d, h)
+                mask = guided_mask_rows(gmask, st, vocab) if guided \
+                    else None
                 nxt, keys = sample_step(logits, sp_draft, counts, keys,
-                                        (), greedy_only=greedy)
+                                        (), greedy_only=greedy,
+                                        allowed_mask=mask)
                 if greedy:
                     q = jnp.zeros((s, 0), jnp.float32)  # unused
                 else:
-                    q = processed_probs(logits, sp_draft, counts, ())
-                return (nxt, pos + 1, kv_d, keys), (nxt, q)
+                    q = processed_probs(logits, sp_draft, counts, (),
+                                        allowed_mask=mask)
+                st2 = guided_advance(gtrans, gtokcp, st, nxt) if guided \
+                    else st
+                # ys carries the PRE-advance state: position i's verify
+                # mask needs the state after proposals d_1..d_i.
+                return (nxt, pos + 1, kv_d, keys, st2), (nxt, q, st)
 
-            (_, _, kv_d, keys), (d_toks, q_full) = jax.lax.scan(
-                dbody, (tok0, pos0, kv_d, keys), None, length=K + 1)
+            (_, _, kv_d, keys, _), (d_toks, q_full, st_steps) = \
+                jax.lax.scan(dbody, (tok0, pos0, kv_d, keys, st0),
+                             None, length=K + 1)
             # d_toks [K+1, S]: d_1..d_{K+1}; only d_1..d_K are proposals.
             drafts = d_toks[:K]                       # [K, S]
 
@@ -175,6 +203,13 @@ class SpecDecoder:
             ).reshape(s, K + 1, vocab)
 
             # --- 3. accept/reject on device ---
+            if guided:
+                # Per-position FSM masks: position i's candidates are
+                # constrained by the state after d_1..d_i (st_steps[i]).
+                mask_skv = jax.vmap(
+                    lambda st: guided_mask_rows(gmask, st, vocab),
+                    in_axes=0, out_axes=1)(st_steps)  # [S, K+1, V]
+                logits_t = jnp.where(mask_skv, logits_t, -jnp.inf)
             if greedy:
                 tgt = jnp.argmax(logits_t, axis=-1).astype(jnp.int32)
                 accept = tgt[:, :K] == drafts.T               # [S, K]
@@ -245,10 +280,20 @@ class SpecDecoder:
             n_out = n + 1
             carry_tok2 = extra
             carry_pos2 = pos0 + n_out
+            if guided:
+                # Advance the slot FSM state along the ACCEPTED tokens
+                # (d_1..d_{n-1} match the draft path, position n is the
+                # corrected/bonus token), then scatter back slot-space.
+                def gbody(st, j):
+                    tokj = jnp.clip(out[:, j], 0, vocab - 1)
+                    stepped = guided_advance(gtrans, gtokcp, st, tokj)
+                    return jnp.where(j < n_out, stepped, st), None
+                st_fin, _ = jax.lax.scan(gbody, st0, offs)
+                gstates = gstates.at[active].set(st_fin, mode="drop")
             return (out, n_out, carry_tok2, carry_pos2,
-                    kv_t, kv_d, counts, keys)
+                    kv_t, kv_d, counts, keys, gstates)
 
-        fn = jax.jit(spec_round, donate_argnums=(2, 3, 4, 5))
+        fn = jax.jit(spec_round, donate_argnums=(2, 3, 4, 5, 11))
         self._fns[key] = fn
         self.runner.compilations += 1
         return fn
@@ -280,17 +325,29 @@ class SpecDecoder:
 
         ctx_pad = r.ctx_bucket(int(max_len) + K + 1)
         greedy = bool(all(r._temps[seq.slot] == 0 for seq in seqs))
-        fn = self._get_fn(ctx_pad, greedy)
+        guided = any(getattr(seq, "guided_fsm_offset", None) is not None
+                     for seq in seqs)
+        if guided:
+            gtrans, gmask, grows = r._guided_tables()
+            ginit = jnp.asarray(r._ginit_row())
+            gtokcp = r._gtokcp_dev
+        else:
+            gtrans, gmask, grows = r._gdummy()
+            ginit = r._gdummy_init
+            gtokcp = r._gdummy_tokcp
+        fn = self._get_fn(ctx_pad, greedy, guided, grows)
         if prev is not None:
             carry_tok, carry_pos = prev.carry_tok, prev.carry_pos
         else:
             carry_tok = jnp.zeros(s, jnp.int32)
             carry_pos = jnp.zeros(s, jnp.int32)
         t0 = time.perf_counter()
-        (out, n_out, ct, cp, r.kv, self.draft_kv, r.counts, r.keys) = fn(
+        (out, n_out, ct, cp, r.kv, self.draft_kv, r.counts, r.keys,
+         r._gstates) = fn(
             r.params, self.draft_params, r.kv, self.draft_kv,
             r.counts, r.keys, jnp.asarray(packed), carry_tok, carry_pos,
-            r._tables_dev, r.samp)
+            r._tables_dev, r.samp, r._gstates, ginit, gtrans, gmask,
+            gtokcp)
         self.device_time += time.perf_counter() - t0
         return SpecWindow(
             seqs=list(seqs),

@@ -116,10 +116,12 @@ def processed_probs(
     params: SlotSamplingParams,
     counts: jnp.ndarray,            # int32 [S, V]
     eos_ids: Tuple[int, ...],
+    allowed_mask: Optional[jnp.ndarray] = None,   # bool [S, V] (guided)
 ) -> jnp.ndarray:
     """Full-vocab post-processing distribution per slot — the exact
-    distribution `sample_step` draws from (penalty → min-tokens EOS mask
-    → temperature → top-k/top-p truncation), as probabilities [S, V].
+    distribution `sample_step` draws from (guided mask → penalty →
+    min-tokens EOS mask → temperature → top-k/top-p truncation), as
+    probabilities [S, V].
 
     Used by speculative verification (engine/speculative.py): the
     accept/reject ratio and the residual resample must use the TRUE
@@ -127,6 +129,8 @@ def processed_probs(
     sampling. Greedy slots (temperature == 0) get a one-hot at argmax.
     """
     s, v = logits.shape
+    if allowed_mask is not None:
+        logits = jnp.where(allowed_mask, logits, -jnp.inf)
     logits = apply_repetition_penalty(logits, counts,
                                       params.repetition_penalty)
     if eos_ids:

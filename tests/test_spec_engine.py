@@ -131,3 +131,45 @@ def test_spec_with_stop_strings(engines):
             stop=[r.text[2:5]] if len(r.text) >= 5 else ["zzz"])))
     if len(r.text) >= 5:
         assert r2.completion_tokens <= r.completion_tokens
+
+
+def test_spec_guided_composition(engines):
+    """Guided requests keep speculative speed: the FSM mask applies
+    inside the draft AND the verify program (spec_decode.py guided
+    variant), and greedy output matches the non-spec guided engine
+    bit-for-bit (VERDICT r2 weak #7)."""
+    from ferrum_tpu.types import GuidedOptions
+
+    plain, spec = engines
+    patterns = [r"(yes|no)", r"(foo|bar)+x", r"-?\d\d"]
+    for p in patterns:
+        greq = lambda: InferenceRequest(  # noqa: E731
+            prompt="q:", sampling=SamplingParams(
+                max_tokens=8, temperature=0.0),
+            guided=GuidedOptions(regex=p))
+        want = plain.infer(greq())
+        got = spec.infer(greq())
+        # The device-FSM path must actually be engaged under spec.
+        assert any(v[0] is not None for v in spec._fsm_cache.values())
+        assert got.token_ids == want.token_ids, p
+    # Mixed batch: guided + unguided concurrently through spec rounds.
+    import threading
+    results = {}
+
+    def worker(i):
+        if i % 2 == 0:
+            results[i] = spec.infer(InferenceRequest(
+                prompt=f"m{i}", sampling=SamplingParams(
+                    max_tokens=6, temperature=0.0),
+                guided=GuidedOptions(regex=r"(red|green|blue)")))
+        else:
+            results[i] = spec.infer(req(f"m{i}", max_tokens=6))
+
+    ts = [threading.Thread(target=worker, args=(i,)) for i in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=180)
+    assert len(results) == 4
+    for i in (0, 2):
+        assert results[i].text in ("red", "green", "blue"), results[i].text
