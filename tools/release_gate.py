@@ -17,7 +17,17 @@ config, bench report) under gates/<lane>/<ts>/.
 
 Lanes:
   unit    — tiny CPU model (hardware-free; used in CI)
+  spec    — speculative decoding wired (draft model), plus greedy
+            bit-equality vs a plain engine and a spec × guided request
+  guided  — device-FSM guided decoding known-answers
+  gdn     — hybrid GDN (qwen3.5-style) family engine
+  moe     — tiny qwen3-moe engine (grouped expert path)
+  linear  — linear fast path + prefix-store reuse known-answers
   tpu     — real model on the chip (run manually)
+
+All lanes except `tpu` are hardware-free (CPU tiny models) — the same
+strategy as the test suite; `tpu` evidence comes from bench_report.json
+on the chip.
 """
 
 from __future__ import annotations
@@ -31,8 +41,110 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+CPU_LANES = ("unit", "spec", "guided", "gdn", "moe", "linear")
+
+
+def _lane_engine(lane: str):
+    """Build the lane's engine (+ optional plain reference engine)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tests"))
+    if lane in ("unit", "guided"):
+        from test_engine_e2e import tiny_engine
+        return tiny_engine(max_num_seqs=4), None
+    if lane == "linear":
+        from test_linear_prefix import linear_engine
+        return linear_engine(), None
+    if lane == "spec":
+        from test_spec_engine import _build
+        return _build(spec=True, draft_seed=0), _build(spec=False)
+    if lane == "gdn":
+        from test_gdn_engine import gdn_engine
+        return gdn_engine(), None
+    if lane == "moe":
+        import jax.numpy as jnp
+        from ferrum_tpu.config import EngineConfig
+        from ferrum_tpu.engine.builder import EngineBuilder
+        from ferrum_tpu.models.configs import ModelConfig, MoeConfig
+        from ferrum_tpu.models.llama_family import init_random_params
+        from ferrum_tpu.tokenizer import make_byte_tokenizer
+        cfg = EngineConfig(
+            model="gate-moe", max_num_seqs=4, kv_num_blocks=64,
+            kv_block_size=8, max_model_len=256,
+            max_num_batched_tokens=128, prefill_chunk_size=32,
+            dtype="f32", kv_dtype="f32", seed=0)
+        mc = ModelConfig(
+            family="qwen3_moe", vocab_size=512, hidden_size=64,
+            num_layers=2, num_heads=4, num_kv_heads=2, head_dim=16,
+            intermediate_size=128, qk_norm=True,
+            tie_word_embeddings=True, rope_theta=10000.0,
+            eos_token_ids=(257,),
+            moe=MoeConfig(num_experts=8, num_experts_per_tok=2,
+                          moe_intermediate_size=32))
+        params = init_random_params(mc, seed=0, dtype=jnp.float32)
+        tok = make_byte_tokenizer(vocab_extra=512 - 258)
+        return (EngineBuilder(cfg).with_model(mc, params)
+                .with_tokenizer(tok).build()), None
+    raise ValueError(f"unknown lane {lane!r}")
+
+
+def _lane_extra_checks(lane: str, engine, ref_engine, results) -> None:
+    """Feature-specific known-answer checks, recorded into results."""
+    from ferrum_tpu.types import (
+        GuidedOptions, InferenceRequest, SamplingParams,
+    )
+
+    def greq(p, regex, mt=8):
+        return InferenceRequest(
+            prompt=p, sampling=SamplingParams(max_tokens=mt,
+                                              temperature=0.0),
+            guided=GuidedOptions(regex=regex))
+
+    if lane == "spec":
+        want = ref_engine.infer(InferenceRequest(
+            prompt="bit equality", sampling=SamplingParams(
+                max_tokens=12, temperature=0.0)))
+        got = engine.infer(InferenceRequest(
+            prompt="bit equality", sampling=SamplingParams(
+                max_tokens=12, temperature=0.0)))
+        results["X_spec_greedy_bit_equality"] = \
+            got.token_ids == want.token_ids
+        st = engine.spec.stats
+        results["X_spec_rounds_ran"] = st.proposals > 0
+        g_want = ref_engine.infer(greq("q:", r"(yes|no)"))
+        g_got = engine.infer(greq("q:", r"(yes|no)"))
+        results["X_spec_guided_composition"] = \
+            g_got.token_ids == g_want.token_ids
+    elif lane == "guided":
+        r = engine.infer(greq("pick:", r"(red|green|blue)"))
+        results["X_guided_pattern_respected"] = \
+            r.text in ("red", "green", "blue")
+        results["X_guided_device_fsm_used"] = any(
+            v[0] is not None for v in engine._fsm_cache.values())
+    elif lane == "linear":
+        import time as _t
+        r1 = engine.infer(InferenceRequest(
+            prompt="prefix reuse check prompt", sampling=SamplingParams(
+                max_tokens=8, temperature=0.0)))
+        for _ in range(200):
+            if engine.prefix_cache.stats.cached_blocks:
+                break
+            _t.sleep(0.01)
+        r2 = engine.infer(InferenceRequest(
+            prompt="prefix reuse check prompt", sampling=SamplingParams(
+                max_tokens=8, temperature=0.0)))
+        results["X_linear_prefix_reuse"] = \
+            engine.prefix_cache.stats.saved_prefill_tokens > 0
+        results["X_linear_prefix_bit_equality"] = \
+            r2.token_ids == r1.token_ids
+    elif lane == "gdn":
+        results["X_gdn_hybrid_layers"] = engine.runner.hybrid is True
+    elif lane == "moe":
+        results["X_moe_layers"] = \
+            engine.runner.model_cfg.moe is not None
+
+
 def run_lane(lane: str, out_root: str = "gates") -> int:
-    if lane == "unit":
+    if lane in CPU_LANES:
         os.environ.setdefault("JAX_PLATFORMS", "cpu")
         import jax
         jax.config.update("jax_platforms", "cpu")
@@ -48,12 +160,10 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
     from ferrum_tpu.types import InferenceRequest, SamplingParams
 
     # --- engine ---
-    if lane == "unit":
-        sys.path.insert(0, os.path.join(os.path.dirname(
-            os.path.dirname(os.path.abspath(__file__))), "tests"))
-        from test_engine_e2e import tiny_engine
-        engine = tiny_engine(max_num_seqs=4)
-        model_label = "tiny-unit"
+    ref_engine = None
+    if lane in CPU_LANES:
+        engine, ref_engine = _lane_engine(lane)
+        model_label = f"tiny-{lane}"
     else:
         import jax.numpy as jnp
         from ferrum_tpu.config import EngineConfig
@@ -120,6 +230,10 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
         results["L5_concurrency"] = len(outs) == 8 and all(
             o.completion_tokens >= 1 for o in outs.values())
 
+        # --- X: lane-specific feature known-answers ---
+        if lane in CPU_LANES:
+            _lane_extra_checks(lane, engine, ref_engine, results)
+
         # --- B: bench cells + thresholds ---
         cells = run_bench(engine, concurrencies=(1, 4),
                           num_requests_per_cell={1: 4, 4: 8},
@@ -132,8 +246,8 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
         thresholds = {"output_tok_s_min_delta": -0.03,
                       "ttft_p50_max_delta": 0.10,
                       "tpot_p50_max_delta": 0.05}
-        if lane == "unit":
-            # CPU tiny-model timings jitter heavily; the unit lane checks
+        if lane in CPU_LANES:
+            # CPU tiny-model timings jitter heavily; the CPU lanes check
             # mechanics, real thresholds belong to hardware lanes.
             thresholds = {"output_tok_s_min_delta": -0.6,
                           "ttft_p50_max_delta": 2.0,
@@ -165,6 +279,8 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
                        "thresholds": thresholds}, f, indent=2)
     finally:
         engine.stop()
+        if ref_engine is not None:
+            ref_engine.stop()
 
     print(json.dumps({"lane": lane, "results": results}, indent=2))
     hard = [k for k, v in results.items() if v is False]
@@ -172,5 +288,10 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
 
 
 if __name__ == "__main__":
-    lane = sys.argv[1] if len(sys.argv) > 1 else "unit"
-    raise SystemExit(run_lane(lane))
+    lanes = sys.argv[1:] or ["unit"]
+    if lanes == ["all"]:
+        lanes = list(CPU_LANES)
+    rc = 0
+    for lane in lanes:
+        rc |= run_lane(lane)
+    raise SystemExit(rc)
