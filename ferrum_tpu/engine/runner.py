@@ -544,6 +544,14 @@ class ModelRunner:
         # the multi-GB pool ping-pongs buffers — measured as a full pool
         # copy per step (~16 ms/step at 4.3 GB on v5e).
         use_win = attn_impl == "linear"
+        # Identity variant (s_pad == num_slots): the dispatcher assigns
+        # lane == slot, so the hoisted ctx windows are SLICES of the
+        # pool instead of lane gathers. XLA's row gather runs at ~2.4x
+        # the slice cost on v5e (measured tools/bench_lane_sweep.py:
+        # +0.4 ms/step/lane vs +0.164 physics), which at full occupancy
+        # cost ~7 ms/step in r3's first lane-compaction cut. State
+        # scatters keep their mode=drop semantics (pad lanes drop).
+        ident = s_pad == self.num_slots
 
         if p_rows and not use_win:
             raise NotSupportedError(
@@ -605,17 +613,20 @@ class ModelRunner:
                 # the scan: one [s_pad, ctx_pad, F] gather per layer per
                 # WINDOW (cost scales with occupancy, not slot count).
                 f = kv.kv_heads * kv.head_dim
-                k_lins = [kv.k[li].reshape(num_slots, -1, f)[lc, :ctx_pad]
-                          for li in range(lkv)]
-                v_lins = [kv.v[li].reshape(num_slots, -1, f)[lc, :ctx_pad]
-                          for li in range(lkv)]
+                lane_ix = slice(None) if ident else lc
+                k_lins = [kv.k[li].reshape(
+                    num_slots, -1, f)[lane_ix, :ctx_pad]
+                    for li in range(lkv)]
+                v_lins = [kv.v[li].reshape(
+                    num_slots, -1, f)[lane_ix, :ctx_pad]
+                    for li in range(lkv)]
                 ks_lins = vs_lins = None
                 if kv.quantized:
                     ks_lins = [kv.k_scale[li].reshape(
-                        num_slots, -1, kv.kv_heads)[lc, :ctx_pad]
+                        num_slots, -1, kv.kv_heads)[lane_ix, :ctx_pad]
                         for li in range(lkv)]
                     vs_lins = [kv.v_scale[li].reshape(
-                        num_slots, -1, kv.kv_heads)[lc, :ctx_pad]
+                        num_slots, -1, kv.kv_heads)[lane_ix, :ctx_pad]
                         for li in range(lkv)]
                 pf_kc = pf_vc = pf_ksc = pf_vsc = None
                 if p_rows:
@@ -832,12 +843,16 @@ class ModelRunner:
         NEXT window chains from it without a host readback."""
         n_lanes = len(seqs)
         s_pad = self.lane_bucket(max(1, n_lanes))
+        # Full-frame bucket: lane == slot (the program slices the pool
+        # instead of lane-gathering — see _get_decode_window_fn ident).
+        ident = s_pad == self.num_slots
         packed = np.zeros((7, s_pad), np.int32)
         packed[4] = self.num_slots               # inactive pad lanes
         max_len = 2
         end_pos: Dict[int, int] = {}
         lanes: Dict[str, int] = {}
-        for lane, seq in enumerate(seqs):
+        for i, seq in enumerate(seqs):
+            lane = seq.slot if ident else i
             sl = seq.slot
             rid = seq.request.request_id
             lanes[rid] = lane
