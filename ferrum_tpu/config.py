@@ -46,6 +46,8 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_QUANT": ("quantization", str, "none|gptq_int4|gguf_q4k"),
     "FERRUM_W4A8": ("w4a8", bool,
                     "int8-activation path for int4 matmuls at decode"),
+    "FERRUM_W4A8_GD": ("w4a8_gd", str,
+                       "group-dot decode kernel mode: off|all|down"),
     "FERRUM_W4A8_TL": ("w4a8_two_level", bool,
                        "two-level requantize: integer group scales -> "
                        "full-speed int8 MXU at all batch sizes"),
@@ -192,6 +194,10 @@ class EngineConfig:
     # included). Slightly perturbs group scales (requantized weights;
     # divergence-gated). Requires w4a8.
     w4a8_two_level: bool = True
+    # Group-dot decode kernel (m <= 64): MXU consumes raw nibbles, the
+    # two-level scale/zero move to the output side (exact).
+    # off | all | down (down-projection shapes only — the measured win).
+    w4a8_gd: str = "down"
     # Build-time projection fusion: concat q|k|v and gate|up along the
     # out dim so each layer issues one kernel per site (fixed per-call
     # pipeline spin-up dominates at decode m). Disabled automatically
@@ -303,6 +309,12 @@ class EngineConfig:
                 sizes.append(b)
                 b *= 2
             sizes.append(top)
+            if top >= 8 and top // 2 in sizes:
+                # Measured (tools/bench_lane_sweep.py, v5e, ctx 512):
+                # the half-frame bucket's per-lane ctx GATHER costs more
+                # than the full ident frame's SLICE (24.5 vs 21.4
+                # ms/step at 16/32) — strictly dominated, drop it.
+                sizes.remove(top // 2)
             return tuple(sizes)
         if self.decode_bucket_spec == "max":
             return (top,)

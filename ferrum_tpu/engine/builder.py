@@ -207,8 +207,9 @@ class EngineBuilder:
             extra = max(0, self.model_cfg.vocab_size - 258)
             self.tokenizer = make_byte_tokenizer(vocab_extra=extra)
 
-        from ..ops.pallas.quant_matmul import set_w4a8
+        from ..ops.pallas.quant_matmul import set_w4a8, set_w4a8_gd
         set_w4a8(cfg.w4a8)
+        set_w4a8_gd(cfg.w4a8_gd)
         if cfg.w4a8 and cfg.w4a8_two_level:
             # Before the KV pool is carved out (transient unpack scratch);
             # no-op when params already carry TL fields.

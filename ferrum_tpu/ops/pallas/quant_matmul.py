@@ -386,9 +386,135 @@ def _quant_matmul_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
     )(xq, xq, xs, p.qweight, qs3, z3, chan)
 
 
-def quant_matmul_w4a8tl(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
+def _qmm_w4a8tl_gd_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
+                          z_ref, chan_ref, o_ref, acc_ref, *,
+                          n_k_steps: int, half_groups: int, bn: int,
+                          gpt: int, out_dtype):
+    """Group-dot w4a8tl variant for decode-sized m.
+
+    The 2d kernel dequantizes per WEIGHT element on the VPU
+    ((q - z) * s → int8, ~9 integer ops per packed byte), which caps the
+    weight stream at ~330 GB/s at decode m on v5e — the VPU, not HBM,
+    is the wall (tools/bench_w4a8.py + the 16.4 ms/step lanes=1
+    decomposition). Here the MXU consumes the RAW unpacked nibbles
+    (0..15 fits signed int8) with one 128-deep dot per quant group, and
+    the two-level group scale s2 and zero correction move to the
+    OUTPUT side:
+
+        y[m, n] = Σ_g s2[g, n] · (x_g @ q_g)  −  Σ_g (Σx_g) · s2·z[g, n]
+
+    VPU work per packed byte drops to unpack-only (cast, and, shift,
+    and, 2 casts ≈ 6 ops); the per-group output rescale is
+    O(m·n·k/GROUP) int32 madds — negligible at decode m. Bounds:
+    |x@q| ≤ 127·15·128 ≈ 2.4e5, ×s2 ≤ 127 → Σ over k/128 groups
+    < 2^31 for k ≤ 8k. ref: same role as Marlin's fused dequant-GEMM
+    (crates/ferrum-kernels/vllm_marlin/marlin.cu) — redesigned so the
+    TPU's systolic MXU does the dequant arithmetic implicitly."""
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qi = qw_ref[:].astype(jnp.int32)
+    lane = pl.ds(j * bn, bn)
+    w_lo = (qi & 0xF).astype(jnp.int8).reshape(gpt, GROUP, bn)
+    w_hi = ((qi >> 4) & 0xF).astype(jnp.int8).reshape(gpt, GROUP, bn)
+
+    def plane(acc, xq_ref, w, g0):
+        for t in range(gpt):
+            xg = xq_ref[:, pl.ds(t * GROUP, GROUP)]          # [bm, G] i8
+            st = qs_ref[g0 + t, :, lane].astype(jnp.int32)   # [1, bn]
+            zt = z_ref[g0 + t, :, lane].astype(jnp.int32)
+            dot = jax.lax.dot(xg, w[t],
+                              preferred_element_type=jnp.int32)
+            sx = jnp.sum(xg.astype(jnp.int32), axis=1,
+                         keepdims=True)                      # [bm, 1]
+            acc = acc + dot * st - sx * (st * zt)
+        return acc
+
+    acc = plane(acc_ref[:], xq_lo_ref, w_lo, kk * gpt)
+    acc = plane(acc, xq_hi_ref, w_hi, half_groups + kk * gpt)
+    acc_ref[:] = acc
+
+    @pl.when(kk == n_k_steps - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * xs_ref[:]
+                    * chan_ref[:]).astype(out_dtype)
+
+
+def _quant_matmul_w4a8tl_gd(xq: jnp.ndarray, xs: jnp.ndarray,
+                            p: QuantLinearParams, out_dtype,
+                            bkb: int = None, bn: int = None,
+                            bm: int = None):
+    """Group-dot variant wrapper (same contract as the 2d wrapper)."""
+    m, k = xq.shape
+    n = p.out_features
+    assert k == p.in_features
+    cap = 512
+    if bkb is None:
+        bkb = cap
+    while bkb >= GROUP and (k // 2) % bkb:
+        bkb //= 2
+    if bn is None:
+        bn = cap
+        while bn > 128 and n % bn:
+            bn //= 2
+    if p.group_size != GROUP or bkb < GROUP or (n % bn):
+        return None
+    if bm is None:
+        bm = min(m, 256)
+    while bm > 32 and m % bm:
+        bm //= 2
+    if m % bm:
+        return None
+    n_k = (k // 2) // bkb
+    half_groups = (k // 2) // GROUP
+
+    qs3 = p.scales2.reshape(-1, 1, n)
+    z3 = p.zeros.reshape(-1, 1, n)
+    chan = p.chan_scale.astype(jnp.float32).reshape(1, n)
+    kernel = functools.partial(
+        _qmm_w4a8tl_gd_kernel, n_k_steps=n_k, half_groups=half_groups,
+        bn=bn, gpt=bkb // GROUP, out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(m // bm, n // bn, n_k),
+        in_specs=[
+            pl.BlockSpec((bm, bkb), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM),            # xq low cols
+            pl.BlockSpec((bm, bkb),
+                         lambda i, j, kk, nk=n_k: (i, nk + kk),
+                         memory_space=pltpu.VMEM),            # xq high cols
+            pl.BlockSpec((bm, 1), lambda i, j, kk: (i, 0),
+                         memory_space=pltpu.VMEM),            # xs
+            pl.BlockSpec((bkb, bn), lambda i, j, kk: (kk, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # scales2 (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # zeros (full)
+            pl.BlockSpec((1, bn), lambda i, j, kk: (0, j),
+                         memory_space=pltpu.VMEM),            # chan
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * m * n,
+            transcendentals=0),
+    )(xq, xq, xs, p.qweight, qs3, z3, chan)
+
+
+def quant_matmul_w4a8tl(x: jnp.ndarray, p: QuantLinearParams,
+                        gd: bool = False) -> jnp.ndarray:
     """y = x @ dequant(qweight) (+ bias) via the two-level int8 path.
-    Falls back to w4a16 off-TPU or on unsupported shapes."""
+    gd=True uses the group-dot variant (decode-m; scale/zero on the
+    output side). Falls back to w4a16 off-TPU or on unsupported
+    shapes."""
     assert p.scales2 is not None, "requantize_two_level first"
     if p.input_perm is not None:
         import dataclasses
@@ -403,7 +529,8 @@ def quant_matmul_w4a8tl(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     xq, xs = quantize_activation_rows(x2)
-    out = _quant_matmul_w4a8tl_2d(xq, xs, p, x.dtype)
+    impl = _quant_matmul_w4a8tl_gd if gd else _quant_matmul_w4a8tl_2d
+    out = impl(xq, xs, p, x.dtype)
     if out is None:
         return quant_matmul_w4a16(x, p)
     out = out[:m].reshape(*lead, p.out_features)
@@ -450,6 +577,23 @@ def quant_matmul_w4a8(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
 
 
 _W4A8 = False
+# Group-dot decode kernel (scale/zero on the output side); see
+# _qmm_w4a8tl_gd_kernel. Mode: "off" | "all" | "down" (down-projection
+# shapes only, in_features > out_features — the one shape class where
+# gd beat the plain w4a8 correction kernel on v5e). Governed by
+# EngineConfig.w4a8_gd (FERRUM_W4A8_GD) via the builder, like _W4A8.
+_W4A8_GD = "down"
+
+
+def set_w4a8_gd(mode) -> None:
+    """Set the group-dot decode mode (tests / benchmarks / builder).
+    Accepts "off"|"all"|"down" (bools map to off/all)."""
+    global _W4A8_GD
+    if isinstance(mode, bool):
+        mode = "all" if mode else "off"
+    if mode not in ("off", "all", "down"):
+        raise ValueError(f"unknown w4a8_gd mode {mode!r}")
+    _W4A8_GD = mode
 
 
 def set_w4a8(enabled: bool) -> None:
@@ -503,8 +647,15 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     for d in x.shape[:-1]:
         m *= d
     if _W4A8 and m <= 64:
-        # Decode sizes: the per-group f32 correction is O(m*bn) and
-        # cheap; plain w4a8 skips the TL weight-prep multiply.
+        gd = _W4A8_GD == "all" or (
+            _W4A8_GD == "down" and p.in_features > p.out_features)
+        if gd and p.scales2 is not None:
+            # Group-dot variant — the MXU consumes raw nibbles and
+            # scale/zero move to the output side. Window-level A/B on
+            # v5e: wins on down-projection shapes (448 vs 241 GB/s),
+            # loses elsewhere — hence mode "down".
+            return quant_matmul_w4a8tl(x, p, gd=True)
+        # Per-group f32 correction is O(m*bn) and cheap at decode m.
         return quant_matmul_w4a8(x, p)
     if _W4A8 and p.scales2 is not None:
         # Prefill sizes: all-integer dequant + int8 MXU at full K.
