@@ -72,9 +72,11 @@ def main() -> None:
         model="bench", max_num_seqs=n_seqs, max_num_batched_tokens=2048,
         max_model_len=max_len, prefill_chunk_size=512, kv_block_size=32,
         kv_layout="linear",   # slot-contiguous serving fast path
-        # T=4 windows: same c=32 throughput as T=8 (911 vs 914 tok/s),
-        # ~130 ms better TTFT p50 (faster iteration cadence).
-        decode_multi_step=4,
+        # T=8 windows: the fixed per-dispatch cost (~16-19 ms over the
+        # tunnel) dominates short windows — T=8 is +13% at c=32 and
+        # +14% at c=1 vs T=4 (NOTES_ROUND3 T-sweep); the engine doubles
+        # to 16 at low occupancy.
+        decode_multi_step=8,
         dtype="bf16", kv_dtype="bf16", seed=0)
 
     label = f"{model_name}-random"

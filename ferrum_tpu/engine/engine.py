@@ -399,6 +399,16 @@ class ContinuousBatchEngine:
         # programs per (chunk, context) bucket (the weight stream is
         # amortized across the admitted wave, m = B*T).
         t_steps = batch.decode_steps or max(1, self.cfg.decode_multi_step)
+        # Adaptive window length: each dispatched window pays a fixed
+        # host/transport cost (~16-19 ms on the tunneled chip — NOTES_
+        # ROUND3 T-sweep), so at low occupancy with nothing waiting to
+        # admit, run windows twice as long to amortize it (chains
+        # survive length changes; overshoot past EOS is discarded).
+        if (not batch.decode_steps and self.cfg.pipeline_decode
+                and len(batch.decode_seqs) <= 4
+                and not batch.prefill_chunks
+                and not self.scheduler.waiting):
+            t_steps = min(2 * t_steps, 16)
         pf_chunk = None
         will_decode = any(s.phase == Phase.DECODING
                           and (s.guided_processor is None
