@@ -159,6 +159,21 @@ def cmd_run(args) -> int:
 # serve — OpenAI-compatible HTTP server (ref: commands/serve.rs)
 # ---------------------------------------------------------------------------
 
+def cmd_replay(args) -> int:
+    """Re-run a captured request bundle deterministically and compare
+    against its observed tokens (ref: commands/replay_bundle.rs +
+    scripts/release/request_replay_bundle_gate.py)."""
+    from .utils.replay import replay_bundle
+
+    engine = _build_engine(args)
+    try:
+        record = replay_bundle(args.bundle, engine)
+        print(json.dumps(record, indent=2))
+        return 0 if record["matches_observed"] else 2
+    finally:
+        engine.stop()
+
+
 def cmd_route(args) -> int:
     """Multi-host serving front (parallel/router.py): least-loaded DP
     forwarding over per-host engine frontends."""
@@ -448,6 +463,12 @@ def main(argv=None) -> int:
     p = sub.add_parser("stop", help="stop a running server")
     p.add_argument("--base-url", default="http://127.0.0.1:8000")
     p.set_defaults(fn=cmd_stop)
+
+    p = sub.add_parser(
+        "replay", help="re-run a captured request bundle (repro gate)")
+    _add_engine_flags(p)
+    p.add_argument("--bundle", required=True, help="bundle JSON path")
+    p.set_defaults(fn=cmd_replay)
 
     p = sub.add_parser(
         "route", help="multi-host DP router over worker engines")

@@ -57,3 +57,40 @@ def test_bench_offline():
     rep = json.loads(r.stdout[start:])
     assert rep["cells"][0]["completed"] == 4
     assert rep["cells"][0]["errors"] == 0
+
+
+def test_replay_bundle_roundtrip(tmp_path):
+    """Capture a bundle, replay it via the CLI, expect a match (exit 0)
+    and a mismatch exit (2) when observed tokens are corrupted."""
+    from ferrum_tpu.config import EngineConfig
+    from ferrum_tpu.types import InferenceRequest, SamplingParams
+    from ferrum_tpu.utils.replay import capture_bundle, save_bundle
+
+    req = InferenceRequest(
+        prompt="replay me", request_id="r1",
+        sampling=SamplingParams(max_tokens=4, temperature=0.0))
+    # Observed tokens from a direct run of the same tiny preset.
+    r = run_cli("run", "random:tiny-test", "--prompt", "replay me",
+                "--max-tokens", "4", "--temperature", "0",
+                "--kv-capacity", "64", "--max-model-len", "256",
+                "--max-num-seqs", "2", timeout=300)
+    assert r.returncode == 0, r.stderr
+    bundle = capture_bundle(req, EngineConfig(model="random:tiny-test"),
+                            "random:tiny-test",
+                            response_token_ids=None)
+    path = str(tmp_path / "bundle.json")
+    save_bundle(bundle, path)
+    r = run_cli("replay", "random:tiny-test", "--bundle", path,
+                "--kv-capacity", "64", "--max-model-len", "256",
+                "--max-num-seqs", "2", timeout=300)
+    assert r.returncode == 0, r.stderr
+    rec = json.loads(r.stdout)
+    assert rec["matches_observed"] is True
+    toks = rec["token_ids"]
+    # Corrupt the observed tokens -> replay must detect the mismatch.
+    bundle["observed"]["response_token_ids"] = [t + 1 for t in toks]
+    save_bundle(bundle, path)
+    r = run_cli("replay", "random:tiny-test", "--bundle", path,
+                "--kv-capacity", "64", "--max-model-len", "256",
+                "--max-num-seqs", "2", timeout=300)
+    assert r.returncode == 2, r.stdout + r.stderr
