@@ -66,13 +66,13 @@ class ContinuousBatchEngine:
         if prefix_cache is not None:
             self.prefix_cache = prefix_cache
         elif cfg.kv_layout == "linear" and cfg.enable_prefix_cache \
-                and cfg.resolved_prefix_cache_blocks > 0:
+                and self._linear_store_blocks(cfg, runner) > 0:
             # Copy-based reuse over a dedicated store extent — the
             # linear fast path keeps its dense slices AND gets prefix
             # reuse (VERDICT r2 missing #4).
             from ..kv.linear_prefix import LinearPrefixCache
             self.prefix_cache = LinearPrefixCache(
-                runner, cfg.resolved_prefix_cache_blocks,
+                runner, self._linear_store_blocks(cfg, runner),
                 cfg.kv_block_size,
                 policy=getattr(cfg, "prefix_cache_policy", "lru"))
         else:
@@ -155,6 +155,20 @@ class ContinuousBatchEngine:
         self.ensure_loop()
         self._work_event.set()
         return state.out_queue
+
+    @staticmethod
+    def _linear_store_blocks(cfg, runner) -> int:
+        """Prefix-store extent size, capped by free HBM with headroom
+        (an oversized store OOMs under batched-prefill transients —
+        observed on v5e at the 8B bench config). Explicit
+        prefix_cache_blocks values pass through uncapped."""
+        blocks = cfg.resolved_prefix_cache_blocks
+        if cfg.prefix_cache_blocks < 0:     # auto → respect free HBM
+            budget = runner.prefix_store_budget_blocks()
+            blocks = min(blocks, budget)
+            if blocks < cfg.max_blocks_per_seq:
+                return 0                    # can't hold one full prompt
+        return blocks
 
     def _setup_device_guided(self, seq, opts) -> None:
         """Compile the request's DFA into device-FSM tables so the

@@ -251,6 +251,33 @@ class ModelRunner:
     # ------------------------------------------------------------------
     # Prefix store (linear-layout prefix cache; kv/linear_prefix.py)
     # ------------------------------------------------------------------
+    def prefix_store_block_bytes(self) -> int:
+        """Device bytes one prefix-store block costs (all layers, k+v,
+        + int8 scales when quantized)."""
+        kv = self.kv
+        n_layers = kv.k.shape[0]
+        f = kv.kv_heads * kv.head_dim
+        per = n_layers * self.page * f * kv.k.dtype.itemsize * 2
+        if kv.quantized:
+            per += n_layers * self.page * kv.kv_heads * 4 * 2
+        return per
+
+    def prefix_store_budget_blocks(self,
+                                   headroom_bytes: int = 3 << 30) -> int:
+        """How many store blocks fit in free HBM after a headroom for
+        program transients (batched-prefill logits peak >1 GB at 8B
+        vocab). Unknown backends (no memory_stats) return a huge cap —
+        the CPU test path is unconstrained."""
+        try:
+            ms = jax.local_devices()[0].memory_stats()
+            free = ms.get("bytes_limit", 0) - ms.get("bytes_in_use", 0)
+        except Exception:
+            return 1 << 30
+        if free <= 0:
+            return 1 << 30
+        return max(0, int(free - headroom_bytes)
+                   // self.prefix_store_block_bytes())
+
     def ensure_prefix_store(self, num_blocks: int) -> None:
         """Allocate the device-side prefix store: a block extent with the
         same (layer, page, head) geometry as the KV pool, holding cached

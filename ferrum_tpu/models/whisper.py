@@ -296,51 +296,88 @@ def decoder_logits(cfg: WhisperConfig, params: WhisperParams,
                    preferred_element_type=jnp.float32)
 
 
-def greedy_transcribe_tokens(cfg: WhisperConfig, params: WhisperParams,
-                             mel: np.ndarray,
-                             max_new_tokens: int = 64) -> List[int]:
-    """Greedy decode one 30s window -> token ids (without the forced
-    prefix), truncated at EOT on the host.
+# Compiled greedy-decode programs keyed by (model, n_forced, total,
+# batch bucket) — the previous per-call jax.jit closure retraced on
+# EVERY request.
+_decode_fns: dict = {}
 
-    Shapes are static: the decoder re-scores the whole (padded) token
-    buffer each step inside one lax.scan — O(T^2) but T <= 448 and the
-    matmuls batch perfectly on the MXU; a KV-cached variant is the
-    later optimization, parity comes first."""
-    enc = encode(cfg, params, jnp.asarray(mel)[None])
-    forced = [cfg.decoder_start_token_id] + [
-        t for _i, t in sorted(cfg.forced_decoder_ids)]
-    n_forced = len(forced)
-    total = n_forced + max_new_tokens
-    total = min(total, cfg.max_target_positions)
-    buf = np.full((1, total), cfg.eos_token_id, np.int32)
-    buf[0, :n_forced] = forced
 
-    sup = np.zeros(cfg.vocab_size, bool)
-    for t in cfg.suppress_tokens:
-        if t < cfg.vocab_size:
-            sup[t] = True
+def _get_greedy_fn(cfg: WhisperConfig, n_forced: int, total: int):
+    key = (id(cfg), n_forced, total)
+    fn = _decode_fns.get(key)
+    if fn is not None:
+        return fn
 
-    @jax.jit
-    def step_all(buf_dev):
-        def body(carry, i):
-            buf_dev = carry
+    def step_all(params, buf_dev, enc, sup):
+        def body(buf_dev, i):
             logits = decoder_logits(cfg, params, buf_dev, enc)
-            row = logits[0, i - 1]
-            row = jnp.where(jnp.asarray(sup), -jnp.inf, row)
-            nxt = jnp.argmax(row).astype(jnp.int32)
+            row = logits[:, i - 1]                         # [B, V]
+            row = jnp.where(sup[None, :], -jnp.inf, row)
+            nxt = jnp.argmax(row, axis=-1).astype(jnp.int32)
             keep = i < n_forced
-            cur = buf_dev[0, i]
-            buf_dev = buf_dev.at[0, i].set(jnp.where(keep, cur, nxt))
+            cur = buf_dev[:, i]
+            buf_dev = buf_dev.at[:, i].set(jnp.where(keep, cur, nxt))
             return buf_dev, None
 
         buf_dev, _ = jax.lax.scan(
             body, buf_dev, jnp.arange(n_forced, total))
         return buf_dev
 
-    out = np.asarray(step_all(jnp.asarray(buf)))[0]
-    toks: List[int] = []
-    for t in out[n_forced:]:
-        if int(t) == cfg.eos_token_id:
-            break
-        toks.append(int(t))
-    return toks
+    fn = jax.jit(step_all)
+    _decode_fns[key] = fn
+    return fn
+
+
+def greedy_transcribe_tokens_batch(cfg: WhisperConfig,
+                                   params: WhisperParams,
+                                   mels: List[np.ndarray],
+                                   max_new_tokens: int = 64
+                                   ) -> List[List[int]]:
+    """Greedy decode a BATCH of 30s windows -> per-window token ids
+    (without the forced prefix), each truncated at EOT on the host.
+
+    Shapes are static: the decoder re-scores the whole (padded) token
+    buffer each step inside one lax.scan — O(T^2) but T <= 448 and the
+    matmuls batch perfectly on the MXU. Batch is padded to a pow2
+    bucket so concurrent requests (engine/asr.py micro-batcher) share
+    one compiled program and one weight stream."""
+    b = len(mels)
+    b_pad = 1
+    while b_pad < b:
+        b_pad *= 2
+    mel0 = np.asarray(mels[0])
+    mel_arr = np.zeros((b_pad,) + mel0.shape, mel0.dtype)
+    for i, m in enumerate(mels):
+        mel_arr[i] = m
+    enc = encode(cfg, params, jnp.asarray(mel_arr))        # [B, S, H]
+    forced = [cfg.decoder_start_token_id] + [
+        t for _i, t in sorted(cfg.forced_decoder_ids)]
+    n_forced = len(forced)
+    total = min(n_forced + max_new_tokens, cfg.max_target_positions)
+    buf = np.full((b_pad, total), cfg.eos_token_id, np.int32)
+    buf[:, :n_forced] = forced
+
+    sup = np.zeros(cfg.vocab_size, bool)
+    for t in cfg.suppress_tokens:
+        if t < cfg.vocab_size:
+            sup[t] = True
+
+    fn = _get_greedy_fn(cfg, n_forced, total)
+    out = np.asarray(fn(params, jnp.asarray(buf), enc, jnp.asarray(sup)))
+    results: List[List[int]] = []
+    for row in out[:b]:
+        toks: List[int] = []
+        for t in row[n_forced:]:
+            if int(t) == cfg.eos_token_id:
+                break
+            toks.append(int(t))
+        results.append(toks)
+    return results
+
+
+def greedy_transcribe_tokens(cfg: WhisperConfig, params: WhisperParams,
+                             mel: np.ndarray,
+                             max_new_tokens: int = 64) -> List[int]:
+    """Greedy decode one 30s window (batch-of-one convenience)."""
+    return greedy_transcribe_tokens_batch(
+        cfg, params, [mel], max_new_tokens=max_new_tokens)[0]
