@@ -419,10 +419,10 @@ class ContinuousBatchEngine:
         # admit, run windows twice as long to amortize it (chains
         # survive length changes; overshoot past EOS is discarded).
         if (not batch.decode_steps and self.cfg.pipeline_decode
-                and len(batch.decode_seqs) <= 4
                 and not batch.prefill_chunks
                 and not self.scheduler.waiting):
-            t_steps = min(2 * t_steps, 16)
+            t_steps = self.runner.adaptive_window_steps(
+                t_steps, len(batch.decode_seqs))
         pf_chunk = None
         will_decode = any(s.phase == Phase.DECODING
                           and (s.guided_processor is None

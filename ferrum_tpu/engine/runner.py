@@ -1331,23 +1331,38 @@ class ModelRunner:
                 done += 1
         return done
 
+    def adaptive_window_steps(self, t_steps: int, n_active: int) -> int:
+        """Low-occupancy window doubling: each dispatched window pays a
+        fixed host/transport cost (~16-19 ms on the tunneled chip), so
+        at <= 4 active lanes run windows twice as long (cap 16)."""
+        if n_active <= 4:
+            return min(2 * t_steps, 16)
+        return t_steps
+
     def warm_decode_buckets(self) -> int:
         """For every compiled decode-window variant, no-op compile all
         SMALLER lane buckets (and their mixed variants) so occupancy
-        shrinking at a cell's tail never compiles mid-measurement."""
+        shrinking at a cell's tail never compiles mid-measurement.
+        Low buckets also warm their adaptive doubled-window variant
+        (the engine only doubles when no prefill chunk rides, so the
+        plain p_rows=0 program is the one that must exist)."""
         done = 0
         for (ctx_pad, num_steps, s_pad, greedy, guided, grows, p_rows) \
                 in list(self._decode_multi_fns.keys()):
             for b in self.cfg.decode_buckets:
-                if b >= s_pad:
+                if b > s_pad:
                     break
-                key = (ctx_pad, num_steps, b, greedy, guided, grows,
-                       p_rows)
-                if key in self._decode_multi_fns:
-                    continue
-                self._warm_window(ctx_pad, num_steps, b, greedy, guided,
-                                  grows, p_rows)
-                done += 1
+                want = [(num_steps, p_rows)] if b < s_pad else []
+                t2 = self.adaptive_window_steps(num_steps, b)
+                if t2 != num_steps:
+                    want.append((t2, 0))
+                for t_w, p_w in want:
+                    key = (ctx_pad, t_w, b, greedy, guided, grows, p_w)
+                    if key in self._decode_multi_fns:
+                        continue
+                    self._warm_window(ctx_pad, t_w, b, greedy, guided,
+                                      grows, p_w)
+                    done += 1
         return done
 
     # ------------------------------------------------------------------

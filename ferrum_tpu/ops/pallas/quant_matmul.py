@@ -39,6 +39,23 @@ BKB = 128                # packed byte rows per K step (= 256 weight rows)
 BN = 256
 
 
+def _bm_cap(bkb: int, bn: int, budget: int = 5 << 20) -> int:
+    """Largest m-tile whose per-tile VMEM residents (two int8 xq tiles,
+    int32/f32 accumulator, out tile) fit `budget` bytes. Every m-tile
+    RE-STREAMS the full weight tensor (grid (m/bm, n/bn, k), weights
+    indexed (kk, j)), so a small cap multiplies HBM weight traffic —
+    bm=256 at m=2048 batched prefill cost an 8x re-stream."""
+    # Residents: two int8 xq tiles (double-buffered by Mosaic), the
+    # int32 accumulator scratch and the out tile. Measured: bm=2048 at
+    # (bkb=512, bn=512) needs 20.5 MB scoped vmem (> the 16 MB limit);
+    # bm=1024 fits.
+    per_row = 2 * 2 * bkb + 4 * bn + 2 * bn
+    cap = 256
+    while cap < 2048 and (cap * 2) * per_row <= budget:
+        cap *= 2
+    return cap
+
+
 def _qmm_kernel(x_lo_ref, x_hi_ref, qw_ref, sc_ref, z_ref, o_ref, acc_ref,
                 *, n_k_steps: int, half_groups: int, bn: int, gpt: int,
                 out_dtype):
@@ -224,9 +241,9 @@ def _quant_matmul_w4a8_2d(xq: jnp.ndarray, xs: jnp.ndarray,
             bn //= 2
     if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return None                     # caller falls back to w4a16
-    # m-tiling: cap resident rows so xq tiles + f32 accumulator fit the
-    # 16 MB scoped-VMEM budget at prefill batches (m = B*T).
-    bm = min(m, 256)
+    # m-tiling: see _bm_cap — the cap trades VMEM residency against
+    # whole-weight re-streams per m-tile.
+    bm = min(m, _bm_cap(bkb, bn))
     while bm > 32 and m % bm:
         bm //= 2
     if m % bm:
@@ -341,7 +358,7 @@ def _quant_matmul_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
     if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return None
     if bm is None:
-        bm = min(m, 256)
+        bm = min(m, _bm_cap(bkb, bn))
     while bm > 32 and m % bm:
         bm //= 2
     if m % bm:
@@ -464,7 +481,7 @@ def _quant_matmul_w4a8tl_gd(xq: jnp.ndarray, xs: jnp.ndarray,
     if p.group_size != GROUP or bkb < GROUP or (n % bn):
         return None
     if bm is None:
-        bm = min(m, 256)
+        bm = min(m, _bm_cap(bkb, bn))
     while bm > 32 and m % bm:
         bm //= 2
     if m % bm:
@@ -579,10 +596,11 @@ def quant_matmul_w4a8(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
 _W4A8 = False
 # Group-dot decode kernel (scale/zero on the output side); see
 # _qmm_w4a8tl_gd_kernel. Mode: "off" | "all" | "down" (down-projection
-# shapes only, in_features > out_features — the one shape class where
-# gd beat the plain w4a8 correction kernel on v5e). Governed by
+# shapes only). Window-level A/B on v5e measured NO net win for any
+# mode (all: +0.9 ms/step, down: wash) — off by default; kept for
+# re-tuning on other chips/shapes. Governed by
 # EngineConfig.w4a8_gd (FERRUM_W4A8_GD) via the builder, like _W4A8.
-_W4A8_GD = "down"
+_W4A8_GD = "off"
 
 
 def set_w4a8_gd(mode) -> None:
