@@ -423,6 +423,12 @@ class ContinuousBatchEngine:
                 and not self.scheduler.waiting):
             t_steps = self.runner.adaptive_window_steps(
                 t_steps, len(batch.decode_seqs))
+        elif (not batch.decode_steps and batch.prefill_chunks
+                and self.scheduler.waiting):
+            # Admission pileup (initial burst): shorter windows between
+            # prefill waves pull every queued request's first token
+            # forward; steady-state iterations return to full length.
+            t_steps = max(4, t_steps // 2)
         pf_chunk = None
         will_decode = any(s.phase == Phase.DECODING
                           and (s.guided_processor is None
