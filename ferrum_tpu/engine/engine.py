@@ -368,6 +368,11 @@ class ContinuousBatchEngine:
         pinned = self._inflight.covered if self._inflight is not None \
             else frozenset()
         with self._lock:
+            # Flush queued prefix-store saves as ONE dispatch, before
+            # any admission can overwrite a source slot region or
+            # restore a still-pending hash (kv/linear_prefix.py).
+            if hasattr(self.prefix_cache, "flush_pending"):
+                self.prefix_cache.flush_pending()
             batch = self.scheduler.next_batch(pinned=pinned)
             for seq in batch.admitted:
                 self.runner.admit_slot(seq)

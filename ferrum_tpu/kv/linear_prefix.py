@@ -43,13 +43,33 @@ class LinearPrefixCache(PrefixCache):
                          enabled=enabled, policy=policy)
         self.runner = runner
         runner.ensure_prefix_store(num_blocks)
+        # Deferred slot→store copies: every dispatch costs ~16-19 ms of
+        # host/transport on the tunneled chip, so per-finish copies cost
+        # ~11% of c=32 throughput (bench r3). Saves queue here and the
+        # engine flushes ONE batched copy per iteration, BEFORE any
+        # same-iteration admission can overwrite a source slot region
+        # or restore a still-pending hash (device order then guarantees
+        # content correctness).
+        self._pending_save: List[tuple] = []
+
+    def flush_pending(self) -> None:
+        """Dispatch all queued slot→store copies as one program."""
+        if not self._pending_save:
+            return
+        # Last-wins dedupe by destination: an evicted-and-reallocated
+        # store block may appear twice; duplicate scatter indices in one
+        # program are nondeterministic.
+        ordered = {d: s for s, d in self._pending_save}
+        self._pending_save.clear()
+        self.runner.copy_prefix_blocks(
+            list(ordered.values()), list(ordered.keys()), to_store=True)
 
     def insert(self, tokens: Sequence[int],
                block_ids: Sequence[int]) -> None:
         """Register a finished sequence's full prompt blocks: allocate
-        store blocks for uncached hashes and dispatch ONE device copy
-        slot→store. Must run before the slot region is rewritten by a
-        later admission — engine dispatch order guarantees this."""
+        store blocks for uncached hashes and QUEUE the device copy
+        slot→store (flushed in one batched dispatch per engine
+        iteration — see flush_pending)."""
         if not self.enabled:
             return
         page = self.pool.page_size
@@ -74,6 +94,5 @@ class LinearPrefixCache(PrefixCache):
             self._hash_of_block[b] = h
             src.append(block_ids[i])
             dst.append(b)
-        if src:
-            self.runner.copy_prefix_blocks(src, dst, to_store=True)
+        self._pending_save.extend(zip(src, dst))
         self.stats.cached_blocks = len(self._by_hash)
