@@ -146,6 +146,7 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
                 with lock:
                     errors.append(repr(e))
 
+    comp0 = engine.runner.compilations
     t_start = time.monotonic()
     threads = [threading.Thread(target=worker) for _ in range(concurrency)]
     for t in threads:
@@ -153,6 +154,7 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
     for t in threads:
         t.join()
     wall = time.monotonic() - t_start
+    compiled = engine.runner.compilations - comp0
 
     total_out = sum(r.output_tokens for r in results)
     all_itls = [x for r in results for x in r.itls]
@@ -170,6 +172,10 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
         "tpot_p95_ms": _pct([r.tpot for r in results], 95) * 1e3,
         "itl_p95_ms": _pct(all_itls, 95) * 1e3,
         "e2e_p50_ms": _pct([r.e2e for r in results], 50) * 1e3,
+        # Programs compiled DURING the measured window — nonzero means
+        # a warmup hole (each remote compile lands in some request's
+        # TTFT; the c=4 r3 stall was exactly this).
+        "compilations_during_cell": compiled,
     }
 
 
