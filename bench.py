@@ -72,6 +72,12 @@ def main() -> None:
         model="bench", max_num_seqs=n_seqs, max_num_batched_tokens=2048,
         max_model_len=max_len, prefill_chunk_size=512, kv_block_size=32,
         kv_layout="linear",   # slot-contiguous serving fast path
+        # Random-prompt cells can't hit the prefix store; its extent +
+        # per-iteration flush only cost HBM headroom here (observed
+        # RESOURCE_EXHAUSTED at this 8B/32-slot config). Reuse evidence:
+        # tools/bench_prefix_ttft.py. FERRUM_PREFIX_CACHE_BLOCKS
+        # overrides.
+        prefix_cache_blocks=0,
         # T=8 windows: the fixed per-dispatch cost (~16-19 ms over the
         # tunnel) dominates short windows — T=8 is +13% at c=32 and
         # +14% at c=1 vs T=4 (NOTES_ROUND3 T-sweep); the engine doubles

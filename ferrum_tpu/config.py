@@ -178,8 +178,9 @@ class EngineConfig:
     # Cache eviction policy (ref: managers/eviction.rs LRU/FIFO/Clock).
     prefix_cache_policy: str = "lru"    # lru | fifo | clock
     # Linear layout only: size (in KV blocks) of the dedicated prefix
-    # store extent (kv/linear_prefix.py). -1 = auto (a quarter of the
-    # slot pool), 0 = disable copy-based prefix reuse.
+    # store extent (kv/linear_prefix.py). -1 = auto (an eighth of the
+    # slot pool, capped by measured free HBM), 0 = disable copy-based
+    # prefix reuse.
     prefix_cache_blocks: int = -1
 
     # --- numerics / quant ---
@@ -196,8 +197,9 @@ class EngineConfig:
     w4a8_two_level: bool = True
     # Group-dot decode kernel (m <= 64): MXU consumes raw nibbles, the
     # two-level scale/zero move to the output side (exact).
-    # off | all | down (down-projection shapes only — the measured win).
-    w4a8_gd: str = "down"
+    # off | all | down; window-level A/B on v5e showed no net win, so
+    # off by default (re-tune per chip generation).
+    w4a8_gd: str = "off"
     # Build-time projection fusion: concat q|k|v and gate|up along the
     # out dim so each layer issues one kernel per site (fixed per-call
     # pipeline spin-up dominates at decode m). Disabled automatically
@@ -336,7 +338,7 @@ class EngineConfig:
         if self.prefix_cache_blocks >= 0:
             return self.prefix_cache_blocks
         return max(self.max_blocks_per_seq,
-                   self.num_slots * self.max_blocks_per_seq // 4)
+                   self.num_slots * self.max_blocks_per_seq // 8)
 
     @property
     def num_slots(self) -> int:

@@ -263,7 +263,7 @@ class ModelRunner:
         return per
 
     def prefix_store_budget_blocks(self,
-                                   headroom_bytes: int = 3 << 30) -> int:
+                                   headroom_bytes: int = 4 << 30) -> int:
         """How many store blocks fit in free HBM after a headroom for
         program transients (batched-prefill logits peak >1 GB at 8B
         vocab). Unknown backends (no memory_stats) return a huge cap —
