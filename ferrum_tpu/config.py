@@ -82,6 +82,10 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
                              "fold one prefill chunk per decode window "
                              "into the window's trunk (rides the "
                              "already-paid weight stream)"),
+    "FERRUM_GDN_CHUNKED": ("gdn_chunk_block", int,
+                           "GDN prefill blocked-recurrence tile "
+                           "(WY-form matmul blocks; 0 = per-position "
+                           "sequential scan)"),
     "FERRUM_FUSE_SITES": ("fuse_sites", str,
                           "comma list of build-time fusion sites: "
                           "qkv,gate_up,moe (moe off by default — "
@@ -182,6 +186,12 @@ class EngineConfig:
     # slot pool, capped by measured free HBM), 0 = disable copy-based
     # prefix reuse.
     prefix_cache_blocks: int = -1
+
+    # GDN (linear-attention) prefill: blocked WY-form recurrence tile.
+    # The intra-block delta rule becomes [tile, tile] MXU matmuls + one
+    # triangular solve; only T/tile handoffs stay sequential. 0 falls
+    # back to the per-position lax.scan (the parity oracle).
+    gdn_chunk_block: int = 64
 
     # --- numerics / quant ---
     dtype: str = "bf16"

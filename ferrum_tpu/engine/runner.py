@@ -1058,7 +1058,8 @@ class ModelRunner:
                     params, mc, kv, packed[:, 0], packed[:, 2],
                     block_tables, total_lens, packed[:, 3],
                     ctx_pad=ctx_pad, attn_impl=attn_impl, rec=rec,
-                    slots=slots, rec_reset=reset)
+                    slots=slots, rec_reset=reset,
+                    gdn_block=self.cfg.gdn_chunk_block)
                 rec_conv, rec_delta = rec["conv"], rec["delta"]
             else:
                 h, kv = prefill_forward_batched(

@@ -191,12 +191,37 @@ def gdn_prefill_chunk(
     conv_state: jnp.ndarray,    # [B, C, K-1] carried across chunks
     delta_state: jnp.ndarray,   # f32 [B, Hv, dk, dv]
     valid: jnp.ndarray,         # bool [B, T] real (non-pad) tokens
+    block: int = 64,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Chunked prefill -> (out [B, T, H], conv', delta').
 
+    Dispatch: the blocked WY-form path (matmul recurrence over `block`-
+    sized tiles, the chunked analog of the reference's
+    gated_delta_rule.cu chunk kernels) when T divides into blocks and
+    `valid` is a per-row prefix mask (the engine's invariant: pads only
+    trail); else the per-position sequential scan (the oracle)."""
+    t = x.shape[1]
+    blk = min(int(block or 0), t)
+    if blk > 1 and t % blk == 0:
+        return _gdn_prefill_blocked(cfg, p, x, conv_state, delta_state,
+                                    valid, blk)
+    return _gdn_prefill_sequential(cfg, p, x, conv_state, delta_state,
+                                   valid)
+
+
+def _gdn_prefill_sequential(
+    cfg, p: GdnLayerParams,
+    x: jnp.ndarray,             # [B, T, H] one chunk per row
+    conv_state: jnp.ndarray,    # [B, C, K-1] carried across chunks
+    delta_state: jnp.ndarray,   # f32 [B, Hv, dk, dv]
+    valid: jnp.ndarray,         # bool [B, T] real (non-pad) tokens
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Per-position reference path (and the blocked path's test oracle).
+
     Projections + norms run batched over all B*T tokens (MXU); only the
     O(dk*dv) recurrence is a lax.scan over T. Pad steps are masked, so
-    states end at each row's last real token."""
+    states end at each row's last real token. Handles arbitrary (non-
+    prefix) valid masks."""
     gc = cfg.gdn
     key_dim = gc.num_key_heads * gc.key_head_dim
     val_dim = gc.num_value_heads * gc.value_head_dim
@@ -238,6 +263,124 @@ def gdn_prefill_chunk(
     y = _gated_norm(cfg, p, out.reshape(bsz * t, gc.num_value_heads,
                                         gc.value_head_dim),
                     z).reshape(bsz * t, val_dim).astype(x.dtype)
+    y = apply_linear(p.out, y).reshape(bsz, t, h)
+    return y, conv2, delta2
+
+
+def _gdn_prefill_blocked(
+    cfg, p: GdnLayerParams,
+    x: jnp.ndarray,             # [B, T, H]
+    conv_state: jnp.ndarray,    # [B, C, K-1]
+    delta_state: jnp.ndarray,   # f32 [B, Hv, dk, dv]
+    valid: jnp.ndarray,         # bool [B, T] PREFIX mask (pads trail)
+    block: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Blocked (WY-form) gated delta rule — the TPU answer to the
+    reference's chunked kernels (gated_delta_rule.cu:41-117 runs the
+    same per-position recurrence; fla-style chunking is the published
+    fast form).
+
+    Unrolling S_t = e^{g_t} S_{t-1} + k_t u_t^T with u_t = beta_t (v_t -
+    k_t^T e^{g_t} S_{t-1}) over a block, with b_t = cumsum(g) inside the
+    block:
+
+        (I + A) U = beta (.) V - (beta e^b) (.) (K S_0)
+        A[t,i]    = beta_t e^{b_t - b_i} (k_t . k_i)        (i < t)
+        O         = (e^b (.) Q) S_0 + M U,
+        M[t,i]    = e^{b_t - b_i} (q_t . k_i)               (i <= t)
+        S'        = e^{b_T} S_0 + (e^{b_T - b} (.) K)^T U
+
+    so the whole intra-block recurrence becomes [block, block] matmuls
+    on the MXU plus ONE unit-lower triangular solve; only the block-to-
+    block state handoff stays sequential (T/block scan steps instead of
+    T). Pad steps are folded in exactly as g = 0, beta = 0: no decay, no
+    write, u = 0 — the carried states match the sequential path's
+    masked scan bit-for-bit in exact arithmetic.
+
+    The depthwise conv runs positionally over the whole chunk (valid is
+    a prefix mask, so no real token ever sees pad history); the carried
+    conv window is gathered at each row's last real token."""
+    gc = cfg.gdn
+    key_dim = gc.num_key_heads * gc.key_head_dim
+    val_dim = gc.num_value_heads * gc.value_head_dim
+    bsz, t, h = x.shape
+    flat = x.reshape(bsz * t, h)
+    qkvz = apply_linear(p.in_qkvz, flat)
+    ba = apply_linear(p.in_ba, flat)
+    q, k, v, z, b, a = split_qkvz_ba(cfg, qkvz, ba)
+    mixed = jnp.concatenate(
+        [q.reshape(bsz, t, key_dim), k.reshape(bsz, t, key_dim),
+         v.reshape(bsz, t, val_dim)], axis=-1)        # [B, T, C]
+    g_all, beta_all = _decay_beta(
+        cfg, p, a.reshape(bsz, t, -1), b.reshape(bsz, t, -1))
+    keep = valid[..., None]
+    g_all = jnp.where(keep, g_all, 0.0)               # pad: no decay
+    beta_all = jnp.where(keep, beta_all, 0.0)         # pad: no write
+
+    # Positional depthwise conv over [prev window | chunk inputs].
+    kk = p.conv_w.shape[1]
+    fullw = jnp.concatenate(
+        [conv_state, jnp.swapaxes(mixed, 1, 2)], axis=2)  # [B, C, K-1+T]
+    conv_acc = fullw[:, :, 0:t] * p.conv_w[None, :, 0, None]
+    for j in range(1, kk):
+        conv_acc = conv_acc + fullw[:, :, j:j + t] * p.conv_w[None, :, j, None]
+    conv_out = jax.nn.silu(conv_acc.astype(jnp.float32)).astype(x.dtype)
+    conv_out = jnp.swapaxes(conv_out, 1, 2)           # [B, T, C]
+    nv = jnp.sum(valid.astype(jnp.int32), axis=1)     # [B]
+    widx = nv[:, None] + jnp.arange(kk - 1, dtype=jnp.int32)[None, :]
+    conv2 = jnp.take_along_axis(fullw, widx[:, None, :], axis=2)
+
+    qh = conv_out[..., :key_dim].reshape(
+        bsz, t, gc.num_key_heads, gc.key_head_dim)
+    kh = conv_out[..., key_dim:2 * key_dim].reshape(
+        bsz, t, gc.num_key_heads, gc.key_head_dim)
+    vh = conv_out[..., 2 * key_dim:].reshape(
+        bsz, t, gc.num_value_heads, gc.value_head_dim)
+    qh, kh, vh = _prep_heads(cfg, qh, kh, vh)         # f32 [B, T, Hv, d]
+    hv, dk = qh.shape[2], qh.shape[3]
+    dv = vh.shape[3]
+
+    nblk = t // block
+    # [N, B, Hv, block, d] — block-major for the scan.
+    def to_blocks(arr):
+        return jnp.moveaxis(
+            arr.reshape(bsz, nblk, block, *arr.shape[2:]), 1, 0)
+    qb, kb, vb = (jnp.swapaxes(to_blocks(u), 2, 3) for u in (qh, kh, vh))
+    gb = jnp.swapaxes(to_blocks(g_all), 2, 3)         # [N, B, Hv, block]
+    bb = jnp.swapaxes(to_blocks(beta_all), 2, 3)
+
+    tt = jnp.arange(block)
+    lower_strict = tt[:, None] > tt[None, :]
+    lower_incl = tt[:, None] >= tt[None, :]
+    neg_inf = jnp.float32(-jnp.inf)
+
+    def blk_body(s0, inp):
+        qq, kx, vv, gg, be = inp                      # [B, Hv, block, *]
+        cum = jnp.cumsum(gg, axis=-1)                 # b_t, inclusive
+        d_mat = cum[..., :, None] - cum[..., None, :]  # b_t - b_i
+        e_strict = jnp.exp(jnp.where(lower_strict, d_mat, neg_inf))
+        e_incl = jnp.exp(jnp.where(lower_incl, d_mat, neg_inf))
+        a_mat = be[..., :, None] * e_strict * jnp.einsum(
+            "bhtk,bhik->bhti", kx, kx)
+        rhs = be[..., None] * vv - (be * jnp.exp(cum))[..., None] \
+            * jnp.einsum("bhtk,bhkv->bhtv", kx, s0)
+        u_blk = jax.scipy.linalg.solve_triangular(
+            a_mat, rhs, lower=True, unit_diagonal=True)
+        m_mat = e_incl * jnp.einsum("bhtk,bhik->bhti", qq, kx)
+        o_blk = jnp.exp(cum)[..., None] * jnp.einsum(
+            "bhtk,bhkv->bhtv", qq, s0) \
+            + jnp.einsum("bhti,bhiv->bhtv", m_mat, u_blk)
+        last = cum[..., -1:]                          # [B, Hv, 1]
+        s1 = jnp.exp(last)[..., None] * s0 + jnp.einsum(
+            "bhtk,bhtv->bhkv", kx * jnp.exp(last - cum)[..., None], u_blk)
+        return s1, o_blk
+
+    delta2, outs = jax.lax.scan(
+        blk_body, delta_state.astype(jnp.float32), (qb, kb, vb, gb, bb))
+    out = jnp.moveaxis(outs, 0, 1).swapaxes(2, 3).reshape(
+        bsz * t, hv, dv)                              # [B*T, Hv, dv]
+    y = _gated_norm(cfg, p, out, z).reshape(
+        bsz * t, val_dim).astype(x.dtype)
     y = apply_linear(p.out, y).reshape(bsz, t, h)
     return y, conv2, delta2
 

@@ -774,6 +774,7 @@ def prefill_forward_batched(
     rec: Optional[dict] = None,  # hybrid recurrent state pools
     slots: Optional[jnp.ndarray] = None,       # int32 [B] row -> slot
     rec_reset: Optional[jnp.ndarray] = None,   # bool [B] chunk 0 rows
+    gdn_block: int = 64,         # GDN blocked-recurrence tile (0 = scan)
 ):
     """Chunked prefill for B sequences fused into ONE program.
 
@@ -867,7 +868,7 @@ def prefill_forward_batched(
                     rec_reset[:, None, None, None], 0.0, delta_rows)
             y, c2, d2 = gdn_prefill_chunk(
                 cfg, lp.gdn, x.reshape(b, t_pad, -1), conv_rows,
-                delta_rows, valid)
+                delta_rows, valid, block=gdn_block)
             rec["conv"] = rec["conv"].at[gi, slots].set(c2, mode="drop")
             rec["delta"] = rec["delta"].at[gi, slots].set(d2, mode="drop")
             return y.reshape(b * t_pad, -1)

@@ -172,3 +172,64 @@ def test_init_random_shapes():
         CFG, p, x, jnp.zeros((3, conv_dim, K - 1), jnp.float32),
         jnp.zeros((3, HV, DK, DV), jnp.float32), jnp.ones(3, bool))
     assert out.shape == (3, H)
+
+
+def test_blocked_prefill_matches_sequential_scan(oracle):
+    """The WY-form blocked recurrence (_gdn_prefill_blocked) reproduces
+    the per-position sequential scan across multiple blocks, a carried-in
+    nonzero state, and trailing pads (outputs compared on valid tokens;
+    carried states everywhere)."""
+    from ferrum_tpu.models.gdn import (
+        _gdn_prefill_blocked, _gdn_prefill_sequential,
+    )
+    _, p = oracle
+    rng = np.random.default_rng(7)
+    bsz, tpad = 3, 24
+    lens = [24, 17, 9]
+    conv_dim = 2 * HK * DK + HV * DV
+    conv0 = jnp.asarray(rng.normal(
+        0, 1, (bsz, conv_dim, K - 1)).astype(np.float32))
+    delta0 = jnp.asarray(rng.normal(
+        0, 0.5, (bsz, HV, DK, DV)).astype(np.float32))
+    xb = rng.normal(0, 1, (bsz, tpad, H)).astype(np.float32)
+    valid = np.zeros((bsz, tpad), bool)
+    for i, n in enumerate(lens):
+        valid[i, :n] = True
+        xb[i, n:] = 99.0  # poison pads
+    x = jnp.asarray(xb)
+    v = jnp.asarray(valid)
+
+    want, conv_s, delta_s = _gdn_prefill_sequential(
+        CFG, p, x, conv0, delta0, v)
+    for block in (4, 8, 24):
+        got, conv_b, delta_b = _gdn_prefill_blocked(
+            CFG, p, x, conv0, delta0, v, block)
+        for i, n in enumerate(lens):
+            np.testing.assert_allclose(
+                np.asarray(got[i, :n]), np.asarray(want[i, :n]),
+                atol=2e-4, rtol=2e-3, err_msg=f"block={block} row={i}")
+        np.testing.assert_allclose(np.asarray(conv_b),
+                                   np.asarray(conv_s), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(delta_b),
+                                   np.asarray(delta_s), atol=1e-4,
+                                   rtol=1e-3)
+
+
+def test_prefill_chunk_dispatch_fallback():
+    """Non-divisible T or block=0 falls back to the sequential path."""
+    p = init_gdn_layer(CFG, np.random.default_rng(0), dtype=jnp.float32)
+    conv_dim = 2 * HK * DK + HV * DV
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.normal(0, 1, (1, 10, H)).astype(np.float32))
+    conv0 = jnp.zeros((1, conv_dim, K - 1), jnp.float32)
+    delta0 = jnp.zeros((1, HV, DK, DV), jnp.float32)
+    v = jnp.ones((1, 10), bool)
+    base, c0, d0 = gdn_prefill_chunk(CFG, p, x, conv0, delta0, v, block=0)
+    # block=7 does not divide 10 -> sequential; block=5 -> blocked.
+    for blk in (7, 5, 10):
+        out, c2, d2 = gdn_prefill_chunk(CFG, p, x, conv0, delta0, v,
+                                        block=blk)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(base),
+                                   atol=2e-4, rtol=2e-3)
+        np.testing.assert_allclose(np.asarray(d2), np.asarray(d0),
+                                   atol=1e-4, rtol=1e-3)
