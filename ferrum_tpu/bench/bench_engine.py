@@ -147,6 +147,7 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
                     errors.append(repr(e))
 
     comp0 = engine.runner.compilations
+    log0 = len(engine.runner.compile_log)
     t_start = time.monotonic()
     threads = [threading.Thread(target=worker) for _ in range(concurrency)]
     for t in threads:
@@ -176,6 +177,8 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
         # a warmup hole (each remote compile lands in some request's
         # TTFT; the c=4 r3 stall was exactly this).
         "compilations_during_cell": compiled,
+        "compiled_in_cell": [repr(e) for e in
+                             engine.runner.compile_log[log0:]],
     }
 
 

@@ -31,6 +31,10 @@ def _add_engine_flags(p: argparse.ArgumentParser) -> None:
                    help="KV blocks (0 = autosize from HBM)")
     p.add_argument("--kv-block-size", type=int, default=None)
     p.add_argument("--kv-dtype", default=None, choices=["bf16", "f32", "int8"])
+    p.add_argument("--kv-layout", default=None,
+                   choices=["paged", "linear", "auto"],
+                   help="auto (default): linear fast path when the "
+                        "per-slot reservation fits HBM, else paged")
     p.add_argument("--quantization", default=None,
                    choices=["none", "gptq_int4", "gguf_q4k"])
     p.add_argument("--enable-prefix-cache", action="store_true", default=None)
@@ -63,6 +67,7 @@ def _build_engine(args) -> "Any":
         "kv_num_blocks": args.kv_capacity,
         "kv_block_size": args.kv_block_size,
         "kv_dtype": args.kv_dtype,
+        "kv_layout": args.kv_layout,
         "quantization": args.quantization,
         "enable_prefix_cache": args.enable_prefix_cache,
         "scheduler": args.scheduler,
@@ -73,8 +78,10 @@ def _build_engine(args) -> "Any":
         "spec_num_tokens": args.spec_num_tokens,
         "seed": args.seed,
     }
+    # Base layer (lowest precedence): the CLI serves the fast path by
+    # default — env/toml/flags still override.
     cfg = EngineConfig.resolve(cli_overrides=overrides,
-                               toml_path=args.config)
+                               toml_path=args.config, kv_layout="auto")
     builder = EngineBuilder(cfg)
     if getattr(args, "tensor_parallel", None) and args.tensor_parallel > 1:
         from .parallel.mesh import make_mesh

@@ -41,7 +41,9 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_ENABLE_CHUNKED_PREFILL": ("enable_chunked_prefill", bool, ""),
     "FERRUM_SCHEDULER": ("scheduler", str, "continuous|fifo|priority"),
     "FERRUM_KV_DTYPE": ("kv_dtype", str, "bf16|f32|int8"),
-    "FERRUM_KV_LAYOUT": ("kv_layout", str, "paged|linear"),
+    "FERRUM_KV_LAYOUT": ("kv_layout", str,
+                         "paged|linear|auto (auto: linear when the "
+                         "per-slot reservation fits HBM, else paged)"),
     "FERRUM_DTYPE": ("dtype", str, "activation/weight dtype: bf16|f32"),
     "FERRUM_QUANT": ("quantization", str, "none|gptq_int4|gguf_q4k"),
     "FERRUM_W4A8": ("w4a8", bool,
@@ -175,8 +177,12 @@ class EngineConfig:
     #          block pressure (the reference's vLLM-style layout).
     # "linear": every slot owns a contiguous max_model_len region —
     #          attention is a fused dense slice with no gather (the TPU
-    #          serving fast path); prefix sharing and KV-pressure
-    #          preemption don't apply (capacity is reserved per slot).
+    #          serving fast path); prefix reuse is copy-based via the
+    #          store extent (kv/linear_prefix.py); KV-pressure
+    #          preemption doesn't apply (capacity is reserved per slot).
+    # "auto":  linear when the per-slot reservation fits the autosized
+    #          HBM budget and no explicit kv_num_blocks was pinned,
+    #          else paged (the CLI's default; see engine/builder.py).
     kv_layout: str = "paged"
     enable_prefix_cache: bool = True
     # Cache eviction policy (ref: managers/eviction.rs LRU/FIFO/Clock).
@@ -297,7 +303,7 @@ class EngineConfig:
             raise InvalidRequestError("unknown scheduler", param="scheduler")
         if self.kv_dtype not in ("bf16", "f32", "int8"):
             raise InvalidRequestError("unknown kv_dtype", param="kv_dtype")
-        if self.kv_layout not in ("paged", "linear"):
+        if self.kv_layout not in ("paged", "linear", "auto"):
             raise InvalidRequestError("unknown kv_layout", param="kv_layout")
         if self.quantization not in ("none", "gptq_int4", "gguf_q4k"):
             raise InvalidRequestError("unknown quantization", param="quantization")

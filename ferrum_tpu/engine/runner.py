@@ -228,6 +228,10 @@ class ModelRunner:
         self.decode_steps = 0
         self.prefill_steps = 0
         self.compilations = 0
+        # Compile audit trail: (site, key) per jit trace — the warmers'
+        # coverage is asserted against this (a mid-cell entry in a bench
+        # is a warm-up hole; bench_engine counts them per cell).
+        self.compile_log: list = []
         self.decode_device_time = 0.0
         self.decode_sync_time = 0.0
         self.prefill_device_time = 0.0
@@ -329,6 +333,7 @@ class ModelRunner:
                                                     else ()))
         self._prefix_copy_fns[r_pad] = fn
         self.compilations += 1
+        self.compile_log.append(("prefix_copy", r_pad))
         return fn
 
     def copy_prefix_blocks(self, src_blocks: List[int],
@@ -386,6 +391,7 @@ class ModelRunner:
             fn = jax.jit(add, donate_argnums=(0,))
             self._count_fns[n_pad] = fn
             self.compilations += 1
+            self.compile_log.append(("counts", n_pad))
         arr = np.full(n_pad, v, np.int32)   # pads: vocab → dropped
         arr[:n] = tokens
         self.counts = fn(self.counts, slot, jnp.asarray(arr))
@@ -514,6 +520,7 @@ class ModelRunner:
         fn = jax.jit(step, donate_argnums=(1, 2, 3, 8, 9))
         self._decode_fns[key] = fn
         self.compilations += 1
+        self.compile_log.append(("decode1", key))
         return fn
 
     def _get_decode_window_fn(self, ctx_pad: int, num_steps: int,
@@ -844,6 +851,7 @@ class ModelRunner:
         fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 5, 8, 13, 14))
         self._decode_multi_fns[key] = fn
         self.compilations += 1
+        self.compile_log.append(("window", key))
         return fn
 
     def start_decode_window(self, seqs: List[Sequence], num_steps: int,
@@ -1126,6 +1134,7 @@ class ModelRunner:
         fn = jax.jit(step, donate_argnums=(1, 2, 7, 12, 13))
         self._prefill_batch_fns[key] = fn
         self.compilations += 1
+        self.compile_log.append(("prefill", key))
         return fn
 
     def run_prefill_batch(self, chunks: List[PrefillChunk],
