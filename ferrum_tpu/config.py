@@ -370,11 +370,16 @@ class EngineConfig:
         toml_path: Optional[str] = None,
         **base: Any,
     ) -> "EngineConfig":
-        """Merge sources with precedence CLI > env > file > defaults."""
+        """Merge sources with precedence CLI > env > file > defaults.
+
+        ``**base`` is the DEFAULTS layer (lowest precedence): a TOML
+        file, the FERRUM_* env registry, and CLI flags each override it
+        in turn. (Advisor r3: setdefault here made base beat the file,
+        silently ignoring e.g. a TOML-pinned kv_layout.)
+        """
         merged: Dict[str, Any] = dict(base)
         if toml_path and os.path.exists(toml_path):
-            for k, v in load_toml_runtime(toml_path).items():
-                merged.setdefault(k, v)
+            merged.update(load_toml_runtime(toml_path))
         file_layer = dict(merged)
         env_layer = snapshot_from_process_env(environ)
         file_layer.update(env_layer)

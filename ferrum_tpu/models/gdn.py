@@ -38,6 +38,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops.linear import LinearParams, apply_linear
 
@@ -203,6 +204,20 @@ def gdn_prefill_chunk(
     t = x.shape[1]
     blk = min(int(block or 0), t)
     if blk > 1 and t % blk == 0:
+        # Contract (advisor r3): the blocked path's positional conv and
+        # carried-window gather are only correct for PREFIX valid masks
+        # (pads strictly trailing) — the engine's chunked-prefill
+        # invariant. A concrete (non-traced) mask is checked here; a
+        # traced mask relies on the caller honoring the contract.
+        if isinstance(valid, (np.ndarray, jnp.ndarray)) and not isinstance(
+                valid, jax.core.Tracer):
+            v = np.asarray(valid)
+            lengths = v.sum(axis=1)
+            is_prefix = all(bool(v[i, :int(n)].all()) and not v[i, int(n):].any()
+                            for i, n in enumerate(lengths))
+            if not is_prefix:
+                return _gdn_prefill_sequential(cfg, p, x, conv_state,
+                                               delta_state, valid)
         return _gdn_prefill_blocked(cfg, p, x, conv_state, delta_state,
                                     valid, blk)
     return _gdn_prefill_sequential(cfg, p, x, conv_state, delta_state,

@@ -105,8 +105,14 @@ class DpRouter:
     async def _cleanup(self, app) -> None:
         if self._health_task:
             self._health_task.cancel()
+            try:
+                await self._health_task
+            except asyncio.CancelledError:
+                pass
+            self._health_task = None
         if self._session:
             await self._session.close()
+            self._session = None
 
     async def health(self, request: web.Request) -> web.Response:
         return web.json_response({

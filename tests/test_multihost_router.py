@@ -39,10 +39,17 @@ class RouterHandle:
         self._loop.run_until_complete(site.start())
         self._started.set()
         self._loop.run_forever()
+        # stop() halted the loop; reap the health-poll task and the
+        # aiohttp session here, in the loop's own thread, so nothing
+        # leaks into the next test module (r3 flake: the leaked poll
+        # task polluted test_distributed_cluster's event loop state).
+        self._loop.run_until_complete(runner.cleanup())
+        self._loop.close()
 
     def stop(self):
         if self._loop:
             self._loop.call_soon_threadsafe(self._loop.stop)
+        self._thread.join(timeout=15)
 
 
 @pytest.fixture(scope="module")
