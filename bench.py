@@ -14,6 +14,22 @@ Model weights are random (architecture-true); decode throughput is
 weight-value independent. Size is selected to fit the chip's HBM
 honestly (weights resident + KV pool), scaling down only if the chip
 reports less memory.
+
+Cold-path discipline (round-3 failure: the driver ran this from an
+EMPTY XLA cache and timed out before any cell finished — BENCH_r03
+rc=124):
+  * The persistent compilation cache lives IN THE REPO
+    (.xla_cache/, committed), because the home directory does not
+    survive the session boundary — the driver's run then loads every
+    program instead of paying multi-minute remote compiles.
+  * The HEADLINE c=32 cell runs FIRST and its JSON line is printed the
+    moment it completes; the rest of the ladder is best-effort inside
+    FERRUM_BENCH_BUDGET_S (default 1200 s) and never blocks the line.
+  * The warm surface is trimmed to what this workload can dispatch
+    (prefill_chunk_size == input_len so no unreachable mixed-window
+    p_rows variant compiles; bucket 2 dropped from the ladder).
+  * bench_report.json is (re)written after EVERY cell, so even a
+    killed run leaves a valid partial report.
 """
 
 import json
@@ -25,16 +41,32 @@ BASELINE_C32 = 745.6      # cuda-llama-dense gate, c=32 (BASELINE.md)
 BASELINE_MOE_C32 = 706.0  # cuda-full Qwen3-30B-A3B gate, c=32
                           # (docs/release/g0/0.7.7/cuda-full/summary.json)
 
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _cache_dir() -> str:
+    d = os.environ.get("FERRUM_XLA_CACHE") or os.path.join(REPO, ".xla_cache")
+    try:
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, ".probe")
+        with open(probe, "w") as f:
+            f.write("x")
+        os.remove(probe)
+        return d
+    except OSError:
+        d = os.path.expanduser("~/.cache/ferrum-tpu/xla-cache")
+        os.makedirs(d, exist_ok=True)
+        return d
+
 
 def main() -> None:
     import jax
 
     # Persistent compilation cache: repeat bench runs skip the multi-
-    # minute (remote) compiles entirely.
-    cache_dir = os.path.expanduser("~/.cache/ferrum-tpu/xla-cache")
-    os.makedirs(cache_dir, exist_ok=True)
+    # minute (remote) compiles entirely. Repo-local so it survives to
+    # the driver's end-of-round run (see module docstring).
     try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
         pass
@@ -43,7 +75,7 @@ def main() -> None:
 
     from ferrum_tpu.config import EngineConfig
     from ferrum_tpu.engine.builder import EngineBuilder
-    from ferrum_tpu.bench.bench_engine import run_bench
+    from ferrum_tpu.bench.bench_engine import ScalarStats, run_cell, env_hash
     from ferrum_tpu.models.configs import preset
     from ferrum_tpu.models.llama_family import init_random_params
     from ferrum_tpu.models.quantize import (
@@ -51,12 +83,13 @@ def main() -> None:
     )
 
     t0 = time.time()
+    budget_s = float(os.environ.get("FERRUM_BENCH_BUDGET_S", "1200"))
     model_name = os.environ.get("FERRUM_BENCH_MODEL", "llama-3.1-8b")
     quant = os.environ.get("FERRUM_BENCH_QUANT", "int4")
     c_list = tuple(int(x) for x in os.environ.get(
         "FERRUM_BENCH_CONCURRENCY", "1,4,16,32").split(","))
     n_req = int(os.environ.get("FERRUM_BENCH_REQUESTS", "64"))
-    n_rep = int(os.environ.get("FERRUM_BENCH_REPEATS", "3"))
+    n_rep = int(os.environ.get("FERRUM_BENCH_REPEATS", "2"))
     # Long-context / workload-shape overrides (VERDICT r2 weak #9: the
     # 4k cell runs 2048/128 at c=8 with int8 KV so the pool fits HBM).
     max_len = int(os.environ.get("FERRUM_BENCH_MAXLEN", "1024"))
@@ -70,8 +103,17 @@ def main() -> None:
     # bench defaults (e.g. FERRUM_DECODE_MULTI_STEP sweeps).
     cfg = EngineConfig.resolve(
         model="bench", max_num_seqs=n_seqs, max_num_batched_tokens=2048,
-        max_model_len=max_len, prefill_chunk_size=512, kv_block_size=32,
+        max_model_len=max_len,
+        # Chunk == input_len: every chunk the workload produces is
+        # exactly in_len tokens, so the mixed-window warmer compiles ONE
+        # p_rows variant per (bucket, T) instead of two (cold-path
+        # compile budget; see module docstring).
+        prefill_chunk_size=max(16, min(in_len, 512)),
+        kv_block_size=32,
         kv_layout="linear",   # slot-contiguous serving fast path
+        # Bucket 2 carries ~5 compiled window variants but only ever
+        # serves two-lane drain tails — not worth its cold compiles.
+        decode_bucket_spec="1,4,8",
         # Random-prompt cells can't hit the prefix store; its extent +
         # per-iteration flush only cost HBM headroom here (observed
         # RESOURCE_EXHAUSTED at this 8B/32-slot config). Reuse evidence:
@@ -97,34 +139,88 @@ def main() -> None:
     engine = (EngineBuilder(cfg)
               .with_model(model_cfg, params)
               .build())
-    try:
-        report = run_bench(engine, concurrencies=c_list,
-                           num_requests_per_cell={
-                               c: min(n_req, max(2 * c, 8)) if c < 32
-                               else n_req for c in c_list},
-                           input_len=in_len, output_len=out_len,
-                           model_label=label, n_repeats=n_rep)
-    finally:
-        engine.stop()
 
-    report["total_bench_s"] = time.time() - t0
     moe = model_cfg.moe is not None
+    baseline = BASELINE_MOE_C32 if moe else BASELINE_C32
     out_json = out_override or (
         "bench_report_moe.json" if moe else "bench_report.json")
-    with open(out_json, "w") as f:
-        json.dump(report, f, indent=2)
 
-    baseline = BASELINE_MOE_C32 if moe else BASELINE_C32
-    main_cell = report["cells"][-1]
-    value = round(main_cell["output_tok_s"], 1)
-    line = {
-        "metric": (f"output_tok_s_c{main_cell['concurrency']}_{label}"
-                   f"_{in_len}x{out_len}"),
-        "value": value,
-        "unit": "tok/s",
-        "vs_baseline": round(value / baseline, 3),
+    report = {
+        "schema": "ferrum-tpu-bench/v1",
+        "model": label,
+        "workload": {"input_len": in_len, "output_len": out_len,
+                     "mode": "closed-loop"},
+        "env_hash": env_hash({"model": label}),
+        "cells": [],
     }
-    print(json.dumps(line))
+
+    def flush_report():
+        report["total_bench_s"] = time.time() - t0
+        with open(out_json, "w") as f:
+            json.dump(report, f, indent=2)
+
+    def left() -> float:
+        return budget_s - (time.time() - t0)
+
+    def measure(c: int, reps: int) -> dict:
+        n = min(n_req, max(2 * c, 8)) if c < max(c_list) else n_req
+        runs = []
+        for rep in range(max(1, reps)):
+            runs.append(run_cell(
+                engine, concurrency=c, num_requests=n,
+                input_len=in_len, output_len=out_len,
+                seed=rep, warmup=2 if rep == 0 else 0))
+            # Repeats past the first only while budget remains.
+            if left() < 120:
+                break
+        cell = dict(runs[-1])
+        if len(runs) > 1:
+            for k in ("output_tok_s", "ttft_p50_ms", "ttft_p95_ms",
+                      "tpot_p50_ms", "itl_p95_ms", "e2e_p50_ms"):
+                st = ScalarStats.of([r[k] for r in runs])
+                cell[k] = st.mean
+                cell[k + "_stats"] = {
+                    "mean": st.mean, "stddev": st.stddev,
+                    "ci95_hw": st.ci95_hw, "n": len(runs)}
+        return cell
+
+    line_out = None
+    try:
+        # --- headline cell FIRST: its warmup covers every smaller
+        # bucket (warm_decode_buckets cascades downward), and the JSON
+        # line prints the moment it lands.
+        c_head = max(c_list)
+        head = measure(c_head, n_rep)
+        report["cells"].append(head)
+        flush_report()
+        value = round(head["output_tok_s"], 1)
+        line_out = json.dumps({
+            "metric": (f"output_tok_s_c{c_head}_{label}"
+                       f"_{in_len}x{out_len}"),
+            "value": value,
+            "unit": "tok/s",
+            "vs_baseline": round(value / baseline, 3),
+        })
+        print(line_out, flush=True)
+
+        # --- rest of the ladder, best-effort inside the budget.
+        for c in sorted(set(c_list) - {c_head}):
+            if left() < 150:
+                print(f"# budget: skipping c={c} "
+                      f"({left():.0f}s left)", file=sys.stderr)
+                continue
+            report["cells"].append(measure(c, 1))
+            flush_report()
+        report["cells"].sort(key=lambda x: x["concurrency"])
+        flush_report()
+    finally:
+        engine.stop()
+        if line_out is None:
+            # Headline cell never landed: say so in-band rather than
+            # leaving the driver a null.
+            print(json.dumps({
+                "metric": f"bench_incomplete_{label}", "value": 0.0,
+                "unit": "tok/s", "vs_baseline": 0.0}), flush=True)
 
 
 if __name__ == "__main__":

@@ -182,6 +182,119 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
     }
 
 
+def run_cell_open_loop(engine: ContinuousBatchEngine, *, rate_rps: float,
+                       duration_s: float = 30.0, input_len: int = 256,
+                       output_len: int = 128, seed: int = 0,
+                       warmup: int = 2, max_inflight: int = 256) -> Dict:
+    """Open-loop Poisson arrivals at `rate_rps` (ref: ferrum-bench-core
+    open-loop arrival process, crates/ferrum-bench-core/src/lib.rs:1-40).
+
+    Unlike the closed-loop cells, request launches do NOT wait for
+    completions: inter-arrival gaps are Exp(rate) draws on a fixed
+    schedule, so queueing delay shows up in TTFT — the latency-under-
+    load posture vLLM-class serving systems are judged on. Launches
+    stop after `duration_s`; every launched request runs to completion.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = engine.runner.model_cfg.vocab_size
+    eos = set(engine.tokenizer.eos_token_ids)
+    cand = [t for t in range(1, min(vocab, 50000)) if t not in eos]
+
+    def mkreq():
+        ids = rng.choice(cand, size=input_len).tolist()
+        return InferenceRequest(
+            prompt_token_ids=ids,
+            sampling=SamplingParams(temperature=0.0, max_tokens=output_len,
+                                    ignore_eos=True))
+
+    if warmup:
+        wt = [threading.Thread(target=engine.infer, args=(mkreq(),))
+              for _ in range(warmup)]
+        for t in wt:
+            t.start()
+        for t in wt:
+            t.join()
+        engine.runner.warm_prefill_siblings()
+
+    # Pre-draw the arrival schedule (deterministic per seed: a dedicated
+    # rng so warmup/prompt draws don't shift it).
+    sched_rng = np.random.default_rng((seed, 0xA881))
+    gaps = sched_rng.exponential(1.0 / max(rate_rps, 1e-9), size=4096)
+    sched, acc = [], 0.0
+    for g in gaps:
+        acc += g
+        if acc > duration_s:
+            break
+        sched.append(acc)
+
+    results: List[RequestMetrics] = []
+    errors: List[str] = []
+    lock = threading.Lock()
+    threads: List[threading.Thread] = []
+
+    def worker(req):
+        t0 = time.monotonic()
+        try:
+            ttft = None
+            last_t = None
+            itls = []
+            n_out = 0
+            for chunk in engine.infer_stream(req):
+                now = time.monotonic()
+                if chunk.token_ids:
+                    n_out += len(chunk.token_ids)
+                    if ttft is None:
+                        ttft = now - t0
+                    elif last_t is not None:
+                        itls.append(now - last_t)
+                    last_t = now
+            m = RequestMetrics(ttft=ttft or 0.0, e2e=time.monotonic() - t0,
+                               itls=itls, output_tokens=n_out)
+            with lock:
+                results.append(m)
+        except Exception as e:  # noqa: BLE001
+            with lock:
+                errors.append(repr(e))
+
+    comp0 = engine.runner.compilations
+    reqs = [mkreq() for _ in sched]
+    t_start = time.monotonic()
+    for at, req in zip(sched, reqs):
+        delay = at - (time.monotonic() - t_start)
+        if delay > 0:
+            time.sleep(delay)
+        if len(threads) - len(results) >= max_inflight:
+            errors.append("inflight cap hit: offered load unsustainable")
+            break
+        th = threading.Thread(target=worker, args=(req,))
+        th.start()
+        threads.append(th)
+    for th in threads:
+        th.join()
+    wall = time.monotonic() - t_start
+
+    total_out = sum(r.output_tokens for r in results)
+    return {
+        "mode": "open-loop",
+        "offered_rps": rate_rps,
+        "duration_s": duration_s,
+        "launched": len(threads),
+        "completed": len(results),
+        "errors": len(errors),
+        "error_samples": errors[:3],
+        "wall_s": wall,
+        "achieved_rps": len(results) / wall if wall > 0 else 0.0,
+        "output_tok_s": total_out / wall if wall > 0 else 0.0,
+        "ttft_p50_ms": _pct([r.ttft for r in results], 50) * 1e3,
+        "ttft_p95_ms": _pct([r.ttft for r in results], 95) * 1e3,
+        "ttft_p99_ms": _pct([r.ttft for r in results], 99) * 1e3,
+        "tpot_p50_ms": _pct([r.tpot for r in results], 50) * 1e3,
+        "itl_p95_ms": _pct([x for r in results for x in r.itls], 95) * 1e3,
+        "e2e_p50_ms": _pct([r.e2e for r in results], 50) * 1e3,
+        "compilations_during_cell": engine.runner.compilations - comp0,
+    }
+
+
 def run_bench(engine: ContinuousBatchEngine, *, concurrencies=(1, 4, 16, 32),
               num_requests_per_cell: Optional[Dict[int, int]] = None,
               input_len: int = 256, output_len: int = 128,

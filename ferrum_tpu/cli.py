@@ -54,6 +54,16 @@ def _add_engine_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--seed", type=int, default=None)
     p.add_argument("--config", default="ferrum.toml",
                    help="ferrum.toml path (CLI > env > file precedence)")
+    # Observability product (utils/profile.py locked schema; ref
+    # observability_product.rs flag surface).
+    p.add_argument("--profile-jsonl", default=None, dest="profile_path",
+                   help="write sampled profile events (JSONL, schema v2)")
+    p.add_argument("--profile-detail", default=None,
+                   choices=["off", "basic", "debug", "full"])
+    p.add_argument("--profile-sample-rate", type=float, default=None)
+    p.add_argument("--memory-profile-jsonl", default=None,
+                   dest="memory_profile_path",
+                   help="separate sink for periodic memory snapshots")
 
 
 def _build_engine(args) -> "Any":
@@ -77,6 +87,10 @@ def _build_engine(args) -> "Any":
         "spec_draft_model": args.spec_draft_model,
         "spec_num_tokens": args.spec_num_tokens,
         "seed": args.seed,
+        "profile_path": getattr(args, "profile_path", None),
+        "profile_detail": getattr(args, "profile_detail", None),
+        "profile_sample_rate": getattr(args, "profile_sample_rate", None),
+        "memory_profile_path": getattr(args, "memory_profile_path", None),
     }
     # Base layer (lowest precedence): the CLI serves the fast path by
     # default — env/toml/flags still override.
@@ -272,16 +286,23 @@ def cmd_transcribe(args) -> int:
 
 def cmd_bench(args) -> int:
     engine = _build_engine(args)
-    from .bench.bench_engine import run_bench
+    from .bench.bench_engine import run_bench, run_cell_open_loop
 
     try:
-        report = run_bench(
-            engine,
-            concurrencies=tuple(int(c) for c in args.concurrency.split(",")),
-            num_requests_per_cell={int(c): args.num_requests
-                                   for c in args.concurrency.split(",")},
-            input_len=args.input_len, output_len=args.output_len,
-            model_label=args.model)
+        if getattr(args, "open_loop_rps", None):
+            report = run_cell_open_loop(
+                engine, rate_rps=args.open_loop_rps,
+                duration_s=args.duration, input_len=args.input_len,
+                output_len=args.output_len)
+        else:
+            report = run_bench(
+                engine,
+                concurrencies=tuple(int(c)
+                                    for c in args.concurrency.split(",")),
+                num_requests_per_cell={int(c): args.num_requests
+                                       for c in args.concurrency.split(",")},
+                input_len=args.input_len, output_len=args.output_len,
+                model_label=args.model)
     finally:
         engine.stop()
     out = json.dumps(report, indent=2)
@@ -439,6 +460,12 @@ def main(argv=None) -> int:
     p.add_argument("--input-len", type=int, default=256)
     p.add_argument("--output-len", type=int, default=128)
     p.add_argument("--output", default=None)
+    p.add_argument("--open-loop-rps", type=float, default=None,
+                   help="Poisson arrival rate (req/s): open-loop mode — "
+                        "TTFT under offered load instead of closed-loop "
+                        "concurrency cells")
+    p.add_argument("--duration", type=float, default=30.0,
+                   help="open-loop launch window in seconds")
     p.set_defaults(fn=cmd_bench)
 
     p = sub.add_parser("bench-serve",

@@ -63,6 +63,12 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_SCHEDULER_TRACE_JSONL": ("scheduler_trace_path", str,
                                      "per-iteration scheduler trace JSONL path"),
     "FERRUM_PROFILE_JSONL": ("profile_path", str, "profile event JSONL path"),
+    "FERRUM_PROFILE_DETAIL": ("profile_detail", str,
+                              "profile detail level: off|basic|debug|full"),
+    "FERRUM_PROFILE_SAMPLE_RATE": ("profile_sample_rate", float,
+                                   "timed-span sampling rate (full forces 1.0)"),
+    "FERRUM_MEMORY_PROFILE_JSONL": ("memory_profile_path", str,
+                                    "separate sink for memory snapshots"),
     "FERRUM_SESSION_CACHE_ENTRIES": ("session_cache_entries", int, ""),
     "FERRUM_SESSION_CACHE_TOKENS": ("session_cache_tokens", int, ""),
     "FERRUM_GREEDY_ARGMAX": ("greedy_argmax_device", bool,
@@ -274,9 +280,13 @@ class EngineConfig:
     session_cache_entries: int = 64
     session_cache_tokens: int = 8192
 
-    # --- observability ---
+    # --- observability (product schema: utils/profile.py; ref
+    # observability_profile.rs FerrumObservabilityConfig) ---
     scheduler_trace_path: Optional[str] = None
     profile_path: Optional[str] = None
+    profile_detail: str = "basic"      # off|basic|debug|full
+    profile_sample_rate: float = 0.01
+    memory_profile_path: Optional[str] = None
 
     def validate(self) -> None:
         if self.max_num_seqs < 1:
@@ -305,6 +315,9 @@ class EngineConfig:
             raise InvalidRequestError("unknown kv_dtype", param="kv_dtype")
         if self.kv_layout not in ("paged", "linear", "auto"):
             raise InvalidRequestError("unknown kv_layout", param="kv_layout")
+        if self.profile_detail not in ("off", "basic", "debug", "full"):
+            raise InvalidRequestError("unknown profile_detail",
+                                      param="profile_detail")
         if self.quantization not in ("none", "gptq_int4", "gguf_q4k"):
             raise InvalidRequestError("unknown quantization", param="quantization")
 

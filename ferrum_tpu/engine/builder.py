@@ -199,9 +199,14 @@ class EngineBuilder:
     def build(self) -> ContinuousBatchEngine:
         cfg = self.cfg
         install_runtime_snapshot(cfg)
-        if cfg.profile_path:
+        if cfg.profile_path or cfg.memory_profile_path:
             from ..utils.profile import configure_global_profile
-            configure_global_profile(cfg.profile_path, entrypoint="serve")
+            configure_global_profile(
+                cfg.profile_path or cfg.memory_profile_path,
+                entrypoint="serve",
+                sample_rate=cfg.profile_sample_rate,
+                detail=cfg.profile_detail,
+                memory_path=cfg.memory_profile_path)
         self._resolve_model()
         if self.tokenizer is None:
             extra = max(0, self.model_cfg.vocab_size - 258)

@@ -526,6 +526,14 @@ class ContinuousBatchEngine:
             "decode": len(decode_seqs),
             "prefill_chunks": len(batch.prefill_chunks),
         })
+        # Memory high-water trace: one snapshot every 256 iterations
+        # (device HBM stats on TPU, host RSS fallback) — long serves
+        # get a leak/fragmentation record without a profiler attach.
+        self._mem_profile_tick = getattr(self, "_mem_profile_tick", 0) + 1
+        if self._mem_profile_tick % 256 == 1:
+            _prof.emit_memory({"iterations": self.metrics.iterations_total,
+                               "running": len(self.scheduler.running),
+                               "waiting": len(self.scheduler.waiting)})
         return did_work or not batch.is_empty \
             or self._inflight is not None
 

@@ -36,6 +36,7 @@ from ..models.llama_family import (
     OOB_SENTINEL, ModelParams, PagedKvCache, append_window_kv,
     decode_forward, logits_from_hidden, prefill_forward_batched,
 )
+from ..utils import profile as _prof
 from ..sampling.device import (
     SlotSamplingParams, guided_advance, guided_mask_rows, sample_step,
     update_counts,
@@ -236,6 +237,17 @@ class ModelRunner:
         self.decode_sync_time = 0.0
         self.prefill_device_time = 0.0
 
+    def _note_compile(self, site: str, key) -> None:
+        """One jit trace: count it, audit it, and surface it to the
+        observability product (compiles are the #1 latency cliff on the
+        tunneled chip — a mid-measurement one is a warmup hole)."""
+        self.compilations += 1
+        self.compile_log.append((site, key))
+        from ..utils import profile as _prof
+        _prof.emit_instant("engine.compile",
+                           {"site": site, "key": repr(key)},
+                           status="diagnostic_only")
+
     # ------------------------------------------------------------------
     # Slot lifecycle
     # ------------------------------------------------------------------
@@ -332,8 +344,7 @@ class ModelRunner:
         fn = jax.jit(copy, donate_argnums=(2, 3) + ((8, 9) if quant
                                                     else ()))
         self._prefix_copy_fns[r_pad] = fn
-        self.compilations += 1
-        self.compile_log.append(("prefix_copy", r_pad))
+        self._note_compile("prefix_copy", r_pad)
         return fn
 
     def copy_prefix_blocks(self, src_blocks: List[int],
@@ -390,8 +401,7 @@ class ModelRunner:
                 return counts.at[slot, toks].add(1, mode="drop")
             fn = jax.jit(add, donate_argnums=(0,))
             self._count_fns[n_pad] = fn
-            self.compilations += 1
-            self.compile_log.append(("counts", n_pad))
+            self._note_compile("counts", n_pad)
         arr = np.full(n_pad, v, np.int32)   # pads: vocab → dropped
         arr[:n] = tokens
         self.counts = fn(self.counts, slot, jnp.asarray(arr))
@@ -519,8 +529,7 @@ class ModelRunner:
 
         fn = jax.jit(step, donate_argnums=(1, 2, 3, 8, 9))
         self._decode_fns[key] = fn
-        self.compilations += 1
-        self.compile_log.append(("decode1", key))
+        self._note_compile("decode1", key)
         return fn
 
     def _get_decode_window_fn(self, ctx_pad: int, num_steps: int,
@@ -850,8 +859,7 @@ class ModelRunner:
 
         fn = jax.jit(step_fn, donate_argnums=(1, 2, 3, 5, 8, 13, 14))
         self._decode_multi_fns[key] = fn
-        self.compilations += 1
-        self.compile_log.append(("window", key))
+        self._note_compile("window", key)
         return fn
 
     def start_decode_window(self, seqs: List[Sequence], num_steps: int,
@@ -969,7 +977,11 @@ class ModelRunner:
         (all_toks, self._last_toks, self.kv, self.counts, self.keys,
          self._gstates, self.rec_conv, self.rec_delta) = out[:8]
         pf_tok = out[8] if p_rows else None
-        self.decode_device_time += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.decode_device_time += dt
+        _prof.emit("window.dispatch", dt, {
+            "steps": num_steps, "lanes": n_lanes, "bucket": s_pad,
+            "p_rows": p_rows})
         self.decode_steps += num_steps
         if pf_chunk is not None:
             self.prefill_steps += 1
@@ -991,7 +1003,10 @@ class ModelRunner:
         pf_tok = None
         if window.pf_tok is not None and window.pf_is_last:
             pf_tok = int(np.asarray(window.pf_tok)[0])
-        self.decode_sync_time += time.perf_counter() - t0
+        dt = time.perf_counter() - t0
+        self.decode_sync_time += dt
+        _prof.emit("window.fetch", dt, {
+            "steps": window.num_steps, "lanes": len(window.seqs)})
         out = {seq.request.request_id:
                tok_host[:, window.lanes[seq.request.request_id]].tolist()
                for seq in window.seqs}
@@ -1133,8 +1148,7 @@ class ModelRunner:
 
         fn = jax.jit(step, donate_argnums=(1, 2, 7, 12, 13))
         self._prefill_batch_fns[key] = fn
-        self.compilations += 1
-        self.compile_log.append(("prefill", key))
+        self._note_compile("prefill", key)
         return fn
 
     def run_prefill_batch(self, chunks: List[PrefillChunk],

@@ -187,6 +187,11 @@ class ContinuousBatchScheduler:
             self.waiting.appendleft(victim)
             batch.preempted.append(victim)
             self.stats.preemptions += 1
+            from ..utils import profile as _prof
+            _prof.emit_instant("engine.preempt", {
+                "request_id": victim.request.request_id,
+                "recompute_tokens": len(victim.prompt_tokens)
+                + victim.num_output_tokens})
             return victim
         return None
 
