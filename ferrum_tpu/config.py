@@ -36,6 +36,11 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_PREFILL_CHUNK": ("prefill_chunk_size", int, "max prefill chunk tokens"),
     "FERRUM_ENABLE_PREFIX_CACHE": ("enable_prefix_cache", bool, "block-hash prefix reuse"),
     "FERRUM_PREFIX_CACHE_POLICY": ("prefix_cache_policy", str, "eviction policy: lru|fifo|clock"),
+    "FERRUM_PREFIX_OFFLOAD_MB": ("prefix_offload_mb", int,
+                                 "host-RAM budget (MiB) for the compressed "
+                                 "prefix offload tier (0 = off; paged layout)"),
+    "FERRUM_PREFIX_OFFLOAD_ALGO": ("prefix_offload_algo", str,
+                                   "offload compression: none|int8|int4|fp8"),
     "FERRUM_PREFIX_CACHE_BLOCKS": ("prefix_cache_blocks", int,
                                    "linear-layout store extent blocks (-1 auto, 0 off)"),
     "FERRUM_ENABLE_CHUNKED_PREFILL": ("enable_chunked_prefill", bool, ""),
@@ -198,6 +203,13 @@ class EngineConfig:
     # slot pool, capped by measured free HBM), 0 = disable copy-based
     # prefix reuse.
     prefix_cache_blocks: int = -1
+    # Paged layout: host-RAM budget (MiB) for the compressed offload
+    # tier — evicted prefix blocks spill to host instead of dying
+    # (kv/compression.HostOffloadTier; the vLLM swap-space analog).
+    # 0 = off (default: device↔host copies cost a tunnel RTT on
+    # remotely attached TPUs).
+    prefix_offload_mb: int = 0
+    prefix_offload_algo: str = "int8"   # none | int8 | int4 | fp8
 
     # GDN (linear-attention) prefill: blocked WY-form recurrence tile.
     # The intra-block delta rule becomes [tile, tile] MXU matmuls + one

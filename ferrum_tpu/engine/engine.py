@@ -76,11 +76,20 @@ class ContinuousBatchEngine:
                 cfg.kv_block_size,
                 policy=getattr(cfg, "prefix_cache_policy", "lru"))
         else:
+            offload = block_io = None
+            if cfg.kv_layout == "paged" and cfg.enable_prefix_cache \
+                    and getattr(cfg, "prefix_offload_mb", 0) > 0:
+                from ..kv.compression import HostOffloadTier, make_strategy
+                offload = HostOffloadTier(
+                    cfg.prefix_offload_mb << 20,
+                    make_strategy(cfg.prefix_offload_algo))
+                block_io = (runner.read_kv_block, runner.write_kv_block)
             self.prefix_cache = PrefixCache(
                 self.pool,
                 enabled=cfg.enable_prefix_cache
                 and cfg.kv_layout == "paged",
-                policy=getattr(cfg, "prefix_cache_policy", "lru"))
+                policy=getattr(cfg, "prefix_cache_policy", "lru"),
+                offload=offload, block_io=block_io)
         self.scheduler = ContinuousBatchScheduler(
             cfg, self.pool, self.prefix_cache, policy=cfg.scheduler)
 

@@ -407,6 +407,61 @@ class ModelRunner:
         self.counts = fn(self.counts, slot, jnp.asarray(arr))
 
     # ------------------------------------------------------------------
+    # KV block host I/O (prefix offload tier; kv/compression.py)
+    # ------------------------------------------------------------------
+    def _kv_block_io(self):
+        if getattr(self, "_kv_read_fn", None) is None:
+            quant = self.kv.quantized
+
+            def read(k, v, b, ks, vs):
+                out = (k[:, b], v[:, b])
+                if quant:
+                    out += (ks[:, b], vs[:, b])
+                return out
+
+            def write(k, v, b, bk, bv, ks, vs, bks, bvs):
+                out = (k.at[:, b].set(bk), v.at[:, b].set(bv))
+                if quant:
+                    out += (ks.at[:, b].set(bks), vs.at[:, b].set(bvs))
+                return out
+
+            # Block index is TRACED (one compile, any block); pool
+            # arrays are donated on write so the update is in place.
+            self._kv_read_fn = jax.jit(read, static_argnums=())
+            self._kv_write_fn = jax.jit(
+                write, donate_argnums=(0, 1) + ((5, 6) if quant else ()))
+            self._note_compile("kv_block_io", quant)
+        return self._kv_read_fn, self._kv_write_fn
+
+    def read_kv_block(self, block_id: int) -> tuple:
+        """Fetch one pool block to host: (k, v[, k_scale, v_scale])
+        numpy arrays, k/v [L, page, kv_size]. One blocking readback."""
+        read_fn, _ = self._kv_block_io()
+        kv = self.kv
+        out = read_fn(kv.k, kv.v, block_id,
+                      kv.k_scale if kv.quantized else 0,
+                      kv.v_scale if kv.quantized else 0)
+        return tuple(np.asarray(x) for x in out)
+
+    def write_kv_block(self, block_id: int, arrays: tuple) -> None:
+        """Upload one host block group into the pool (restore path)."""
+        _, write_fn = self._kv_block_io()
+        kv = self.kv
+        quant = kv.quantized
+        bk = jnp.asarray(arrays[0], kv.k.dtype)
+        bv = jnp.asarray(arrays[1], kv.v.dtype)
+        out = write_fn(kv.k, kv.v, block_id, bk, bv,
+                       kv.k_scale if quant else 0,
+                       kv.v_scale if quant else 0,
+                       jnp.asarray(arrays[2]) if quant else 0,
+                       jnp.asarray(arrays[3]) if quant else 0)
+        self.kv = PagedKvCache(
+            k=out[0], v=out[1], page=kv.page, kv_heads=kv.kv_heads,
+            head_dim=kv.head_dim,
+            k_scale=out[2] if quant else None,
+            v_scale=out[3] if quant else None)
+
+    # ------------------------------------------------------------------
     # Guided decoding (device FSM)
     # ------------------------------------------------------------------
     def register_guided_fsm(self, fsm, vocab_table) -> int:

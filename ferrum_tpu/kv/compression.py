@@ -13,7 +13,12 @@ the wired int8 layout so int8-compressed blocks can be re-uploaded
 verbatim.
 
 Strategies operate on [tokens, heads, head_dim] block arrays (numpy,
-host side — compression is an off-device concern)."""
+host side — compression is an off-device concern).
+
+Serving wire-up (r4): `HostOffloadTier` below is the opt-in second
+tier of the paged PrefixCache — evicted prefix blocks spill here
+compressed and restore on a later hash-chain hit
+(FERRUM_PREFIX_OFFLOAD_MB; engine/engine.py, kv/prefix_cache.py)."""
 
 from __future__ import annotations
 
@@ -198,3 +203,99 @@ def make_strategy(name: str) -> CompressionStrategy:
         raise ValueError(f"unknown compression strategy {name!r} "
                          f"(have {sorted(STRATEGIES)})")
     return STRATEGIES[name]()
+
+
+# ---------------------------------------------------------------------------
+# Host offload tier: compressed prefix blocks in host RAM
+# ---------------------------------------------------------------------------
+
+@dataclass
+class OffloadStats:
+    saves: int = 0
+    restores: int = 0
+    drops: int = 0                   # capacity evictions
+    bytes_held: int = 0
+
+
+class HostOffloadTier:
+    """Second-tier prefix cache in host memory (opt-in; the vLLM swap-
+    space analog, serving the paged PrefixCache).
+
+    Evicted prefix blocks are compressed host-side instead of being
+    destroyed; a later prompt whose hash chain extends into the tier
+    restores blocks into freshly allocated device blocks. LRU within a
+    byte budget. Device↔host transfers cost a tunnel round trip on
+    remote TPUs, which is why the tier is opt-in
+    (FERRUM_PREFIX_OFFLOAD_MB) — on directly attached hosts the ~0.1 ms
+    PCIe copy is a bargain against a recomputed prefill.
+
+    Entries are keyed by the SAME hash chain the device cache uses, so
+    match/insert logic is shared; the payload is the full per-hash KV
+    block group [(k, v) (+ int8 scales)] as produced by
+    runner.read_kv_block."""
+
+    def __init__(self, capacity_bytes: int,
+                 strategy: Optional[CompressionStrategy] = None):
+        import collections
+        self.capacity_bytes = int(capacity_bytes)
+        self.strategy = strategy or Int8Compression()
+        self._blocks: "collections.OrderedDict[int, tuple]" = \
+            collections.OrderedDict()
+        self.stats = OffloadStats()
+
+    def __contains__(self, h: int) -> bool:
+        return h in self._blocks
+
+    def put(self, h: int, arrays: tuple) -> None:
+        """Store one evicted block group keyed by its chain hash.
+        `arrays` = (k, v[, k_scale, v_scale]) numpy arrays."""
+        if h in self._blocks:
+            self._touch(h)
+            return
+        comp = []
+        for a in arrays:
+            if a is None:
+                comp.append(None)
+            elif a.dtype == np.float32 and a.ndim < 4:
+                # int8-KV scale planes: tiny, keep raw.
+                comp.append(CompressedBlock(
+                    data=np.ascontiguousarray(a), scale=None,
+                    original_dtype=str(a.dtype), original_shape=a.shape,
+                    algorithm="none"))
+            else:
+                comp.append(self.strategy.compress(a))
+        size = sum(c.nbytes for c in comp if c is not None)
+        while (self._blocks
+               and self.stats.bytes_held + size > self.capacity_bytes):
+            _, (old, old_size) = self._blocks.popitem(last=False)
+            self.stats.bytes_held -= old_size
+            self.stats.drops += 1
+        if size > self.capacity_bytes:
+            return                   # single block exceeds the budget
+        self._blocks[h] = (tuple(comp), size)
+        self.stats.bytes_held += size
+        self.stats.saves += 1
+
+    def get(self, h: int) -> Optional[tuple]:
+        """Restore a block group: decompressed numpy arrays, or None."""
+        entry = self._blocks.get(h)
+        if entry is None:
+            return None
+        self._touch(h)
+        comp, _ = entry
+        out = []
+        for c in comp:
+            if c is None:
+                out.append(None)
+            elif c.algorithm == "none":
+                out.append(c.data)
+            else:
+                out.append(self.strategy.decompress(c))
+        self.stats.restores += 1
+        return tuple(out)
+
+    def _touch(self, h: int) -> None:
+        self._blocks.move_to_end(h)
+
+    def __len__(self) -> int:
+        return len(self._blocks)

@@ -51,12 +51,19 @@ class PrefixCache:
     pluggable eviction policy (lru | fifo | clock)."""
 
     def __init__(self, pool: BlockPool, enabled: bool = True,
-                 policy: str = "lru"):
+                 policy: str = "lru", offload=None, block_io=None):
         if policy not in ("lru", "fifo", "clock"):
             raise ValueError(f"unknown eviction policy {policy!r}")
         self.pool = pool
         self.enabled = enabled
         self.policy = policy
+        # Optional host offload tier (kv/compression.HostOffloadTier):
+        # evicted blocks spill compressed to host RAM and restore on a
+        # later chain hit. block_io = (read_block, write_block) device
+        # accessors (runner.read_kv_block / write_kv_block).
+        self.offload = offload
+        self._read_block = block_io[0] if block_io else None
+        self._write_block = block_io[1] if block_io else None
         # hash → physical block id (cache holds one refcount on each).
         # Order = insertion order (fifo/clock) or recency (lru).
         self._by_hash: "collections.OrderedDict[int, int]" = collections.OrderedDict()
@@ -83,6 +90,8 @@ class PrefixCache:
             chunk = tokens[start:start + page]
             h = _hash_chain(parent, chunk)
             b = self._by_hash.get(h)
+            if b is None and self.offload is not None and h in self.offload:
+                b = self._restore_from_offload(h)
             if b is None:
                 break
             if self.policy == "lru":
@@ -157,12 +166,31 @@ class PrefixCache:
         b = self._by_hash[h]
         if self.pool.refcount(b) != 1:
             return 0
+        if self.offload is not None and self._read_block is not None \
+                and h not in self.offload:
+            # Spill to the host tier before the device block dies.
+            self.offload.put(h, self._read_block(b))
         del self._by_hash[h]
         del self._hash_of_block[b]
         self._referenced.pop(h, None)
         self.pool.free(b)
         self.stats.evictions += 1
         return 1
+
+    def _restore_from_offload(self, h: int):
+        """Bring an offloaded block back on-device (no eviction cascade:
+        only when the pool has a free block right now)."""
+        if self._write_block is None or self.pool.num_free == 0:
+            return None
+        arrays = self.offload.get(h)
+        if arrays is None:
+            return None
+        b = self.pool.allocate(1)[0]  # cache holds the sole refcount
+        self._write_block(b, arrays)
+        self._by_hash[h] = b
+        self._hash_of_block[b] = h
+        self.stats.cached_blocks = len(self._by_hash)
+        return b
 
     def clear(self) -> None:
         for h, b in list(self._by_hash.items()):

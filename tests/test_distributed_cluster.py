@@ -172,22 +172,27 @@ def test_cluster_generation_and_dp_scaling(cluster):
         # compile to the measured window).
         for base in cluster.bases:
             _measure(base, n_requests=4, max_tokens=8, concurrency=4)
-        thr1 = _measure(cluster.bases[0], n_requests=6, concurrency=3)
-        thr2 = _measure(router.base, n_requests=12, concurrency=6)
-        scaling = thr2 / thr1
-        print(json.dumps({"dp_workers": 2, "thr_1worker_tok_s": thr1,
-                          "thr_2worker_tok_s": thr2,
-                          "scaling": scaling}), flush=True)
         # Workers are core-pinned to disjoint core pairs (separate-host
         # emulation); BASELINE.md's pod target is >=80% (2.0x -> 1.6x).
         # CI floor is set lower to absorb shared-router/OS jitter on a
         # 4-core box; the measured number is what NOTES records
-        # (1.57x observed quiet-machine). The floor only means anything
-        # on a quiet machine — when unrelated load already holds the
-        # cores (e.g. a chip bench in another process), both workers
-        # contend for the same CPUs and the ratio measures the noise,
-        # not DP scaling; correctness above has already been asserted.
-        if os.getloadavg()[0] > 0.5 * os.cpu_count():
+        # (1.57x observed quiet-machine). Below-floor runs retry once
+        # (transient load spikes), then skip ONLY under measurable
+        # unrelated load (advisor r3: a too-easy skip hides real
+        # regressions) — on a quiet machine a low ratio FAILS.
+        scaling = 0.0
+        for attempt in range(2):
+            thr1 = _measure(cluster.bases[0], n_requests=6, concurrency=3)
+            thr2 = _measure(router.base, n_requests=12, concurrency=6)
+            scaling = thr2 / thr1
+            print(json.dumps({"dp_workers": 2, "attempt": attempt,
+                              "thr_1worker_tok_s": thr1,
+                              "thr_2worker_tok_s": thr2,
+                              "scaling": scaling}), flush=True)
+            if scaling > 1.2:
+                break
+            time.sleep(2.0)
+        if scaling <= 1.2 and os.getloadavg()[0] > 0.25 * os.cpu_count():
             pytest.skip(f"machine busy (load {os.getloadavg()[0]:.1f}); "
                         f"scaling floor not meaningful: {scaling:.2f}x")
         assert scaling > 1.2, (thr1, thr2)
