@@ -242,6 +242,12 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
         results["B_bench_completed"] = all(
             c["completed"] == c["requested"] and c["errors"] == 0
             for c in cells["cells"])
+        # A compile DURING a measured cell is a warmup hole (it lands
+        # in some request's TTFT; r3's poisoned c=4 cell) — hard-fail
+        # the lane (VERDICT r3 #5).
+        results["B_no_compiles_in_cells"] = all(
+            c.get("compilations_during_cell", 0) == 0
+            for c in cells["cells"])
         baseline_path = os.path.join(out_root, lane, "baseline.json")
         thresholds = {"output_tok_s_min_delta": -0.03,
                       "ttft_p50_max_delta": 0.10,
