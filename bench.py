@@ -17,19 +17,20 @@ reports less memory.
 
 Cold-path discipline (round-3 failure: the driver ran this from an
 EMPTY XLA cache and timed out before any cell finished — BENCH_r03
-rc=124):
-  * The persistent compilation cache lives IN THE REPO
-    (.xla_cache/, committed), because the home directory does not
-    survive the session boundary — the driver's run then loads every
-    program instead of paying multi-minute remote compiles.
+rc=124). Measured r4: the persistent XLA compilation cache does NOT
+work across processes on the remote-compile axon stack (a second
+process recompiles despite an identical-key cache entry on disk), so
+the ONLY lever is compiling few enough programs to fit the budget:
+  * The warm surface is trimmed to what this workload can dispatch:
+    prefill_chunk_size == input_len (one mixed-window p_rows variant),
+    bucket 2 dropped, and FERRUM_BENCH_* knobs for tighter trims.
   * The HEADLINE c=32 cell runs FIRST and its JSON line is printed the
     moment it completes; the rest of the ladder is best-effort inside
     FERRUM_BENCH_BUDGET_S (default 1200 s) and never blocks the line.
-  * The warm surface is trimmed to what this workload can dispatch
-    (prefill_chunk_size == input_len so no unreachable mixed-window
-    p_rows variant compiles; bucket 2 dropped from the ladder).
   * bench_report.json is (re)written after EVERY cell, so even a
     killed run leaves a valid partial report.
+  * Progress timestamps go to stderr (`# t=...`) so a timed-out driver
+    log still shows where the time went.
 """
 
 import json
@@ -45,18 +46,13 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def _cache_dir() -> str:
-    d = os.environ.get("FERRUM_XLA_CACHE") or os.path.join(REPO, ".xla_cache")
-    try:
-        os.makedirs(d, exist_ok=True)
-        probe = os.path.join(d, ".probe")
-        with open(probe, "w") as f:
-            f.write("x")
-        os.remove(probe)
-        return d
-    except OSError:
-        d = os.path.expanduser("~/.cache/ferrum-tpu/xla-cache")
-        os.makedirs(d, exist_ok=True)
-        return d
+    # Same-process reuse only (cross-process cache loads do not work
+    # over remote compile — see module docstring); kept for the repeat
+    # case and for any future stack where loads do work.
+    d = (os.environ.get("FERRUM_XLA_CACHE")
+         or os.path.expanduser("~/.cache/ferrum-tpu/xla-cache"))
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def main() -> None:
@@ -111,9 +107,16 @@ def main() -> None:
         prefill_chunk_size=max(16, min(in_len, 512)),
         kv_block_size=32,
         kv_layout="linear",   # slot-contiguous serving fast path
-        # Bucket 2 carries ~5 compiled window variants but only ever
-        # serves two-lane drain tails — not worth its cold compiles.
-        decode_bucket_spec="1,4,8",
+        # Minimal bucket ladder {1, 8, top}: every bucket × T × p_rows
+        # variant is a multi-minute remote compile, and the driver's
+        # cold run must compile everything it dispatches (cross-process
+        # cache loads don't work — module docstring). 1 serves the c=1
+        # cell, 8 the c=4 cell + drain tails, top the headline.
+        decode_bucket_spec="1,8",
+        # One window length: the adaptive doubled/halved variants cost
+        # 2 more compiles per bucket than they return in a 128-token
+        # closed-loop cell.
+        adaptive_windows=False,
         # Random-prompt cells can't hit the prefix store; its extent +
         # per-iteration flush only cost HBM headroom here (observed
         # RESOURCE_EXHAUSTED at this 8B/32-slot config). Reuse evidence:
@@ -184,13 +187,21 @@ def main() -> None:
                     "ci95_hw": st.ci95_hw, "n": len(runs)}
         return cell
 
+    def note(msg: str) -> None:
+        print(f"# t={time.time() - t0:7.1f}s {msg} "
+              f"(compiles={engine.runner.compilations})",
+              file=sys.stderr, flush=True)
+
     line_out = None
     try:
+        note("engine built")
         # --- headline cell FIRST: its warmup covers every smaller
         # bucket (warm_decode_buckets cascades downward), and the JSON
         # line prints the moment it lands.
         c_head = max(c_list)
         head = measure(c_head, n_rep)
+        note(f"headline c={c_head} done: "
+             f"{head['output_tok_s']:.1f} tok/s")
         report["cells"].append(head)
         flush_report()
         value = round(head["output_tok_s"], 1)
@@ -210,6 +221,7 @@ def main() -> None:
                       f"({left():.0f}s left)", file=sys.stderr)
                 continue
             report["cells"].append(measure(c, 1))
+            note(f"cell c={c} done")
             flush_report()
         report["cells"].sort(key=lambda x: x["concurrency"])
         flush_report()

@@ -88,6 +88,12 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_SLOT_SLACK": ("slot_slack", int,
                           "extra device lanes beyond max_num_seqs so "
                           "admissions never wait on deferred releases"),
+    "FERRUM_ADAPTIVE_WINDOWS": ("adaptive_windows", bool,
+                                "adaptive decode-window lengths (double at "
+                                "low occupancy, halve in pileups)"),
+    "FERRUM_PIPELINE_DEPTH": ("pipeline_depth", int,
+                              "decode dispatch-ahead depth (outstanding "
+                              "windows; 1 = classic single pipeline)"),
     "FERRUM_PIPELINE_DECODE": ("pipeline_decode", bool,
                                "keep one decode window in flight "
                                "(overlap host/RTT with device compute)"),
@@ -261,6 +267,20 @@ class EngineConfig:
     # (device-chained from W's final tokens) before W's results are
     # fetched, hiding dispatch RTT + host bookkeeping entirely.
     pipeline_decode: bool = True
+    # Dispatch-ahead depth: how many decode windows may be outstanding
+    # (dispatched, unfetched) at once. Each dispatch pays a fixed
+    # host/transport cost (~16-19 ms on the tunneled chip); depth 2
+    # overlaps window N's fetch+bookkeeping under windows N+1/N+2's
+    # device time so the device never starves between windows
+    # (VERDICT r3 #4: engine c=32 at 69% of device-side tok/s).
+    # Token delivery lags by (depth-1) extra windows, so the engine
+    # drops to depth 1 at <= 4 active lanes (latency mode).
+    pipeline_depth: int = 2
+    # Adaptive decode-window lengths: double T at low occupancy (idle
+    # queue), halve during admission pileups. Off pins every window to
+    # decode_multi_step — fewer compiled variants (each (bucket, T)
+    # costs a multi-minute remote compile on the tunneled chip).
+    adaptive_windows: bool = True
     # Mixed prefill+decode windows: one slot's prefill chunk rides each
     # decode window's trunk (the weight stream is already paid by the
     # decode steps, so a steady-state slot refill costs ~zero extra HBM
@@ -330,6 +350,9 @@ class EngineConfig:
         if self.profile_detail not in ("off", "basic", "debug", "full"):
             raise InvalidRequestError("unknown profile_detail",
                                       param="profile_detail")
+        if not 1 <= self.pipeline_depth <= 4:
+            raise InvalidRequestError("pipeline_depth must be in [1, 4]",
+                                      param="pipeline_depth")
         if self.quantization not in ("none", "gptq_int4", "gguf_q4k"):
             raise InvalidRequestError("unknown quantization", param="quantization")
 

@@ -17,6 +17,7 @@ Differences from the reference, by TPU design:
 
 from __future__ import annotations
 
+import collections
 import queue
 import threading
 import time
@@ -94,9 +95,14 @@ class ContinuousBatchEngine:
             cfg, self.pool, self.prefix_cache, policy=cfg.scheduler)
 
         self._requests: Dict[str, _RequestState] = {}
-        # Pipelined decode: the one outstanding (unfetched) window, plus
-        # prefill first-token device handles deferred to next iteration.
-        self._inflight: Optional[DecodeWindow] = None
+        # Pipelined decode: FIFO of outstanding (dispatched, unfetched)
+        # windows, newest last — up to cfg.pipeline_depth deep so the
+        # fixed per-dispatch cost overlaps device time (window N+1
+        # chains from N on device through the slot-indexed last_toks
+        # carry; the host fetches N only when the queue exceeds the
+        # target depth). Prefill first-token device handles defer to
+        # the next iteration the same way.
+        self._inflight_q: "collections.deque" = collections.deque()
         self._pending_first: List = []
         # Prompt-logprob scoring: (chunk, result) pairs whose score rows
         # are fetched next iteration (one readback per dispatch).
@@ -374,15 +380,19 @@ class ContinuousBatchEngine:
             did_work = True
 
         # --- (b) schedule; in-flight sequences are preemption-pinned ---
-        pinned = self._inflight.covered if self._inflight is not None \
-            else frozenset()
+        pinned = frozenset().union(
+            *(w.covered for w in self._inflight_q)) \
+            if self._inflight_q else frozenset()
         with self._lock:
             # Flush queued prefix-store saves as ONE dispatch, before
             # any admission can overwrite a source slot region or
             # restore a still-pending hash (kv/linear_prefix.py).
             if hasattr(self.prefix_cache, "flush_pending"):
                 self.prefix_cache.flush_pending()
-            batch = self.scheduler.next_batch(pinned=pinned)
+            batch = self.scheduler.next_batch(
+                pinned=pinned,
+                inflight_steps=sum(w.num_steps
+                                   for w in self._inflight_q))
             for seq in batch.admitted:
                 self.runner.admit_slot(seq)
                 if seq.pending_prefix_copy is not None:
@@ -433,11 +443,13 @@ class ContinuousBatchEngine:
         # admit, run windows twice as long to amortize it (chains
         # survive length changes; overshoot past EOS is discarded).
         if (not batch.decode_steps and self.cfg.pipeline_decode
+                and self.cfg.adaptive_windows
                 and not batch.prefill_chunks
                 and not self.scheduler.waiting):
             t_steps = self.runner.adaptive_window_steps(
                 t_steps, len(batch.decode_seqs))
         elif (not batch.decode_steps and batch.prefill_chunks
+                and self.cfg.adaptive_windows
                 and self.scheduler.waiting):
             # Admission pileup (initial burst): shorter windows between
             # prefill waves pull every queued request's first token
@@ -479,13 +491,15 @@ class ContinuousBatchEngine:
                       or s.guided_fsm is not None]
 
         new_window = None
+        newest = self._inflight_q[-1] if self._inflight_q else None
         if self.spec is not None:
             # Speculative rounds replace decode windows (fixed K+1
             # shape → no length-change chain breaks); same pipelined
-            # dispatch-ahead pattern.
+            # dispatch-ahead pattern (depth 1: rounds carry their own
+            # accept/reject accounting).
             if plain_seqs and not (batch.deferred_decodes and pinned):
                 new_window = self.spec.start_round(
-                    plain_seqs, prev=self._inflight)
+                    plain_seqs, prev=newest)
             plain_seqs = []
         elif plain_seqs and self.cfg.pipeline_decode:
             # Window length and lane-bucket changes chain freely: the
@@ -493,12 +507,12 @@ class ContinuousBatchEngine:
             # previous window's output shape.
             if batch.deferred_decodes and pinned:
                 # KV pressure unresolvable while the chain pins every
-                # victim: break the chain (one unoverlapped window) so
+                # victim: break the chain (drain the queue below) so
                 # next iteration can preempt freely.
                 pass
             elif plain_seqs:
                 new_window = self.runner.start_decode_window(
-                    plain_seqs, t_steps, prev=self._inflight,
+                    plain_seqs, t_steps, prev=newest,
                     pf_chunk=pf_chunk)
                 if pf_chunk is not None:
                     self.scheduler.note_prefill_done(pf_chunk)
@@ -511,9 +525,21 @@ class ContinuousBatchEngine:
             # phase filtering): dispatch it standalone.
             self._dispatch_prefill_groups([pf_chunk])
 
-        prev, self._inflight = self._inflight, new_window
-        if prev is not None:
-            self._process_window(prev)
+        if new_window is not None:
+            self._inflight_q.append(new_window)
+            # Target depth: cfg.pipeline_depth while the batch is busy;
+            # 1 at <= 4 active lanes (each extra outstanding window adds
+            # a full window of token-delivery latency) and for spec
+            # rounds (their round accounting assumes depth 1).
+            depth = 1 if (self.spec is not None
+                          or len(batch.decode_seqs) <= 4) \
+                else max(1, self.cfg.pipeline_depth)
+        else:
+            # Nothing dispatched (chain break / no decodable lanes):
+            # drain so preemption unpins and idle engines quiesce.
+            depth = 0
+        while len(self._inflight_q) > depth:
+            self._process_window(self._inflight_q.popleft())
             did_work = True
 
         if plain_seqs and not self.cfg.pipeline_decode:
@@ -543,8 +569,12 @@ class ContinuousBatchEngine:
             _prof.emit_memory({"iterations": self.metrics.iterations_total,
                                "running": len(self.scheduler.running),
                                "waiting": len(self.scheduler.waiting)})
+        # deferred_decodes keep the loop LIVE: a fully KV-deferred batch
+        # is empty by is_empty's definition, but the deferral resolves
+        # only by iterating (queue drain → unpin → preempt/min-progress)
+        # — sleeping here deadlocks those requests.
         return did_work or not batch.is_empty \
-            or self._inflight is not None
+            or bool(self._inflight_q) or bool(batch.deferred_decodes)
 
     def _dispatch_prefill_groups(self, chunks) -> None:
         """Batched standalone prefill: chunks sharing a (chunk, context)
@@ -760,9 +790,11 @@ class ContinuousBatchEngine:
         KV, FSM init) is dispatched AFTER the in-flight window —
         device-order makes slot reuse safe, and the replacement admits
         ~2 windows sooner (the steady-state TTFT floor under load)."""
-        infl = self._inflight
-        if infl is not None and seq.request.request_id in infl.covered \
-                and self.cfg.kv_layout != "linear":
+        # Any outstanding window may still write this seq's lanes; defer
+        # to the NEWEST covering window (processed last, FIFO).
+        infl = next((w for w in reversed(self._inflight_q)
+                     if seq.request.request_id in w.covered), None)
+        if infl is not None and self.cfg.kv_layout != "linear":
             seq.phase = Phase.FINISHED   # excluded from future scheduling
             # Prompt KV blocks are immutable once prefilled — only
             # decode-token blocks may still be written by the in-flight
@@ -791,9 +823,10 @@ class ContinuousBatchEngine:
                                  Phase.WAITING, Phase.PREEMPTED):
                     if seq in self.scheduler.waiting:
                         self.scheduler.waiting.remove(seq)
-                    infl = self._inflight
+                    infl = next((w for w in reversed(self._inflight_q)
+                                 if seq.request.request_id in w.covered),
+                                None)
                     if infl is not None \
-                            and seq.request.request_id in infl.covered \
                             and self.cfg.kv_layout != "linear":
                         # Slot/KV release deferred past the in-flight
                         # window that may still write its blocks

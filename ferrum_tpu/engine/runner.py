@@ -1429,21 +1429,23 @@ class ModelRunner:
         plain p_rows=0 program is the one that must exist)."""
         done = 0
         base_t = max(1, self.cfg.decode_multi_step)
+        adaptive = getattr(self.cfg, "adaptive_windows", True)
         for (ctx_pad, num_steps, s_pad, greedy, guided, grows, p_rows) \
                 in list(self._decode_multi_fns.keys()):
             for b in self.cfg.decode_buckets:
                 if b > s_pad:
                     break
                 want = [(num_steps, p_rows)] if b < s_pad else []
-                # Adaptive doubling (low occupancy, idle queue).
-                t2 = self.adaptive_window_steps(num_steps, b)
-                if t2 != num_steps:
-                    want.append((t2, 0))
-                # Pileup halving (engine shortens windows while
-                # admissions queue; see engine step (c)).
-                th = max(4, base_t // 2)
-                if th != num_steps:
-                    want.append((th, p_rows))
+                if adaptive:
+                    # Adaptive doubling (low occupancy, idle queue).
+                    t2 = self.adaptive_window_steps(num_steps, b)
+                    if t2 != num_steps:
+                        want.append((t2, 0))
+                    # Pileup halving (engine shortens windows while
+                    # admissions queue; see engine step (c)).
+                    th = max(4, base_t // 2)
+                    if th != num_steps:
+                        want.append((th, p_rows))
                 for t_w, p_w in want:
                     key = (ctx_pad, t_w, b, greedy, guided, grows, p_w)
                     if key in self._decode_multi_fns:

@@ -82,14 +82,16 @@ class ContinuousBatchScheduler:
         self.policy = policy
         # KV headroom reserved per decode schedule: the engine decodes up
         # to this many tokens per iteration on device (multi-step scan);
-        # with pipelined windows TWO windows may be outstanding beyond
-        # the host-visible position, so reserve double.
+        # with dispatch-ahead depth D, D windows may be outstanding
+        # beyond the host-visible position PLUS the one being scheduled,
+        # so reserve (D + 1) windows.
         steps = max(1, cfg.decode_multi_step)
         if getattr(cfg, "spec_draft_model", None):
             # A speculative round advances up to K+1 tokens per slot.
             steps = max(steps, cfg.spec_num_tokens + 1)
-        self.decode_lookahead = steps * (
-            2 if getattr(cfg, "pipeline_decode", False) else 1)
+        depth = getattr(cfg, "pipeline_depth", 1) \
+            if getattr(cfg, "pipeline_decode", False) else 0
+        self.decode_lookahead = steps * (1 + depth)
         self.waiting: Deque[Sequence] = deque()
         self.running: List[Sequence] = []     # admission order
         # num_slots >= max_num_seqs: slack lanes absorb deferred slot
@@ -196,8 +198,8 @@ class ContinuousBatchScheduler:
         return None
 
     # ------------------------------------------------------------------
-    def next_batch(self, pinned: frozenset = frozenset()
-                   ) -> ScheduledBatch:
+    def next_batch(self, pinned: frozenset = frozenset(),
+                   inflight_steps: int = -1) -> ScheduledBatch:
         cfg = self.cfg
         batch = ScheduledBatch()
         budget = cfg.max_num_batched_tokens
@@ -223,7 +225,17 @@ class ContinuousBatchScheduler:
                     # capacity must still make progress, else it would
                     # livelock ("defer_decode_to_waiting_for_capacity"
                     # forever).
-                    inflight = cfg.decode_multi_step                         if seq.request.request_id in pinned else 0
+                    # Exact write horizon for a pinned seq: the steps of
+                    # the windows actually outstanding (engine passes
+                    # it); worst-case depth*T only as a fallback.
+                    if seq.request.request_id not in pinned:
+                        inflight = 0
+                    elif inflight_steps >= 0:
+                        inflight = inflight_steps
+                    else:
+                        inflight = (cfg.decode_multi_step
+                                    * max(1, getattr(cfg, "pipeline_depth",
+                                                     1)))
                     if self._try_alloc(seq, seq.total_tokens + inflight + 1):
                         batch.decode_steps = 1
                         scheduled = True

@@ -278,7 +278,10 @@ def test_pipeline_matches_unpipelined():
                 t.start()
                 threads.append(t)
             for t in threads:
-                t.join(timeout=120)
+                t.join(timeout=300)   # loaded-CI headroom: compiles can
+                #                       eat >100 s of the first request
+            missing = [p for p in prompts if p not in results]
+            assert not missing, f"requests never completed: {missing}"
             return {p: results[p].token_ids for p in prompts}
         finally:
             eng.stop()

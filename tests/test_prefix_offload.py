@@ -167,7 +167,7 @@ def test_engine_offload_roundtrip_same_tokens(offload_engine):
     # the sequence's refcounts to drop so the cache is sole owner.
     import time
     for _ in range(200):
-        if not eng.scheduler.running and eng._inflight is None:
+        if not eng.scheduler.running and not eng._inflight_q:
             break
         time.sleep(0.02)
 
