@@ -58,6 +58,9 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_W4A8_TL": ("w4a8_two_level", bool,
                        "two-level requantize: integer group scales -> "
                        "full-speed int8 MXU at all batch sizes"),
+    "FERRUM_SQUEEZE_EMBED": ("squeeze_embeddings", bool,
+                             "int8 embeddings + int4 untied lm_head "
+                             "(single-chip 30B fit posture)"),
     "FERRUM_FUSE_PROJ": ("fuse_proj", bool,
                          "build-time q|k|v and gate|up fusion "
                          "(single-chip; auto-off under a mesh)"),
@@ -240,6 +243,13 @@ class EngineConfig:
     # off | all | down; window-level A/B on v5e showed no net win, so
     # off by default (re-tune per chip generation).
     w4a8_gd: str = "off"
+    # Squeeze embeddings to int8 and an untied lm_head to int4 at build
+    # time — frees 0.72 GiB on the 30B-A3B flagship, the difference
+    # between "cannot fit one v5e at all" and a single-chip run
+    # (docs/fit_30b_v5e.md). Off by default: GPTQ checkpoints keep
+    # bf16 embeddings and the squeeze adds quantization error at the
+    # input/output boundary.
+    squeeze_embeddings: bool = False
     # Build-time projection fusion: concat q|k|v and gate|up along the
     # out dim so each layer issues one kernel per site (fixed per-call
     # pipeline spin-up dominates at decode m). Disabled automatically

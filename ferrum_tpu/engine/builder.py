@@ -219,6 +219,15 @@ class EngineBuilder:
             # Before the KV pool is carved out (transient unpack scratch);
             # no-op when params already carry TL fields.
             self.params = apply_two_level(self.params)
+        if cfg.squeeze_embeddings:
+            from ..models.llama_family import QuantEmbedding
+            from ..models.quantize import _quant_dense, quantize_embedding
+            if not isinstance(self.params.embed, QuantEmbedding):
+                import dataclasses
+                self.params = dataclasses.replace(
+                    self.params,
+                    embed=quantize_embedding(self.params.embed),
+                    lm_head=_quant_dense(self.params.lm_head, 128))
         if cfg.fuse_proj and self.mesh is None:
             self.params = fuse_projections(self.params, cfg.fuse_sites)
 

@@ -101,14 +101,38 @@ class LayerParams:
 
 
 @partial(jax.tree_util.register_dataclass,
+         data_fields=["q", "scale"], meta_fields=[])
+@dataclass
+class QuantEmbedding:
+    """int8 per-row symmetric embedding table — the "bf16-free
+    embeddings" squeeze that makes true 30B-A3B arithmetic on one 16 GiB
+    chip (docs/fit_30b_v5e.md): 151936x2048 drops 0.58 -> 0.29 GiB.
+    Lookup dequantizes the gathered rows only; the tied-logits path
+    contracts against the int8 table and rescales per column (exact:
+    the row scale commutes out of the dot)."""
+
+    q: jnp.ndarray                         # int8 [vocab, hidden]
+    scale: jnp.ndarray                     # f32 [vocab, 1]
+
+
+@partial(jax.tree_util.register_dataclass,
          data_fields=["embed", "layers", "final_norm", "lm_head"],
          meta_fields=[])
 @dataclass
 class ModelParams:
-    embed: jnp.ndarray                     # [vocab, hidden]
+    embed: jnp.ndarray                     # [vocab, hidden] | QuantEmbedding
     layers: List[LayerParams]
     final_norm: jnp.ndarray
     lm_head: Optional[LinearParams]        # None = tied to embed
+
+
+def embed_lookup(embed, tokens: jnp.ndarray, dtype=jnp.bfloat16
+                 ) -> jnp.ndarray:
+    """Gather embedding rows; dequantize if the table is int8."""
+    if isinstance(embed, QuantEmbedding):
+        rows = embed.q[tokens].astype(jnp.float32) * embed.scale[tokens]
+        return rows.astype(dtype)
+    return embed[tokens]
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +262,7 @@ def forward_hidden(
     # Zero-centered RMSNorm weights, applied as (1 + w): gemma3 AND
     # qwen3-next (Qwen3NextRMSNorm stores zeros-init weights).
     gemma = cfg.family in ("gemma3", "qwen3_next")
-    h = params.embed[tokens]
+    h = embed_lookup(params.embed, tokens)
     if cfg.embedding_multiplier is not None:
         h = (h.astype(jnp.float32) * cfg.embedding_multiplier).astype(h.dtype)
 
@@ -327,6 +351,11 @@ def logits_from_hidden(params: ModelParams, cfg: ModelConfig,
     """hidden [N, H] → logits f32 [N, vocab]."""
     if params.lm_head is not None:
         logits = apply_linear(params.lm_head, h).astype(jnp.float32)
+    elif isinstance(params.embed, QuantEmbedding):
+        # tied weights, int8 table: s_v (h . q_v) == h . (s_v q_v)
+        logits = jnp.dot(h, params.embed.q.T.astype(h.dtype),
+                         preferred_element_type=jnp.float32) \
+            * params.embed.scale.T
     else:
         logits = jnp.dot(h, params.embed.T,
                          preferred_element_type=jnp.float32)

@@ -16,7 +16,21 @@ import numpy as np
 
 from ..ops.linear import DenseLinearParams
 from ..ops.quant import QuantLinearParams, make_quant_linear, quantize_weight_np
-from .llama_family import LayerParams, ModelParams, MoeLayerParams
+from .llama_family import (LayerParams, ModelParams, MoeLayerParams,
+                           QuantEmbedding)
+
+
+def quantize_embedding(embed) -> QuantEmbedding:
+    """bf16 [vocab, h] -> per-row symmetric int8 (docs/fit_30b_v5e.md:
+    the embedding half of the 0.72 GiB single-chip squeeze)."""
+    if isinstance(embed, QuantEmbedding):
+        return embed
+    w = np.asarray(embed, np.float32)
+    amax = np.maximum(np.abs(w).max(axis=1, keepdims=True), 1e-8)
+    scale = amax / 127.0
+    q = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+    return QuantEmbedding(q=jnp.asarray(q),
+                          scale=jnp.asarray(scale, jnp.float32))
 
 
 def _quant_dense(lin: Optional[DenseLinearParams], group_size: int,
@@ -52,7 +66,9 @@ def _quant_expert_stack(w: jnp.ndarray, group_size: int,
 
 
 def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
-                             dtype=jnp.bfloat16) -> ModelParams:
+                             dtype=jnp.bfloat16,
+                             squeeze_embeddings: bool = False
+                             ) -> ModelParams:
     """Architecture-true random INT4 model, generated directly in packed
     form ON DEVICE — for benches, where throughput is weight-value
     independent. Host-side RNG + upload for an 8B model costs minutes
@@ -121,19 +137,32 @@ def init_random_quant_params(cfg, seed: int = 0, group_size: int = 128,
             k_norm=jnp.ones(cfg.head_dim, dtype=dtype) if cfg.qk_norm else None,
             post_attn_norm=None, pre_mlp_norm=jnp.ones(h, dtype=dtype),
             post_mlp_norm=None, gate=gate, up=up, down=down, moe=moe))
-    embed = normal((cfg.vocab_size, h))
-    lm_head = None if cfg.tie_word_embeddings else DenseLinearParams(
-        w=normal((h, cfg.vocab_size)), bias=None)
+    if squeeze_embeddings:
+        # Generate the squeezed forms directly on device (int8 table,
+        # int4 lm_head) — a bf16 intermediate would transiently need
+        # the very HBM the squeeze exists to free.
+        embed = QuantEmbedding(
+            q=jax.random.randint(next_key(), (cfg.vocab_size, h),
+                                 -127, 128, jnp.int8),
+            scale=jnp.full((cfg.vocab_size, 1), 0.02 / 127.0, jnp.float32))
+        lm_head = None if cfg.tie_word_embeddings else qlin(h, cfg.vocab_size)
+    else:
+        embed = normal((cfg.vocab_size, h))
+        lm_head = None if cfg.tie_word_embeddings else DenseLinearParams(
+            w=normal((h, cfg.vocab_size)), bias=None)
     return ModelParams(embed=embed, layers=layers,
                        final_norm=jnp.ones(h, dtype=dtype), lm_head=lm_head)
 
 
 def quantize_model_params(params: ModelParams, group_size: int = 128,
                           dtype=jnp.bfloat16,
-                          quantize_experts: bool = True) -> ModelParams:
+                          quantize_experts: bool = True,
+                          squeeze_embeddings: bool = False) -> ModelParams:
     """Quantize all transformer linears (q/k/v/o, gate/up/down, expert
     stacks) to int4; embeddings, norms and lm_head stay high-precision
-    (matching GPTQ checkpoint conventions)."""
+    (matching GPTQ checkpoint conventions). squeeze_embeddings=True
+    additionally drops the table to int8 and the (untied) lm_head to
+    int4 — the single-chip 30B-A3B fit posture (docs/fit_30b_v5e.md)."""
     layers = []
     for lp in params.layers:
         moe = None
@@ -161,6 +190,10 @@ def quantize_model_params(params: ModelParams, group_size: int = 128,
             up=_quant_dense(lp.up, group_size, dtype),
             down=_quant_dense(lp.down, group_size, dtype),
             moe=moe))
-    return ModelParams(embed=params.embed, layers=layers,
+    embed, lm_head = params.embed, params.lm_head
+    if squeeze_embeddings:
+        embed = quantize_embedding(embed)
+        lm_head = _quant_dense(lm_head, group_size, dtype)
+    return ModelParams(embed=embed, layers=layers,
                        final_norm=params.final_norm,
-                       lm_head=params.lm_head)
+                       lm_head=lm_head)

@@ -27,7 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.configs import ModelConfig
 from ..models.llama_family import (
-    LayerParams, ModelParams, MoeLayerParams, PagedKvCache,
+    LayerParams, ModelParams, MoeLayerParams, PagedKvCache, QuantEmbedding,
 )
 from ..ops.linear import DenseLinearParams, LoraLinearParams
 from ..ops.quant import QuantLinearParams
@@ -140,8 +140,15 @@ def shard_params(params: ModelParams, cfg: ModelConfig,
             up=None if lp.up is None else _shard_linear(lp.up, mesh, True),
             down=None if lp.down is None else _shard_linear(lp.down, mesh, False),
             moe=moe))
-    embed = jax.device_put(params.embed,
-                           NamedSharding(mesh, P("model", None)))
+    if isinstance(params.embed, QuantEmbedding):
+        embed = QuantEmbedding(
+            q=jax.device_put(params.embed.q,
+                             NamedSharding(mesh, P("model", None))),
+            scale=jax.device_put(params.embed.scale,
+                                 NamedSharding(mesh, P("model", None))))
+    else:
+        embed = jax.device_put(params.embed,
+                               NamedSharding(mesh, P("model", None)))
     lm_head = None
     if params.lm_head is not None:
         lm_head = _shard_linear(params.lm_head, mesh, col=True)

@@ -53,13 +53,19 @@ RNG = np.random.default_rng(0)
 
 
 def chain_time(fn, x0, n_iters: int):
-    """Seconds per iteration via two chain lengths (RTT cancels)."""
+    """Seconds per iteration via two chain lengths (RTT cancels).
+
+    Every timed call gets argument VALUES never dispatched before: the
+    tunnel transport dedupes a repeated (program, args) dispatch and
+    returns the cached result without executing, so re-timing the
+    warmup arguments measures pure RTT (first tool revision did exactly
+    that and printed negative slopes)."""
 
     def chained(x, n):
         def body(c, _):
             y = fn(c)
             # Fold output back into an input-shaped carry: data
-            # dependence defeats transport dedupe + hoisting of fn.
+            # dependence defeats hoisting of fn out of the scan.
             c2 = (c + y[:, : x.shape[1]].astype(c.dtype)
                   if y.shape[1] >= x.shape[1]
                   else c.at[:, : y.shape[1]].add(y.astype(c.dtype)))
@@ -69,15 +75,22 @@ def chain_time(fn, x0, n_iters: int):
 
     f_short = jax.jit(functools.partial(chained, n=n_iters // 4))
     f_long = jax.jit(functools.partial(chained, n=n_iters))
+    bump = jax.jit(lambda x, i: x + jnp.bfloat16(i) * jnp.bfloat16(1e-3))
     for f in (f_short, f_long):
         np.asarray(f(x0))                      # compile + warm
-    t0 = time.perf_counter()
-    np.asarray(f_short(x0))
-    t_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    np.asarray(f_long(x0))
-    t_l = time.perf_counter() - t0
-    return (t_l - t_s) / (n_iters - n_iters // 4)
+    np.asarray(bump(x0, 1))
+    samples = []
+    for rep in range(2):
+        xs_ = bump(x0, 2 + 2 * rep)
+        xl_ = bump(x0, 3 + 2 * rep)
+        t0 = time.perf_counter()
+        np.asarray(f_short(xs_))
+        t_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(f_long(xl_))
+        t_l = time.perf_counter() - t0
+        samples.append((t_l - t_s) / (n_iters - n_iters // 4))
+    return min(samples)
 
 
 def main() -> None:
@@ -94,19 +107,36 @@ def main() -> None:
 
     results = {}
 
+    def record(name, t):
+        results[name] = t
+        print(f"  {name:8s} {t * 1e3:7.3f} ms/call  "
+              f"{int4_bytes / t / 2**30:7.1f} GiB/s (int4-equivalent)",
+              flush=True)
+
     # -- production TL kernel (and gd variant) -------------------------
     def run_tl(gd):
         def f(x):
             return quant_matmul_w4a8tl(x, p, gd=gd)
         return chain_time(f, x_bf, iters)
 
-    results["tl2d"] = run_tl(False)
-    results["gd"] = run_tl(True)
+    print(f"m={m} k={k} n={n} int4_bytes={int4_bytes / 2**20:.1f} MiB",
+          flush=True)
+    record("tl2d", run_tl(False))
+    record("gd", run_tl(True))
 
     # -- XLA native int4 ----------------------------------------------
+    # Host->device transfer of S4 arrays trips the tunnel transport
+    # (RecursionError in jit re-entry) — cast to int4 ON device. Both
+    # int4 probes are opt-in (INT4_PROBE=1): a failed int4 op WEDGES the
+    # tunnel client (subsequent plain device_puts fail UNIMPLEMENTED),
+    # killing the rest of the run.
     w8 = np.clip(np.round(w / np.abs(w).max() * 7), -8, 7).astype(np.int8)
+    probe_i4 = os.environ.get("INT4_PROBE", "0") == "1"
     try:
-        w4 = jnp.asarray(w8, jnp.int4)
+        if not probe_i4:
+            raise NotImplementedError("INT4_PROBE off")
+        w4 = jax.jit(lambda a: a.astype(jnp.int4))(jnp.asarray(w8))
+        jax.block_until_ready(w4)
         chan = jnp.asarray(np.abs(w).max() / 7, jnp.float32)
 
         def f_i4(x):
@@ -115,9 +145,92 @@ def main() -> None:
                               preferred_element_type=jnp.int32)
             return (acc.astype(jnp.float32) * xs * chan).astype(jnp.bfloat16)
 
-        results["xla_i4"] = chain_time(f_i4, x_bf, iters)
+        record("xla_i4", chain_time(f_i4, x_bf, iters))
     except Exception as e:  # int4 unsupported on this stack
-        print(f"# xla_i4 unavailable: {e!r}", flush=True)
+        print(f"# xla_i4 unavailable: {type(e).__name__}", flush=True)
+
+    # -- Pallas kernel reading an int4-typed VMEM ref ------------------
+    # If Mosaic unpacks sub-byte loads in hardware, this is the
+    # unpack-free decode kernel shape: group-dot structure of
+    # _qmm_w4a8tl_gd_kernel but with w as a logical [K, N] int4 array.
+    try:
+        if not probe_i4:
+            raise NotImplementedError("INT4_PROBE off")
+        import jax.experimental.pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        GROUPQ = 128
+        n_groups = k // GROUPQ
+        w4u = jax.jit(lambda a: (a + 8).astype(jnp.int4))(jnp.asarray(w8))
+        jax.block_until_ready(w4u)
+        s2 = jnp.ones((n_groups, 1, n), jnp.int8)
+        z2 = jnp.full((n_groups, 1, n), 8, jnp.int8)
+
+        bkq = 512
+        bnq = 512
+        gptq = bkq // GROUPQ
+
+        def i4_kernel(xq_ref, xs_ref, qw_ref, qs_ref, z_ref, o_ref,
+                      acc_ref, *, n_k_steps, bn):
+            j = pl.program_id(1)
+            kk = pl.program_id(2)
+
+            @pl.when(kk == 0)
+            def _():
+                acc_ref[:] = jnp.zeros_like(acc_ref)
+
+            wblk = qw_ref[:].astype(jnp.int8).reshape(gptq, GROUPQ, bn)
+            acc = acc_ref[:]
+            lane = pl.ds(j * bn, bn)
+            for t in range(gptq):
+                g = kk * gptq + t
+                xg = xq_ref[:, pl.ds(t * GROUPQ, GROUPQ)]
+                st = qs_ref[g, :, lane].astype(jnp.int32)
+                zt = z_ref[g, :, lane].astype(jnp.int32)
+                dot = jax.lax.dot(xg, wblk[t],
+                                  preferred_element_type=jnp.int32)
+                sx = jnp.sum(xg.astype(jnp.int32), axis=1, keepdims=True)
+                acc = acc + dot * st - sx * (st * zt)
+            acc_ref[:] = acc
+
+            @pl.when(kk == n_k_steps - 1)
+            def _():
+                o_ref[:] = (acc_ref[:].astype(jnp.float32)
+                            * xs_ref[:]).astype(jnp.bfloat16)
+
+        def f_pl_i4(x):
+            xq, xs = quantize_activation_rows(x)
+            n_k = k // bkq
+            kern = functools.partial(i4_kernel, n_k_steps=n_k, bn=bnq)
+            return pl.pallas_call(
+                kern,
+                grid=(max(m // 64, 1), n // bnq, n_k),
+                in_specs=[
+                    pl.BlockSpec((min(m, 64), bkq),
+                                 lambda i, j, kk: (i, kk),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((min(m, 64), 1), lambda i, j, kk: (i, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((bkq, bnq), lambda i, j, kk: (kk, j),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                    pl.BlockSpec(memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((min(m, 64), bnq),
+                                       lambda i, j, kk: (i, j),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((m, n), jnp.bfloat16),
+                scratch_shapes=[pltpu.VMEM((min(m, 64), bnq), jnp.int32)],
+                compiler_params=pltpu.CompilerParams(
+                    dimension_semantics=("parallel", "parallel",
+                                         "arbitrary")),
+            )(xq, xs, w4u, s2, z2)
+
+        record("pl_i4", chain_time(f_pl_i4, x_bf, iters))
+    except Exception as e:
+        import traceback
+        print(f"# pl_i4 unavailable: {type(e).__name__}: "
+              f"{str(e)[:300]}", flush=True)
 
     # -- int8 / bf16 references ---------------------------------------
     w8j = jnp.asarray(w8)
@@ -127,16 +240,11 @@ def main() -> None:
         acc = jax.lax.dot(xq, w8j, preferred_element_type=jnp.int32)
         return (acc.astype(jnp.float32) * xs).astype(jnp.bfloat16)
 
-    results["xla_i8"] = chain_time(f_i8, x_bf, iters)
+    record("xla_i8", chain_time(f_i8, x_bf, iters))
 
     wb = jnp.asarray(w, jnp.bfloat16)
-    results["bf16"] = chain_time(lambda x: x @ wb, x_bf, iters)
+    record("bf16", chain_time(lambda x: x @ wb, x_bf, iters))
 
-    print(f"m={m} k={k} n={n} int4_bytes={int4_bytes / 2**20:.1f} MiB")
-    for name, t in results.items():
-        print(f"  {name:8s} {t * 1e3:7.3f} ms/call  "
-              f"{int4_bytes / t / 2**30:7.1f} GiB/s (int4-equivalent)",
-              flush=True)
 
 
 if __name__ == "__main__":
