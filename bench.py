@@ -225,6 +225,35 @@ def main() -> None:
             flush_report()
         report["cells"].sort(key=lambda x: x["concurrency"])
         flush_report()
+
+        # --- optional long-context cell (VERDICT r3 #5: >=2048-ctx with
+        # int8 KV in the committed ladder). Same process (the chip claim
+        # and backend init are paid), fresh engine: 2048/128 at c=8, KV
+        # pool in int8 so 8 slots x 4096 tokens fit beside the weights.
+        if os.environ.get("FERRUM_BENCH_LONGCTX", "0") == "1" \
+                and left() > 420:
+            engine.stop()
+            note("building long-ctx engine (2048/128, int8 KV)")
+            cfg2 = EngineConfig.resolve(
+                model="bench-longctx", max_num_seqs=8,
+                max_num_batched_tokens=2048, max_model_len=4096,
+                prefill_chunk_size=512, kv_block_size=32,
+                kv_layout="linear", decode_bucket_spec="8",
+                adaptive_windows=False, prefix_cache_blocks=0,
+                decode_multi_step=8, dtype="bf16", kv_dtype="int8",
+                seed=0)
+            eng2 = EngineBuilder(cfg2).with_model(model_cfg, params).build()
+            try:
+                cell = run_cell(eng2, concurrency=8, num_requests=16,
+                                input_len=2048, output_len=128, seed=0,
+                                warmup=1)
+                cell["workload"] = {"input_len": 2048, "output_len": 128,
+                                    "kv_dtype": "int8"}
+                report["cells"].append(cell)
+                note(f"long-ctx cell done: {cell['output_tok_s']:.1f} tok/s")
+                flush_report()
+            finally:
+                eng2.stop()
     finally:
         engine.stop()
         if line_out is None:
