@@ -105,6 +105,7 @@ def test_cli_transcribe(whisper_dir, tmp_path):
     assert rc == 0
 
 
+@pytest.mark.slow  # 19s batched-window oracle
 def test_concurrent_transcriptions_batch_and_match(whisper_dir):
     """Concurrent requests ride ONE micro-batched decode (VERDICT r2
     weak #8) and produce exactly the sequential results."""

@@ -19,6 +19,7 @@ def engine():
     eng.stop()
 
 
+@pytest.mark.slow  # 30s Poisson completion sweep
 def test_open_loop_cell_completes_all_launched(engine):
     cell = run_cell_open_loop(
         engine, rate_rps=4.0, duration_s=2.0,

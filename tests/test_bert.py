@@ -44,6 +44,7 @@ def test_encoder_matches_hf(oracle):
     np.testing.assert_allclose(got, want, atol=3e-4, rtol=3e-3)
 
 
+@pytest.mark.slow  # 16s padded-batch oracle
 def test_padding_mask_matches_unpadded(oracle):
     hf, cfg, params = oracle
     rng = np.random.default_rng(1)

@@ -46,6 +46,7 @@ def test_run_json_output():
     assert out and "response" in json.loads(out[-1])
 
 
+@pytest.mark.slow  # 26s offline bench cells
 def test_bench_offline():
     r = run_cli("bench", "random:tiny-test", "--concurrency", "2",
                 "--num-requests", "4", "--input-len", "8",
@@ -59,6 +60,7 @@ def test_bench_offline():
     assert rep["cells"][0]["errors"] == 0
 
 
+@pytest.mark.slow  # 35s full capture+replay cycle
 def test_replay_bundle_roundtrip(tmp_path):
     """Capture a bundle, replay it via the CLI, expect a match (exit 0)
     and a mismatch exit (2) when observed tokens are corrupted."""

@@ -30,6 +30,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WORKER = os.path.join(REPO, "tests", "dist_worker.py")
 
 
+# Heavyweight parity/cluster lane: opt-in via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 def _free_port():
     s = socket.socket()
     s.bind(("127.0.0.1", 0))

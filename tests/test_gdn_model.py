@@ -135,6 +135,7 @@ def check(extra, n_tokens=11, n_decode=4, atol=5e-4, rtol=5e-3):
                                        atol=atol, err_msg=f"decode {i}")
 
 
+@pytest.mark.slow  # 28s full-model HF-oracle parity
 def test_qwen3_next_dense_parity():
     check({})
 

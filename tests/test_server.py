@@ -269,7 +269,9 @@ class TestEmbeddings:
                 self._started.set()
                 self._loop.run_forever()
 
-        h = H(eng, port=18233)
+        # NOT 18233: test_logprobs_server.py binds that one, and its
+        # socket can still be held when this class fixture starts.
+        h = H(eng, port=18236)
         yield h
         h.stop()
 

@@ -34,6 +34,9 @@ CTX = 32
 MAXP = 8
 
 
+# Heavyweight parity/cluster lane: opt-in via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def llama70b():
     cfg = dataclasses.replace(preset("llama-3.3-70b"),

@@ -39,6 +39,9 @@ CTX = 32
 MAXP = 8
 
 
+# Heavyweight parity/cluster lane: opt-in via `pytest -m slow`
+pytestmark = pytest.mark.slow
+
 @pytest.fixture(scope="module")
 def flagship():
     cfg = dataclasses.replace(preset("qwen3-30b-a3b"), num_layers=2)

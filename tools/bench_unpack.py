@@ -62,9 +62,9 @@ def chain_time(fn, x0, n_iters: int):
 
     f_short = jax.jit(functools.partial(chained, n=n_iters // 4))
     f_long = jax.jit(functools.partial(chained, n=n_iters))
-    bump = jax.jit(lambda x, i: x + x.dtype.type(i) * x.dtype.type(1e-3)
-                   if jnp.issubdtype(x.dtype, jnp.floating)
-                   else x + i)
+
+    def bump(x, i):  # eager: fresh VALUES per timed call
+        return x + jnp.asarray(i * 1e-3, x.dtype)
     for f in (f_short, f_long):
         np.asarray(f(x0))
     samples = []
@@ -104,6 +104,42 @@ def make_variant(kind: str, m: int, k: int, n: int, bkb: int, bn: int):
             lo = b & jnp.int8(0x0F)
             hi = jax.lax.shift_right_logical(
                 b.astype(jnp.uint8), jnp.uint8(4)).astype(jnp.int8)
+        elif kind == "i8and_lo":
+            # isolate: int8-native AND for lo only (hi widens as today)
+            lo = b & jnp.int8(0x0F)
+            hi = ((b.astype(jnp.int32) >> 4) & 0xF).astype(jnp.int8)
+        elif kind == "u8shift":
+            # isolate: u8 logical shift for hi only (lo widens as today)
+            lo = (b.astype(jnp.int32) & 0xF).astype(jnp.int8)
+            hi = jax.lax.shift_right_logical(
+                b.astype(jnp.uint8), jnp.uint8(4)).astype(jnp.int8)
+        elif kind == "i16w":
+            # half-width widening: do the bit ops in int16 lanes
+            qi = b.astype(jnp.int16)
+            lo = (qi & jnp.int16(0xF)).astype(jnp.int8)
+            hi = ((qi >> jnp.int16(4)) & jnp.int16(0xF)).astype(jnp.int8)
+        elif kind == "mxu":
+            # MXU-assisted unpack: ONLY the lo nibble is extracted on
+            # the VPU (int8-native AND, 1 op/byte — the one formulation
+            # Mosaic compiles fast, see i8and_lo). The hi-plane dot is
+            # recovered on the MXU from a dot against the raw bytes:
+            # with b' = b ^ 0x80 stored offline (so b'_signed = b_u8
+            # - 128), dot(x, hi) = (dot(x, b') + 128*sum(x)
+            # - dot(x, lo)) >> 4 — exact in int32.
+            lo = b & jnp.int8(0x0F)
+            xl = x_ref[:, : lo.shape[0]]
+            xh = x_ref[:, lo.shape[0]:]
+            sxh = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True)
+            A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
+            C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
+            D = jax.lax.dot(xh, b, preferred_element_type=jnp.int32)
+            hi_dot = (D + 128 * sxh - C) >> 4
+            acc_ref[:] += A + hi_dot
+
+            @pl.when(kk == n_k_steps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+            return
         elif kind == "raw":
             lo = b
             hi = b
@@ -169,7 +205,9 @@ def main() -> None:
     x0 = jnp.asarray(RNG.normal(0, 1, (m, k)), jnp.bfloat16)
     print(f"m={m} k={k} n={n} packed={nbytes / 2**20:.1f} MiB "
           f"bkb={bkb} bn={bn} iters={iters}", flush=True)
-    for kind in ("raw", "widen", "i8and", "nodot"):
+    kinds = os.environ.get(
+        "KINDS", "raw,widen,i8and_lo,u8shift,i16w,nodot").split(",")
+    for kind in kinds:
         try:
             t = chain_time(make_variant(kind, m, k, n, bkb, bn), x0, iters)
             print(f"  {kind:7s} {t * 1e3:7.3f} ms/call  "
