@@ -54,7 +54,7 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_W4A8": ("w4a8", bool,
                     "int8-activation path for int4 matmuls at decode"),
     "FERRUM_W4A8_GD": ("w4a8_gd", str,
-                       "group-dot decode kernel mode: off|all|down"),
+                       "group-dot decode kernel mode: off|all|down|mxu"),
     "FERRUM_W4A8_TL": ("w4a8_two_level", bool,
                        "two-level requantize: integer group scales -> "
                        "full-speed int8 MXU at all batch sizes"),
@@ -240,8 +240,9 @@ class EngineConfig:
     w4a8_two_level: bool = True
     # Group-dot decode kernel (m <= 64): MXU consumes raw nibbles, the
     # two-level scale/zero move to the output side (exact).
-    # off | all | down; window-level A/B on v5e showed no net win, so
-    # off by default (re-tune per chip generation).
+    # off | all | down | mxu; mxu = MXU-assisted unpack (the hi-nibble
+    # dot recovered from a dot against raw packed bytes — the VPU does
+    # ~2 ops/byte; tools/bench_unpack.py).
     w4a8_gd: str = "off"
     # Squeeze embeddings to int8 and an untied lm_head to int4 at build
     # time — frees 0.72 GiB on the 30B-A3B flagship, the difference

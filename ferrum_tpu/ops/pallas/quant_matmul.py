@@ -461,11 +461,88 @@ def _qmm_w4a8tl_gd_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
                     * chan_ref[:]).astype(out_dtype)
 
 
+def _qmm_w4a8tl_mxu_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
+                           z_ref, chan_ref, o_ref, acc_ref, *,
+                           n_k_steps: int, half_groups: int, bn: int,
+                           gpt: int, out_dtype):
+    """MXU-assisted unpack w4a8tl variant for decode-sized m.
+
+    The gd kernel still spends ~6 VPU integer ops per packed byte on
+    nibble extraction (the int32 widening the `&`/`>>` lowering forces)
+    and measures ~345 GiB/s at decode m on v5e vs this grid's raw
+    byte-stream floor (tools/bench_unpack.py). Here the VPU does only
+    ONE cheap int8-native op per byte — `lo = b & 0x0F`, the one
+    formulation Mosaic lowers without widening (`>>`-based unpacks and
+    `(b < 0)` masks ICE the Mosaic backend on this stack) — and the
+    HI-nibble dot is recovered on the MXU from a dot against the raw
+    bytes REINTERPRETED UNSIGNED, exactly:
+
+        b_u8 = 16*hi + lo      (hi, lo in 0..15)
+        dot(x, hi) = (dot(x, b_u8) - dot(x, lo)) >> 4
+
+    The shift is exact: the bracket is 16*dot(x, hi) by construction
+    (arithmetic shift = division for multiples of 16, negatives from
+    signed x included). Group scale/zero move to the output side as in
+    the gd kernel. Three [m, G]x[G, bn] int8 dots per group instead of
+    two — free at decode m where the MXU is idle. Measured
+    tools/bench_unpack.py m=32: 576 GiB/s vs 364 for the widening
+    unpack and ~416-528 for the no-unpack floor. Bounds: |bracket| <=
+    127*128*255 ~ 4.1e6 < 2^31; per-group scaled terms bound as in the
+    gd kernel (< 2^31 cumulative for k <= 8k).
+    ref: same role as Marlin's fused dequant-GEMM
+    (crates/ferrum-kernels/vllm_marlin/marlin.cu) — redesigned so the
+    TPU's systolic MXU performs the unpack arithmetic the VPU is too
+    slow for."""
+    j = pl.program_id(1)
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = qw_ref[:]
+    lo_all = (b & jnp.int8(0x0F)).reshape(gpt, GROUP, bn)
+    bu_all = b.astype(jnp.uint8).reshape(gpt, GROUP, bn)
+    lane = pl.ds(j * bn, bn)
+
+    acc = acc_ref[:]
+    for t in range(gpt):
+        g_lo = kk * gpt + t
+        g_hi = half_groups + kk * gpt + t
+        xl = xq_lo_ref[:, pl.ds(t * GROUP, GROUP)]           # [m, G] i8
+        xh = xq_hi_ref[:, pl.ds(t * GROUP, GROUP)]
+        lo = lo_all[t]
+        A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
+        C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
+        D = jax.lax.dot_general(xh, bu_all[t], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        hi_dot = (D - C) >> 4
+        sxl = jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True)
+        sxh = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True)
+        s_lo = qs_ref[g_lo, :, lane].astype(jnp.int32)       # [1, bn]
+        z_lo = z_ref[g_lo, :, lane].astype(jnp.int32)
+        s_hi = qs_ref[g_hi, :, lane].astype(jnp.int32)
+        z_hi = z_ref[g_hi, :, lane].astype(jnp.int32)
+        acc = (acc + A * s_lo - sxl * (s_lo * z_lo)
+               + hi_dot * s_hi - sxh * (s_hi * z_hi))
+    acc_ref[:] = acc
+
+    @pl.when(kk == n_k_steps - 1)
+    def _():
+        o_ref[:] = (acc_ref[:].astype(jnp.float32) * xs_ref[:]
+                    * chan_ref[:]).astype(out_dtype)
+
+
 def _quant_matmul_w4a8tl_gd(xq: jnp.ndarray, xs: jnp.ndarray,
                             p: QuantLinearParams, out_dtype,
                             bkb: int = None, bn: int = None,
-                            bm: int = None):
-    """Group-dot variant wrapper (same contract as the 2d wrapper)."""
+                            bm: int = None,
+                            kernel_fn=None):
+    """Group-dot variant wrapper (same contract as the 2d wrapper).
+    kernel_fn selects the per-group kernel body (default: gd; the mxu
+    wrapper passes _qmm_w4a8tl_mxu_kernel)."""
+    if kernel_fn is None:
+        kernel_fn = _qmm_w4a8tl_gd_kernel
     m, k = xq.shape
     n = p.out_features
     assert k == p.in_features
@@ -493,7 +570,7 @@ def _quant_matmul_w4a8tl_gd(xq: jnp.ndarray, xs: jnp.ndarray,
     z3 = p.zeros.reshape(-1, 1, n)
     chan = p.chan_scale.astype(jnp.float32).reshape(1, n)
     kernel = functools.partial(
-        _qmm_w4a8tl_gd_kernel, n_k_steps=n_k, half_groups=half_groups,
+        kernel_fn, n_k_steps=n_k, half_groups=half_groups,
         bn=bn, gpt=bkb // GROUP, out_dtype=out_dtype)
     return pl.pallas_call(
         kernel,
@@ -526,12 +603,18 @@ def _quant_matmul_w4a8tl_gd(xq: jnp.ndarray, xs: jnp.ndarray,
     )(xq, xq, xs, p.qweight, qs3, z3, chan)
 
 
+def _quant_matmul_w4a8tl_mxu(xq, xs, p, out_dtype, **kw):
+    """MXU-assisted-unpack wrapper (same contract as the gd wrapper)."""
+    return _quant_matmul_w4a8tl_gd(xq, xs, p, out_dtype,
+                                   kernel_fn=_qmm_w4a8tl_mxu_kernel, **kw)
+
+
 def quant_matmul_w4a8tl(x: jnp.ndarray, p: QuantLinearParams,
-                        gd: bool = False) -> jnp.ndarray:
+                        gd=False) -> jnp.ndarray:
     """y = x @ dequant(qweight) (+ bias) via the two-level int8 path.
-    gd=True uses the group-dot variant (decode-m; scale/zero on the
-    output side). Falls back to w4a16 off-TPU or on unsupported
-    shapes."""
+    gd=True uses the group-dot variant, gd="mxu" the MXU-assisted-
+    unpack variant (decode-m; scale/zero on the output side). Falls
+    back to w4a16 off-TPU or on unsupported shapes."""
     assert p.scales2 is not None, "requantize_two_level first"
     if p.input_perm is not None:
         import dataclasses
@@ -546,7 +629,9 @@ def quant_matmul_w4a8tl(x: jnp.ndarray, p: QuantLinearParams,
     if m_pad != m:
         x2 = jnp.pad(x2, ((0, m_pad - m), (0, 0)))
     xq, xs = quantize_activation_rows(x2)
-    impl = _quant_matmul_w4a8tl_gd if gd else _quant_matmul_w4a8tl_2d
+    impl = {False: _quant_matmul_w4a8tl_2d,
+            True: _quant_matmul_w4a8tl_gd,
+            "mxu": _quant_matmul_w4a8tl_mxu}[gd]
     out = impl(xq, xs, p, x.dtype)
     if out is None:
         return quant_matmul_w4a16(x, p)
@@ -605,11 +690,11 @@ _W4A8_GD = "off"
 
 def set_w4a8_gd(mode) -> None:
     """Set the group-dot decode mode (tests / benchmarks / builder).
-    Accepts "off"|"all"|"down" (bools map to off/all)."""
+    Accepts "off"|"all"|"down"|"mxu" (bools map to off/all)."""
     global _W4A8_GD
     if isinstance(mode, bool):
         mode = "all" if mode else "off"
-    if mode not in ("off", "all", "down"):
+    if mode not in ("off", "all", "down", "mxu"):
         raise ValueError(f"unknown w4a8_gd mode {mode!r}")
     _W4A8_GD = mode
 
@@ -665,6 +750,11 @@ def quant_matmul(x: jnp.ndarray, p: QuantLinearParams) -> jnp.ndarray:
     for d in x.shape[:-1]:
         m *= d
     if _W4A8 and m <= 64:
+        if _W4A8_GD == "mxu" and p.scales2 is not None:
+            # MXU-assisted unpack: the hi-nibble dot is recovered from
+            # a dot against the raw packed bytes (exact); the VPU does
+            # ~2 ops/byte instead of ~6-12 (_qmm_w4a8tl_mxu_kernel).
+            return quant_matmul_w4a8tl(x, p, gd="mxu")
         gd = _W4A8_GD == "all" or (
             _W4A8_GD == "down" and p.in_features > p.out_features)
         if gd and p.scales2 is not None:
@@ -1035,6 +1125,54 @@ def _qbmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_lo_ref,
                     * chan_ref[0].astype(jnp.float32)).astype(out_dtype)
 
 
+def _qbmm_w4a8tl_mxu_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref,
+                            qs_lo_ref, qs_hi_ref, z_lo_ref, z_hi_ref,
+                            chan_ref, o_ref, acc_ref, *, n_k_steps: int,
+                            bn: int, gpt: int, out_dtype):
+    """MXU-assisted-unpack variant of the all-experts batched step:
+    same contract as _qbmm_w4a8tl_kernel, but the VPU touches each
+    packed byte exactly once (`lo = b & 0x0F`) and the hi-nibble dot is
+    recovered as (dot(x, b_u8) - dot(x, lo)) >> 4 on the MXU — the
+    identity _qmm_w4a8tl_mxu_kernel documents. Group scale/zero apply
+    on the output side (exact integer algebra, bounds as there)."""
+    kk = pl.program_id(2)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    b = qw_ref[0]                                     # [bkb, bn] int8
+    lo_all = (b & jnp.int8(0x0F)).reshape(gpt, GROUP, bn)
+    bu_all = b.astype(jnp.uint8).reshape(gpt, GROUP, bn)
+    s_lo = qs_lo_ref[0, 0].astype(jnp.int32)          # [gpt, bn]
+    s_hi = qs_hi_ref[0, 0].astype(jnp.int32)
+    z_lo = z_lo_ref[0, 0].astype(jnp.int32)
+    z_hi = z_hi_ref[0, 0].astype(jnp.int32)
+
+    acc = acc_ref[:]
+    for t in range(gpt):
+        xl = xq_lo_ref[0, :, pl.ds(t * GROUP, GROUP)]  # [t_pad, G] i8
+        xh = xq_hi_ref[0, :, pl.ds(t * GROUP, GROUP)]
+        lo = lo_all[t]
+        A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
+        C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
+        D = jax.lax.dot_general(xh, bu_all[t], (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.int32)
+        hi_dot = (D - C) >> 4
+        sxl = jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True)
+        sxh = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True)
+        slo, zlo = s_lo[t][None, :], z_lo[t][None, :]
+        shi, zhi = s_hi[t][None, :], z_hi[t][None, :]
+        acc = (acc + A * slo - sxl * (slo * zlo)
+               + hi_dot * shi - sxh * (shi * zhi))
+    acc_ref[:] = acc
+
+    @pl.when(kk == n_k_steps - 1)
+    def _():
+        o_ref[0] = (acc_ref[:].astype(jnp.float32) * xs_ref[0]
+                    * chan_ref[0].astype(jnp.float32)).astype(out_dtype)
+
+
 def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
                           p: QuantLinearParams, out_dtype,
                           bkb: int = None, bn: int = None):
@@ -1081,8 +1219,10 @@ def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
     qs4 = p.scales2.reshape(e, 2 * n_k, gpt, n)
     z4 = p.zeros.reshape(e, 2 * n_k, gpt, n)
     chan = p.chan_scale.reshape(e, 1, n)
+    kfn = (_qbmm_w4a8tl_mxu_kernel if _W4A8_GD == "mxu"
+           else _qbmm_w4a8tl_kernel)
     kernel = functools.partial(
-        _qbmm_w4a8tl_kernel, n_k_steps=n_k, bn=bn, gpt=gpt,
+        kfn, n_k_steps=n_k, bn=bn, gpt=gpt,
         out_dtype=out_dtype)
     g_lo_idx = lambda eh, j, kk: (eh, kk, 0, j)                  # noqa: E731
     g_hi_idx = lambda eh, j, kk, nk=n_k: (eh, nk + kk, 0, j)     # noqa: E731

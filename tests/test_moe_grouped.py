@@ -337,6 +337,35 @@ def test_bmm_all_experts_matches_tl_oracle(shared):
         np.testing.assert_allclose(got[ex], want, rtol=5e-3, atol=5e-3)
 
 
+@pytest.mark.parametrize("shared", [True, False])
+def test_bmm_all_experts_mxu_matches_tl_kernel(shared):
+    """MXU-assisted-unpack bmm kernel == the widening-unpack bmm kernel
+    bit-for-bit (same integer algebra, different unpack route)."""
+    from ferrum_tpu.ops.pallas import quant_matmul as qm
+    from ferrum_tpu.ops.quant import requantize_two_level
+    from ferrum_tpu.ops.pallas.quant_matmul import quantize_activation_rows
+
+    e, in_f, out_f, t = 4, 256, 256, 32
+    p = requantize_two_level(make_stack(e, in_f, out_f, seed=31))
+    rng = np.random.default_rng(32)
+    if shared:
+        x = jnp.asarray(rng.normal(0, 1, (t, in_f)), jnp.float32)
+        xq, xs = quantize_activation_rows(x)
+        xq3, xs3 = xq[None], xs[None]
+    else:
+        x = jnp.asarray(rng.normal(0, 1, (e, t, in_f)), jnp.float32)
+        xq, xs = quantize_activation_rows(x.reshape(e * t, in_f))
+        xq3, xs3 = xq.reshape(e, t, in_f), xs.reshape(e, t, 1)
+    base = run_bmm_interpret(xq3, xs3, p, jnp.float32)
+    qm.set_w4a8_gd("mxu")
+    try:
+        got = run_bmm_interpret(xq3, xs3, p, jnp.float32)
+    finally:
+        qm.set_w4a8_gd("off")
+    assert got is not None and base is not None
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(base))
+
+
 def test_moe_dense_decode_matches_float_oracle():
     """moe_mlp_dense_decode (all-experts, interpret-mode kernels) tracks
     the dense float oracle within int4+int8-activation tolerance."""

@@ -152,6 +152,42 @@ class TestW4A8:
         np.testing.assert_allclose(np.asarray(got), want,
                                    atol=1e-4 * scale, rtol=1e-4)
 
+    def test_w4a8tl_mxu_kernel_matches_ref_interpret(self):
+        """MXU-assisted-unpack decode kernel (interpret mode) == the
+        two-level oracle EXACTLY on the integer side: the hi-nibble dot
+        recovered as (dot(x,b) + 256*dot(x,t) - dot(x,lo)) >> 4 is an
+        integer identity (quant_matmul.py _qmm_w4a8tl_mxu_kernel)."""
+        from ferrum_tpu.ops.pallas import quant_matmul as qm
+        from ferrum_tpu.ops.quant import (
+            quant_matmul_w4a8tl_ref, requantize_two_level,
+        )
+
+        x, p = self._case(m=32, in_f=1024, out_f=512)
+        p2 = requantize_two_level(p)
+        want = np.asarray(quant_matmul_w4a8tl_ref(x, p2))
+
+        orig = qm.pl.pallas_call
+
+        def patched(*a, **k):
+            k["interpret"] = True
+            return orig(*a, **k)
+
+        qm.pl.pallas_call = patched
+        try:
+            with jax.disable_jit():
+                xq, xs = qm.quantize_activation_rows(x)
+                got = qm._quant_matmul_w4a8tl_mxu(xq, xs, p2, x.dtype)
+                gd = qm._quant_matmul_w4a8tl_gd(xq, xs, p2, x.dtype)
+        finally:
+            qm.pl.pallas_call = orig
+        assert got is not None
+        scale = np.abs(want).max()
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   atol=1e-4 * scale, rtol=1e-4)
+        # bit-identical to the gd kernel (same integer math, different
+        # unpack route)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(gd))
+
     def test_w4a8tl_gd_kernel_matches_ref_interpret(self):
         """Group-dot decode kernel (interpret mode) == two-level oracle:
         moving scale/zero to the output side is algebraically exact in

@@ -140,6 +140,43 @@ def make_variant(kind: str, m: int, k: int, n: int, bkb: int, bn: int):
             def _():
                 o_ref[:] = acc_ref[:]
             return
+        elif kind == "mxu_t":
+            # same, but NO offline re-pack: handle the sign of the raw
+            # int8 byte via a 4th dot against the top-bit mask
+            # (t = b < 0): dot(x, b_u8) = dot(x, b_s) + 256*dot(x, t)
+            lo = b & jnp.int8(0x0F)
+            t = (b < 0).astype(jnp.int8)
+            xl = x_ref[:, : lo.shape[0]]
+            xh = x_ref[:, lo.shape[0]:]
+            A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
+            C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
+            D = jax.lax.dot(xh, b, preferred_element_type=jnp.int32)
+            T = jax.lax.dot(xh, t, preferred_element_type=jnp.int32)
+            hi_dot = (D + 256 * T - C) >> 4
+            acc_ref[:] += A + hi_dot
+
+            @pl.when(kk == n_k_steps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+            return
+        elif kind == "mxu_u8":
+            # sign handled by the MXU itself if mixed i8 x u8 dots lower
+            lo = b & jnp.int8(0x0F)
+            bu = b.astype(jnp.uint8)
+            xl = x_ref[:, : lo.shape[0]]
+            xh = x_ref[:, lo.shape[0]:]
+            A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
+            C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
+            D = jax.lax.dot_general(
+                xh, bu, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            hi_dot = (D - C) >> 4
+            acc_ref[:] += A + hi_dot
+
+            @pl.when(kk == n_k_steps - 1)
+            def _():
+                o_ref[:] = acc_ref[:]
+            return
         elif kind == "raw":
             lo = b
             hi = b
