@@ -6,11 +6,12 @@ weights stay packed int4 in HBM; each K-tile is dequantized in VMEM
 immediately before its MXU contraction, so HBM weight traffic is the
 packed nibble bytes — the quantity that sets decode speed-of-light.
 
-Layout contract (ops/quant.py pack_rows_np): within every group of 128
-input rows, byte row j holds original row g*128+j in its LOW nibble and
-row g*128+64+j in its HIGH nibble → a group dequantizes with two masks
-and one sublane concatenate (the "TPU repack" trades the Marlin tile
-shuffle for this).
+Layout contract (ops/quant.py pack_rows_np): GLOBAL HALVES — byte row r
+holds original input row r in its LOW nibble and row in/2 + r in its
+HIGH nibble, so the low nibbles of a [bkb, bn] byte tile cover quant
+groups [kk*gpt, ...) and the high nibbles groups [half_groups + kk*gpt,
+...), each contracting against its own aligned activation column slice
+(the "TPU repack" trades the Marlin tile shuffle for this).
 
 Grid: (N/BN, K/BK) with K innermost, BK=256 (2 quant groups per step),
 accumulating into VMEM scratch, output written on the last K step.
@@ -604,7 +605,23 @@ def _quant_matmul_w4a8tl_gd(xq: jnp.ndarray, xs: jnp.ndarray,
 
 
 def _quant_matmul_w4a8tl_mxu(xq, xs, p, out_dtype, **kw):
-    """MXU-assisted-unpack wrapper (same contract as the gd wrapper)."""
+    """MXU-assisted-unpack wrapper (same contract as the gd wrapper).
+
+    Defaults to LARGE tiles: the kernel is DMA/grid-overhead-bound, not
+    VPU-bound, and (bkb=1024, bn=2048) measured 1139 vs 460 GiB/s for
+    the 512x512 grid at m=32 (tools/bench_unpack.py, 224 MiB stream).
+    The gd halving fallbacks still apply for shapes that don't tile."""
+    k2 = xq.shape[1] // 2
+    if "bkb" not in kw:
+        bkb = 1024
+        while bkb > GROUP and k2 % bkb:
+            bkb //= 2
+        kw["bkb"] = bkb
+    if "bn" not in kw:
+        bn = 2048
+        while bn > 128 and p.out_features % bn:
+            bn //= 2
+        kw["bn"] = bn
     return _quant_matmul_w4a8tl_gd(xq, xs, p, out_dtype,
                                    kernel_fn=_qmm_w4a8tl_mxu_kernel, **kw)
 
