@@ -476,10 +476,13 @@ def _qmm_w4a8tl_mxu_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
     formulation Mosaic lowers without widening (`>>`-based unpacks and
     `(b < 0)` masks ICE the Mosaic backend on this stack) — and the
     HI-nibble dot is recovered on the MXU from a dot against the raw
-    bytes REINTERPRETED UNSIGNED, exactly:
+    bytes, exactly:
 
         b_u8 = 16*hi + lo      (hi, lo in 0..15)
         dot(x, hi) = (dot(x, b_u8) - dot(x, lo)) >> 4
+        dot(x, b_u8) = dot(x, (b ^ 0x80) as i8) + 128*sum(x)
+
+    (the XOR form because Mosaic rejects mixed i8 x u8 MXU dots)
 
     The shift is exact: the bracket is 16*dot(x, hi) by construction
     (arithmetic shift = division for multiples of 16, negatives from
@@ -501,9 +504,15 @@ def _qmm_w4a8tl_mxu_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = qw_ref[:]
-    lo_all = (b & jnp.int8(0x0F)).reshape(gpt, GROUP, bn)
-    bu_all = b.astype(jnp.uint8).reshape(gpt, GROUP, bn)
+    # Normalize to u8 lanes first (qweight is packed uint8; synthetic
+    # int8 views wrap-cast identically) — mixed u8/i8 bitwise ops
+    # promote to int16 and corrupt the masks.
+    b = qw_ref[:].astype(jnp.uint8)
+    lo_all = (b & jnp.uint8(0x0F)).astype(jnp.int8).reshape(gpt, GROUP, bn)
+    # b ^ 0x80 reinterpreted signed == b_u8 - 128 exactly, so the
+    # unsigned-byte dot becomes an i8 x i8 dot plus a 128*sum(x) fixup
+    # (Mosaic rejects mixed i8 x u8 MXU dots: "Mix int/int - NYI").
+    bx_all = (b ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(gpt, GROUP, bn)
     lane = pl.ds(j * bn, bn)
 
     acc = acc_ref[:]
@@ -513,13 +522,13 @@ def _qmm_w4a8tl_mxu_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref,
         xl = xq_lo_ref[:, pl.ds(t * GROUP, GROUP)]           # [m, G] i8
         xh = xq_hi_ref[:, pl.ds(t * GROUP, GROUP)]
         lo = lo_all[t]
-        A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
-        C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
-        D = jax.lax.dot_general(xh, bu_all[t], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        hi_dot = (D - C) >> 4
         sxl = jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True)
         sxh = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True)
+        A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
+        C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
+        D = jax.lax.dot(xh, bx_all[t],
+                        preferred_element_type=jnp.int32) + 128 * sxh
+        hi_dot = (D - C) >> 4
         s_lo = qs_ref[g_lo, :, lane].astype(jnp.int32)       # [1, bn]
         z_lo = z_ref[g_lo, :, lane].astype(jnp.int32)
         s_hi = qs_ref[g_hi, :, lane].astype(jnp.int32)
@@ -1158,9 +1167,10 @@ def _qbmm_w4a8tl_mxu_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    b = qw_ref[0]                                     # [bkb, bn] int8
-    lo_all = (b & jnp.int8(0x0F)).reshape(gpt, GROUP, bn)
-    bu_all = b.astype(jnp.uint8).reshape(gpt, GROUP, bn)
+    b = qw_ref[0].astype(jnp.uint8)                   # [bkb, bn] bytes
+    lo_all = (b & jnp.uint8(0x0F)).astype(jnp.int8).reshape(gpt, GROUP, bn)
+    # see _qmm_w4a8tl_mxu_kernel: i8 x u8 dots don't lower; XOR 0x80
+    bx_all = (b ^ jnp.uint8(0x80)).astype(jnp.int8).reshape(gpt, GROUP, bn)
     s_lo = qs_lo_ref[0, 0].astype(jnp.int32)          # [gpt, bn]
     s_hi = qs_hi_ref[0, 0].astype(jnp.int32)
     z_lo = z_lo_ref[0, 0].astype(jnp.int32)
@@ -1171,13 +1181,13 @@ def _qbmm_w4a8tl_mxu_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref,
         xl = xq_lo_ref[0, :, pl.ds(t * GROUP, GROUP)]  # [t_pad, G] i8
         xh = xq_hi_ref[0, :, pl.ds(t * GROUP, GROUP)]
         lo = lo_all[t]
-        A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
-        C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
-        D = jax.lax.dot_general(xh, bu_all[t], (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.int32)
-        hi_dot = (D - C) >> 4
         sxl = jnp.sum(xl.astype(jnp.int32), axis=1, keepdims=True)
         sxh = jnp.sum(xh.astype(jnp.int32), axis=1, keepdims=True)
+        A = jax.lax.dot(xl, lo, preferred_element_type=jnp.int32)
+        C = jax.lax.dot(xh, lo, preferred_element_type=jnp.int32)
+        D = jax.lax.dot(xh, bx_all[t],
+                        preferred_element_type=jnp.int32) + 128 * sxh
+        hi_dot = (D - C) >> 4
         slo, zlo = s_lo[t][None, :], z_lo[t][None, :]
         shi, zhi = s_hi[t][None, :], z_hi[t][None, :]
         acc = (acc + A * slo - sxl * (slo * zlo)

@@ -28,10 +28,9 @@ if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     jax.config.update("jax_platforms", "cpu")
 
 
-def build(model_cfg, gd_mode: str, t_steps: int, depth: int):
+def build(model_cfg, params, gd_mode: str, t_steps: int, depth: int):
     from ferrum_tpu.config import EngineConfig
     from ferrum_tpu.engine.builder import EngineBuilder
-    from ferrum_tpu.models.quantize import init_random_quant_params
 
     cfg = EngineConfig.resolve(
         model=f"gd-{gd_mode}-t{t_steps}d{depth}", max_num_seqs=32,
@@ -41,7 +40,8 @@ def build(model_cfg, gd_mode: str, t_steps: int, depth: int):
         adaptive_windows=False, decode_multi_step=t_steps,
         pipeline_depth=depth, w4a8_gd=gd_mode,
         dtype="bf16", kv_dtype="bf16", seed=0)
-    params = init_random_quant_params(model_cfg, seed=0)
+    # params SHARED across rebuilds: a second on-device init alongside
+    # the first engine's live weights + KV pool OOMs the chip.
     return EngineBuilder(cfg).with_model(model_cfg, params).build()
 
 
@@ -54,7 +54,10 @@ def main() -> None:
     from ferrum_tpu.bench.bench_engine import run_cell
     from ferrum_tpu.models.configs import preset
 
+    from ferrum_tpu.models.quantize import init_random_quant_params
+
     model_cfg = preset(os.environ.get("FERRUM_BENCH_MODEL", "llama-3.1-8b"))
+    params = init_random_quant_params(model_cfg, seed=0)
     c = int(os.environ.get("C", "32"))
     n_req = int(os.environ.get("NREQ", "48"))
     modes = os.environ.get("MODES", "off,all,down").split(",")
@@ -78,22 +81,28 @@ def main() -> None:
             "t_total_s": round(time.time() - t_start, 1),
         }), flush=True)
 
+    import gc
+
     # A: gd modes at the production (T=8, depth=2) window shape
     for mode in modes:
-        eng = build(model_cfg, mode, 8, 2)
+        eng = build(model_cfg, params, mode, 8, 2)
         try:
             cell(eng, f"gd={mode} T=8 d=2")
         finally:
             eng.stop()
+            del eng
+            gc.collect()
 
     # B: T/depth grid at gd=off (or winner — rerun with MODES after A)
     best_mode = os.environ.get("BMODE", "off")
     for t_steps, depth in tgrid:
-        eng = build(model_cfg, best_mode, t_steps, depth)
+        eng = build(model_cfg, params, best_mode, t_steps, depth)
         try:
             cell(eng, f"gd={best_mode} T={t_steps} d={depth}")
         finally:
             eng.stop()
+            del eng
+            gc.collect()
 
 
 if __name__ == "__main__":
