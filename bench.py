@@ -128,6 +128,8 @@ def main() -> None:
         # +14% at c=1 vs T=4 (NOTES_ROUND3 T-sweep); the engine doubles
         # to 16 at low occupancy.
         decode_multi_step=8,
+        # MXU-assisted unpack decode kernels (w4a8_gd default "mxu"):
+        # +10.5% c=32 vs the per-group-f32 path (chip_session A/B).
         dtype="bf16", kv_dtype="bf16", seed=0)
 
     label = f"{model_name}-random"
