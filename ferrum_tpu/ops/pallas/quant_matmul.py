@@ -1218,9 +1218,15 @@ def quant_bmm_all_experts(xq3: jnp.ndarray, xs3: jnp.ndarray,
     if k2 != k or bx not in (1, e) or t_pad % 32 or p.scales2 is None:
         return None
     if bkb is None:
-        bkb = 512
-        while bkb >= GROUP and (k // 2) % bkb:
-            bkb //= 2
+        # Largest multiple of GROUP (<= 1024) dividing the packed K —
+        # NOT just powers of two: the 768-deep expert down-proj
+        # (k//2 = 384) otherwise falls to bkb=128 and triples the grid
+        # steps (DMA/grid overhead is the wall for the mxu kernels).
+        bkb = GROUP
+        for cand in range(1024, GROUP - 1, -GROUP):
+            if (k // 2) % cand == 0:
+                bkb = cand
+                break
     if bn is None:
         bn = n
         while bn > 2048 or (bn > 128 and n % bn):
