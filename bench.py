@@ -232,9 +232,18 @@ def main() -> None:
         # int8 KV in the committed ladder). Same process (the chip claim
         # and backend init are paid), fresh engine: 2048/128 at c=8, KV
         # pool in int8 so 8 slots x 4096 tokens fit beside the weights.
-        if os.environ.get("FERRUM_BENCH_LONGCTX", "0") == "1" \
-                and left() > 420:
+        _run_longctx = (os.environ.get("FERRUM_BENCH_LONGCTX", "0")
+                        == "1" and left() > 420)
+        if _run_longctx:
+          try:
             engine.stop()
+            # Release the ladder engine's device state (KV pool ~4.3
+            # GiB + slot arrays) BEFORE the long-ctx pool allocates:
+            # weights + two KV pools OOM the chip (observed).
+            engine.runner.kv = None
+            engine.runner.prefix_store = None
+            import gc
+            gc.collect()
             note("building long-ctx engine (2048/128, int8 KV)")
             cfg2 = EngineConfig.resolve(
                 model="bench-longctx", max_num_seqs=8,
@@ -256,6 +265,9 @@ def main() -> None:
                 flush_report()
             finally:
                 eng2.stop()
+          except Exception as e:  # best-effort: the ladder + line landed
+            print(f"# long-ctx cell failed: {type(e).__name__}: {e}",
+                  file=sys.stderr, flush=True)
     finally:
         engine.stop()
         if line_out is None:
