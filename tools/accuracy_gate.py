@@ -97,22 +97,32 @@ def run_gate(model: str = "qwen3-4b", n_prompts: int = 12,
     fname = "bf16" if on_tpu else "f32"
     params_f = init_random_params(model_cfg, seed=seed, dtype=fdtype)
 
+    def _say(msg):
+        print(f"[accuracy-gate +{time.time() - t0:7.1f}s] {msg}",
+              file=sys.stderr, flush=True)
+
+    _say(f"backend={jax.default_backend()} oracle={fname} model={model}")
     eng = _build(EngineConfig.resolve(dtype=fname, kv_dtype=fname,
                                       **base_cfg), model_cfg, params_f)
+    _say("oracle engine built")
     try:
         ref_tokens = _gen_all(eng, prompts, gen_tokens)
     finally:
         eng.stop()
+    _say("oracle pass done")
 
     # Quantize THE SAME weights to int4 (group 128, GPTQ-convention).
     params_q = quantize_model_params(params_f, dtype=fdtype)
-    del params_f
+    del params_f, eng
     eng = _build(EngineConfig.resolve(dtype=fname, kv_dtype=fname,
                                       quantization="gptq_int4",
                                       **base_cfg), model_cfg, params_q)
+    _say("int4 engine built")
     try:
         q1 = _gen_all(eng, prompts, gen_tokens)
+        _say("int4 pass 1 done")
         q2 = _gen_all(eng, prompts, gen_tokens)
+        _say("int4 pass 2 done")
     finally:
         eng.stop()
         del params_q, eng
