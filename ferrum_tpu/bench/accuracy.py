@@ -86,6 +86,164 @@ def quant_token_divergence(engine_hi: ContinuousBatchEngine,
                             divergence_rate=rate, passed=rate < gate)
 
 
+def teacher_forced_logits(params, cfg, tokens: Sequence[int]):
+    """Full-sequence causal logits [N, vocab] f32 for one token list.
+
+    Pure-jnp reference forward (no KV cache, no engine): the oracle for
+    offline quantization-error metrics. Supports GQA, sliding windows,
+    and logit softcaps; refuses hybrid GDN configs (the gate targets
+    the dense/MoE int4 path).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.llama_family import (
+        forward_hidden, logits_from_hidden, make_rope_tables)
+
+    if any(t == "linear_attention" for t in (cfg.layer_types or ())):
+        raise NotImplementedError("teacher_forced_logits: dense/MoE only")
+
+    toks = jnp.asarray(list(tokens), dtype=jnp.int32)
+    n = toks.shape[0]
+    pos = jnp.arange(n, dtype=jnp.int32)
+    inv_g, inv_l = make_rope_tables(cfg)
+
+    def attn(li, q, k, v):
+        g = cfg.num_heads // cfg.num_kv_heads
+        kf = jnp.repeat(k, g, axis=1).astype(jnp.float32)   # [N, Hq, D]
+        vf = jnp.repeat(v, g, axis=1).astype(jnp.float32)
+        s = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32), kf)
+        s = s * cfg.attn_scale
+        if cfg.attn_logit_softcap:
+            s = cfg.attn_logit_softcap * jnp.tanh(s / cfg.attn_logit_softcap)
+        mask = pos[None, :] <= pos[:, None]
+        sw = cfg.layer_sliding_window(li)
+        if sw is not None:
+            mask = mask & (pos[None, :] > pos[:, None] - sw)
+        s = jnp.where(mask[None, :, :], s, -1e30)
+        w = jax.nn.softmax(s, axis=-1)
+        return jnp.einsum("hqk,khd->qhd", w, vf).astype(q.dtype)
+
+    h = forward_hidden(params, cfg, toks, pos, attn,
+                       inv_freq_global=inv_g, inv_freq_local=inv_l)
+    return logits_from_hidden(params, cfg, h).astype(jnp.float32)
+
+
+def quant_logit_metrics(logits_f, logits_q) -> Dict:
+    """Tie-robust quantization-error metrics between float-oracle and
+    quantized logits over the same teacher-forced positions [N, vocab].
+
+    Greedy token divergence is structurally unpassable on random-init
+    weights (near-uniform logits => near-tied argmax flips under any
+    perturbation — VERDICT r4); these metrics measure the perturbation
+    itself, which is what quantization quality is:
+
+      kl_mean / kl_p95    per-position KL(p_float || p_int4), nats —
+                          the reference test is literally named quant_kl
+                          (crates/ferrum-cli/tests/quant_kl.rs)
+      rel_err_mean / max  ||l_q - l_f||_2 / ||l_f - mean(l_f)||_2 per
+                          position (shift-invariant relative logit error)
+      top1_agree          raw greedy agreement (reported, tie-sensitive)
+      margin_*            oracle top1-top2 logit gap stats: shows whether
+                          disagreements happen at ties (margin ~ noise)
+                          or at real preferences
+      agree_at_margin     agreement restricted to positions whose oracle
+                          margin exceeds 2x the median top1 perturbation
+                          |l_q - l_f| — flips there are real errors, not
+                          tie noise
+    """
+    import numpy as np
+
+    lf = np.asarray(logits_f, dtype=np.float64)
+    lq = np.asarray(logits_q, dtype=np.float64)
+
+    def _logsoftmax(x):
+        m = x.max(axis=-1, keepdims=True)
+        z = x - m
+        return z - np.log(np.exp(z).sum(axis=-1, keepdims=True))
+
+    lsf, lsq = _logsoftmax(lf), _logsoftmax(lq)
+    pf = np.exp(lsf)
+    kl = (pf * (lsf - lsq)).sum(axis=-1)                   # [N]
+
+    cf = lf - lf.mean(axis=-1, keepdims=True)
+    d = lq - lf
+    d = d - d.mean(axis=-1, keepdims=True)
+    rel = np.linalg.norm(d, axis=-1) / np.maximum(
+        np.linalg.norm(cf, axis=-1), 1e-9)
+
+    top1f = lf.argmax(axis=-1)
+    top1q = lq.argmax(axis=-1)
+    agree = top1f == top1q
+    part = np.partition(lf, -2, axis=-1)
+    margin = part[:, -1] - part[:, -2]                     # oracle gap
+    # Perturbation scale at the decision: |delta logit| of the oracle's
+    # top-1 candidate (shift-corrected).
+    pert = np.abs(d[np.arange(d.shape[0]), top1f])
+    thresh = 2.0 * float(np.median(pert))
+    big = margin > thresh
+    # When quantization noise exceeds (nearly) every oracle margin, the
+    # restricted metric carries no information — on a deep random-init
+    # model the oracle simply has no confident decisions (near-uniform
+    # logits). Report it as vacuous (None) instead of a number; the
+    # gate then rides KL + weight-space error, which a broken path
+    # still fails by an order of magnitude.
+    vacuous = float(big.mean()) < 0.05
+    agree_at_margin = None if vacuous else float(agree[big].mean())
+
+    return {
+        "positions": int(lf.shape[0]),
+        "kl_mean": float(kl.mean()),
+        "kl_p95": float(np.percentile(kl, 95)),
+        "rel_err_mean": float(rel.mean()),
+        "rel_err_max": float(rel.max()),
+        "top1_agree": float(agree.mean()),
+        "margin_median": float(np.median(margin)),
+        "margin_p10": float(np.percentile(margin, 10)),
+        "top1_pert_median": float(np.median(pert)),
+        "margin_threshold": thresh,
+        "frac_above_margin": float(big.mean()),
+        "margin_vacuous": bool(vacuous),
+        "agree_at_margin": agree_at_margin,
+    }
+
+
+def weight_quant_error(params_f, params_q) -> Dict:
+    """Weight-space relative error of each dequantized int4 tensor vs
+    its float source: ||dequant(Q(W)) - W||_2 / ||W||_2 per projection.
+
+    The theory-backed "int4 path isn't broken" detector: int4 group-128
+    quantization of gaussian weights has relative error
+    ~= step/sqrt(12)/sigma ~= 0.10 (step = range(128 samples)/15 ~=
+    0.36 sigma). A packing/scale/zero-point bug shows up as >= 3x that;
+    the gate limit is 0.15. Unlike end-to-end logit error this does not
+    compound with depth, so the limit holds at any model size.
+    """
+    import numpy as np
+
+    from ..ops.linear import DenseLinearParams
+    from ..ops.quant import QuantLinearParams, dequantize
+
+    errs = {}
+    for li, (lf, lq) in enumerate(zip(params_f.layers, params_q.layers)):
+        for name in ("q", "k", "v", "o", "gate", "up", "down"):
+            pf, pq = getattr(lf, name), getattr(lq, name)
+            if not (isinstance(pf, DenseLinearParams)
+                    and isinstance(pq, QuantLinearParams)):
+                continue
+            w = np.asarray(pf.w, dtype=np.float64)
+            wq = np.asarray(dequantize(pq), dtype=np.float64)
+            errs[f"layers[{li}].{name}"] = float(
+                np.linalg.norm(wq - w) / max(np.linalg.norm(w), 1e-12))
+    vals = np.array(list(errs.values()))
+    return {
+        "tensors": len(errs),
+        "rel_err_mean": float(vals.mean()) if len(vals) else 0.0,
+        "rel_err_max": float(vals.max()) if len(vals) else 0.0,
+        "worst_tensor": (max(errs, key=errs.get) if errs else None),
+    }
+
+
 def completions_logprobs(base_url: str, prompt: str,
                          model: str = "ferrum",
                          timeout: float = 300.0) -> Dict:

@@ -325,6 +325,16 @@ def preset(name: str) -> ModelConfig:
             num_heads=4, num_kv_heads=2, head_dim=16, intermediate_size=128,
             qk_norm=True, tie_word_embeddings=True, rope_theta=10000.0,
             max_position_embeddings=2048, eos_token_ids=(257,))
+    if n in ("tiny-quant", "tiny-test-quant"):
+        # Smallest shape the int4-g128 pack layout supports (in/2 must
+        # be a group multiple): hardware-free smokes of quantized
+        # engines (chip-session scripts, accuracy harness).
+        return ModelConfig(
+            family="llama", vocab_size=1024, hidden_size=512,
+            num_layers=2, num_heads=8, num_kv_heads=4, head_dim=64,
+            intermediate_size=1024, tie_word_embeddings=True,
+            rope_theta=10000.0, max_position_embeddings=4096,
+            eos_token_ids=(2,))
     if n in ("tiny-gdn", "tiny-qwen3-next"):
         # Hardware-free hybrid (GDN + full attention) smoke-test model.
         return ModelConfig(

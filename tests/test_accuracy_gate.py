@@ -1,11 +1,16 @@
-"""Accuracy-gate harness (VERDICT r3 #7): int4-vs-float greedy
-divergence + self-determinism on architecture-true random weights.
-Hardware-free check of the harness itself; the committed gate artifact
-under gates/accuracy/ runs the same code on the chip (ref:
-crates/ferrum-cli/tests/quant_kl.rs:1-17 divergence < 0.10)."""
+"""Accuracy-gate harness (VERDICT r3 #7, reworked r5 per VERDICT r4 #1):
+tie-robust quantization-error metrics (per-step KL vs the float oracle,
+relative logit error, margin-scoped agreement) + greedy self-determinism
+on architecture-true random weights; the 0.10 token-divergence bound is
+scoped to trained checkpoints exactly as the reference does (ref:
+crates/ferrum-cli/tests/quant_kl.rs:1-17). Hardware-free check of the
+harness itself; the committed gate artifact under gates/accuracy/ runs
+the same code on the real architecture."""
 
 import sys
 from pathlib import Path
+
+import numpy as np
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 from accuracy_gate import run_gate  # noqa: E402
@@ -14,12 +19,76 @@ from accuracy_gate import run_gate  # noqa: E402
 def test_tiny_gate_passes_and_is_deterministic():
     report = run_gate(model="tiny-test", n_prompts=3, prompt_len=16,
                       gen_tokens=12, seed=0)
-    assert report["schema"] == "ferrum-tpu-accuracy-gate/v1"
+    assert report["schema"] == "ferrum-tpu-accuracy-gate/v2"
+    assert report["weights"] == "random"
     assert report["self_determinism"] == 1.0
-    assert report["divergence"] <= 0.10
     assert report["pass"] is True
+    # Random-weight gating rides the logit metrics, not raw divergence.
+    assert report["divergence_gated"] is False
+    lm = report["logit_metrics"]
+    wm = report["weight_metrics"]
+    assert lm["kl_mean"] <= report["limits"]["kl_mean"]
+    assert wm["rel_err_max"] <= report["limits"]["weight_rel_err_max"]
+    assert lm["agree_at_margin"] >= report["limits"]["agree_at_margin"]
+    # int4 g128 theory on gaussian weights: ~0.10 relative per tensor.
+    assert 0.05 < wm["rel_err_mean"] < 0.13
+    # int4 is a quantization of the SAME weights: its perturbation must
+    # sit far below the oracle's own decision margins on this tiny model.
+    assert lm["top1_pert_median"] < lm["margin_median"]
     assert len(report["divergence_per_prompt"]) == 3
-    # int4 is a quantization of the SAME weights: the gate measures
-    # quantization error only, so the tiny model must stay well under
-    # the product limit.
-    assert report["first_divergence_frac"] > 0.5
+
+
+def test_logit_metrics_detect_brokenness():
+    """A garbage quantized path must FAIL the metrics — the gate is not
+    structurally unpassable in the other direction either."""
+    from ferrum_tpu.bench.accuracy import quant_logit_metrics
+
+    rng = np.random.default_rng(0)
+    lf = rng.normal(size=(64, 512)).astype(np.float32)
+    # identical logits: all metrics pristine
+    m = quant_logit_metrics(lf, lf.copy())
+    assert m["kl_mean"] < 1e-9 and m["rel_err_mean"] < 1e-9
+    assert m["top1_agree"] == 1.0
+    # unrelated logits: the continuous metrics blow through every
+    # limit (the margin metric goes vacuous — noise exceeds every
+    # margin — and is reported as such, not as a pass)
+    lq = rng.normal(size=(64, 512)).astype(np.float32)
+    b = quant_logit_metrics(lf, lq)
+    assert b["kl_mean"] > 0.5
+    assert b["rel_err_mean"] > 0.5
+    assert b["margin_vacuous"] and b["agree_at_margin"] is None
+
+
+def test_teacher_forced_logits_match_engine_oracle():
+    """The teacher-forced reference forward must agree with the engine's
+    greedy path on the float weights: feeding the engine's own greedy
+    continuation back through teacher_forced_logits reproduces each next
+    token's argmax (ties aside) on the tiny model."""
+    import jax.numpy as jnp
+
+    from ferrum_tpu.bench.accuracy import teacher_forced_logits
+    from ferrum_tpu.config import EngineConfig
+    from ferrum_tpu.engine.builder import EngineBuilder
+    from ferrum_tpu.models.configs import preset
+    from ferrum_tpu.models.llama_family import init_random_params
+    from ferrum_tpu.types import InferenceRequest, SamplingParams
+
+    cfg = preset("tiny-test")
+    params = init_random_params(cfg, seed=0, dtype=jnp.float32)
+    eng = (EngineBuilder(EngineConfig.resolve(
+        model="tf-parity", max_num_seqs=2, max_num_batched_tokens=256,
+        max_model_len=128, prefill_chunk_size=64, kv_block_size=16,
+        kv_layout="linear", prefix_cache_blocks=0, dtype="f32",
+        kv_dtype="f32", seed=0)).with_model(cfg, params).build())
+    try:
+        prompt = list(range(7, 23))
+        out = eng.infer(InferenceRequest(
+            prompt_token_ids=prompt,
+            sampling=SamplingParams(temperature=0.0, max_tokens=8,
+                                    ignore_eos=True))).token_ids
+    finally:
+        eng.stop()
+    seq = prompt + list(out)
+    logits = np.asarray(teacher_forced_logits(params, cfg, seq))
+    preds = logits[len(prompt) - 1:-1].argmax(-1)
+    assert preds.tolist() == list(out)

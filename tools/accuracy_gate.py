@@ -1,30 +1,55 @@
 #!/usr/bin/env python
-"""INT4 accuracy gate: greedy divergence vs the bf16 oracle + self-
-determinism, on an architecture-true random model (VERDICT r3 #7).
+"""INT4 accuracy gate: quantization-error metrics vs the float oracle
+plus greedy self-determinism, on an architecture-true model.
 
 Reference discipline:
   * `crates/ferrum-cli/tests/quant_kl.rs:1-17` — INT4 greedy token
-    divergence vs the fp baseline must stay < 0.10;
+    divergence vs the fp baseline must stay < 0.10 — **on real paired
+    HF checkpoints**; the reference auto-skips the bound otherwise.
   * `scripts/lm_eval_light.sh:1-27` — lm_eval vs a committed baseline
-    (needs real weights; runbook stays in docs until a checkpoint is
-    available in this environment).
+    (needs real weights; runbook in docs/accuracy_runbook.md).
 
 What runs HERE (works offline, CPU or chip): one set of float weights
 is the ground truth; the int4 engine runs a QUANTIZATION OF THOSE SAME
-WEIGHTS, so token differences measure quantization error and nothing
-else. Greedy decode, fixed seeds:
+WEIGHTS, so every difference measures quantization error and nothing
+else. Two evidence classes, scoped by --weights:
 
-  divergence      = mean over prompts of (fraction of generated
-                    positions where int4 != bf16)
-  first_div_frac  = mean normalized position of the first mismatch
-                    (1.0 = never diverged)
-  self_determinism= int4 run 2 == int4 run 1, exactly (must be 1.0)
+  random (default — what this environment can produce):
+    Greedy token divergence is structurally unpassable on random-init
+    weights: near-uniform logits mean near-tied argmax that flips under
+    any perturbation, so the 0.10 bound would measure logit ties, not
+    quantization quality (VERDICT r4). The gate therefore measures the
+    perturbation itself:
+      weight_rel_err_max  ||dequant(Q(W)) - W|| / ||W|| per tensor
+                     <= 0.15 — theory-backed: int4 g128 on gaussian
+                     weights is ~0.10; a pack/scale bug is >= 3x that;
+                     depth-independent, so the limit holds at any size
+      kl_mean        mean per-position KL(p_float || p_int4),
+                     teacher-forced over the same tokens    <= 0.10
+      self_det       int4 greedy run 2 == run 1, exactly    == 1.0
+      agree_at_margin  top-1 agreement where the oracle margin
+                     exceeds 2x the median top-1 perturbation >= 0.90
+                     when applicable — on deep random models the
+                     oracle has (almost) no confident margins, so the
+                     metric reports null/vacuous and does not gate
+    Raw divergence, relative logit error and oracle tie-margin stats
+    are reported so the numbers are interpretable, but not gated
+    (end-to-end logit error compounds with depth through a random-
+    weight network — measured 0.019 at 2 layers vs ~0.5 at 28 — so a
+    universal logit-error limit is not justifiable; the weight-space
+    metric covers brokenness with a depth-independent bound). Limits
+    are derived in docs/accuracy_runbook.md ("Random-weight limits").
+
+  trained (real checkpoints):
+    the reference's bound applies: divergence < 0.10 AND self_det 1.0,
+    with the KL/rel-err metrics reported alongside.
 
 Writes the gate artifact JSON (gates/accuracy/<model>-int4.json).
 
 Usage:
-  python tools/accuracy_gate.py --model qwen3-4b --prompts 12 \
-      --prompt-len 64 --gen-tokens 64 --out gates/accuracy/qwen3-4b-int4.json
+  python tools/accuracy_gate.py --model qwen3-0.6b --prompts 4 \
+      --prompt-len 64 --gen-tokens 32 \
+      --out gates/accuracy/qwen3-0.6b-int4.json
 """
 
 from __future__ import annotations
@@ -43,6 +68,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 if os.environ.get("JAX_PLATFORMS", "") == "cpu":
     import jax
     jax.config.update("jax_platforms", "cpu")
+
+RANDOM_LIMITS = {"kl_mean": 0.10, "weight_rel_err_max": 0.15,
+                 "agree_at_margin": 0.90, "self_determinism": 1.0}
+TRAINED_LIMITS = {"divergence": 0.10, "self_determinism": 1.0}
 
 
 def _gen_all(engine, prompts, gen_tokens):
@@ -63,13 +92,15 @@ def _build(cfg, model_cfg, params):
     return EngineBuilder(cfg).with_model(model_cfg, params).build()
 
 
-def run_gate(model: str = "qwen3-4b", n_prompts: int = 12,
-             prompt_len: int = 64, gen_tokens: int = 64,
+def run_gate(model: str = "qwen3-0.6b", n_prompts: int = 4,
+             prompt_len: int = 64, gen_tokens: int = 32,
              seed: int = 0, max_num_seqs: int = 4,
-             divergence_limit: float = 0.10) -> dict:
+             weights: str = "random") -> dict:
     import jax.numpy as jnp
     import numpy as np
 
+    from ferrum_tpu.bench.accuracy import (
+        quant_logit_metrics, teacher_forced_logits, weight_quant_error)
     from ferrum_tpu.config import EngineConfig
     from ferrum_tpu.models.configs import preset
     from ferrum_tpu.models.llama_family import init_random_params
@@ -109,10 +140,35 @@ def run_gate(model: str = "qwen3-4b", n_prompts: int = 12,
         ref_tokens = _gen_all(eng, prompts, gen_tokens)
     finally:
         eng.stop()
-    _say("oracle pass done")
+    _say("oracle generation done")
 
     # Quantize THE SAME weights to int4 (group 128, GPTQ-convention).
     params_q = quantize_model_params(params_f, dtype=fdtype)
+
+    # Weight-space error: theory-backed brokenness detector (int4 g128
+    # on gaussian weights ~= 0.10 relative; a pack/scale bug >= 3x it).
+    weight_metrics = weight_quant_error(params_f, params_q)
+    _say(f"weight-space rel err: mean={weight_metrics['rel_err_mean']:.4f} "
+         f"max={weight_metrics['rel_err_max']:.4f}")
+
+    # Teacher-forced logit comparison over prompt + oracle continuation
+    # — the tie-robust core of the gate. Same positions, same tokens,
+    # only the weights differ (float vs their own int4 quantization).
+    tf_seqs = [list(p) + list(r) for p, r in zip(prompts, ref_tokens)]
+    lf_all, lq_all = [], []
+    for i, seq in enumerate(tf_seqs):
+        lf_all.append(np.asarray(
+            teacher_forced_logits(params_f, model_cfg, seq)[prompt_len - 1:-1]))
+        lq_all.append(np.asarray(
+            teacher_forced_logits(params_q, model_cfg, seq)[prompt_len - 1:-1]))
+        _say(f"teacher-forced logits {i + 1}/{len(tf_seqs)}")
+    logit_metrics = quant_logit_metrics(
+        np.concatenate(lf_all), np.concatenate(lq_all))
+    del lf_all, lq_all
+    _say(f"logit metrics: kl_mean={logit_metrics['kl_mean']:.5f} "
+         f"rel_err_mean={logit_metrics['rel_err_mean']:.4f} "
+         f"agree_at_margin={logit_metrics['agree_at_margin']:.3f}")
+
     del params_f, eng
     eng = _build(EngineConfig.resolve(dtype=fname, kv_dtype=fname,
                                       quantization="gptq_int4",
@@ -133,11 +189,28 @@ def run_gate(model: str = "qwen3-4b", n_prompts: int = 12,
         mism = [i for i in range(n) if ref[i] != q[i]]
         divs.append(len(mism) / n)
         firsts.append((mism[0] / n) if mism else 1.0)
+    divergence = float(np.mean(divs))
     self_det = float(np.mean([a == b for a, b in zip(q1, q2)]))
 
+    if weights == "trained":
+        limits = dict(TRAINED_LIMITS)
+        passed = divergence < limits["divergence"] and self_det == 1.0
+    else:
+        limits = dict(RANDOM_LIMITS)
+        aam = logit_metrics["agree_at_margin"]
+        passed = (
+            logit_metrics["kl_mean"] <= limits["kl_mean"]
+            and weight_metrics["rel_err_max"] <= limits["weight_rel_err_max"]
+            # Vacuous margin metric (deep random model: the oracle has
+            # no confident decisions) does not gate; when it applies,
+            # it must clear 0.90.
+            and (aam is None or aam >= limits["agree_at_margin"])
+            and self_det == 1.0)
+
     report = {
-        "schema": "ferrum-tpu-accuracy-gate/v1",
+        "schema": "ferrum-tpu-accuracy-gate/v2",
         "model": model,
+        "weights": weights,
         "quant": "gptq_int4_g128",
         "oracle_dtype": fname,
         "backend": jax.default_backend(),
@@ -145,14 +218,17 @@ def run_gate(model: str = "qwen3-4b", n_prompts: int = 12,
         "n_prompts": n_prompts,
         "prompt_len": prompt_len,
         "gen_tokens": gen_tokens,
-        "divergence": float(np.mean(divs)),
+        "logit_metrics": {k: (round(v, 6) if isinstance(v, float) else v)
+                          for k, v in logit_metrics.items()},
+        "weight_metrics": {k: (round(v, 6) if isinstance(v, float) else v)
+                           for k, v in weight_metrics.items()},
+        "divergence": divergence,
+        "divergence_gated": weights == "trained",
         "divergence_per_prompt": [round(d, 4) for d in divs],
         "first_divergence_frac": float(np.mean(firsts)),
         "self_determinism": self_det,
-        "limits": {"divergence": divergence_limit,
-                   "self_determinism": 1.0},
-        "pass": bool(np.mean(divs) < divergence_limit
-                     and self_det == 1.0),
+        "limits": limits,
+        "pass": bool(passed),
         "wall_s": round(time.time() - t0, 1),
     }
     return report
@@ -160,18 +236,19 @@ def run_gate(model: str = "qwen3-4b", n_prompts: int = 12,
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--model", default="qwen3-4b")
-    ap.add_argument("--prompts", type=int, default=12)
+    ap.add_argument("--model", default="qwen3-0.6b")
+    ap.add_argument("--prompts", type=int, default=4)
     ap.add_argument("--prompt-len", type=int, default=64)
-    ap.add_argument("--gen-tokens", type=int, default=64)
+    ap.add_argument("--gen-tokens", type=int, default=32)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--divergence-limit", type=float, default=0.10)
+    ap.add_argument("--weights", choices=("random", "trained"),
+                    default="random")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     report = run_gate(model=args.model, n_prompts=args.prompts,
                       prompt_len=args.prompt_len,
                       gen_tokens=args.gen_tokens, seed=args.seed,
-                      divergence_limit=args.divergence_limit)
+                      weights=args.weights)
     print(json.dumps(report, indent=2))
     if args.out:
         os.makedirs(os.path.dirname(args.out), exist_ok=True)
