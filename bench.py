@@ -136,8 +136,14 @@ def main() -> None:
     if quant == "int4":
         # Direct packed-int4 random init: throughput is weight-value
         # independent and this avoids minutes of float RNG on 8B values.
-        params = init_random_quant_params(model_cfg, seed=0)
-        label += "-int4g128"
+        # FERRUM_BENCH_SQUEEZE=1: int8 embeddings + int4 untied lm_head
+        # (docs/fit_30b_v5e.md "maximum squeeze" — the single-chip
+        # true-30B demonstration posture; pair with FERRUM_KV_DTYPE=int8
+        # and a small c<=16 workload).
+        squeeze = os.environ.get("FERRUM_BENCH_SQUEEZE", "0") == "1"
+        params = init_random_quant_params(model_cfg, seed=0,
+                                          squeeze_embeddings=squeeze)
+        label += "-int4g128" + ("-squeeze" if squeeze else "")
     else:
         params = init_random_params(model_cfg, seed=0, dtype=jnp.bfloat16)
 

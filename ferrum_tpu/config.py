@@ -86,6 +86,8 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_DECODE_BUCKETS": ("decode_bucket_spec", str,
                               "decode lane buckets: '' = auto pow2 ladder, "
                               "'max' = full frame, or e.g. '1,8,32'"),
+    "FERRUM_DECODE_T_SPEC": ("decode_t_spec", str,
+                             "per-bucket window length, e.g. 1:32,8:16"),
     "FERRUM_DECODE_MULTI_STEP": ("decode_multi_step", int,
                                  "decode tokens per device call (lax.scan)"),
     "FERRUM_SLOT_SLACK": ("slot_slack", int,
@@ -320,6 +322,15 @@ class EngineConfig:
     # decode windows); "max" = single bucket at max_num_seqs (full slot
     # frame, the pre-bucketing behavior); or an explicit "1,4,16" list.
     decode_bucket_spec: str = ""
+    # Per-bucket window length, e.g. "1:32,8:16": low-occupancy buckets
+    # run LONGER windows (the fixed per-dispatch cost ~16-19 ms on the
+    # tunneled chip dominates single-lane TPOT; at c=1 a T=32 window
+    # amortizes it to ~0.5 ms/token). Buckets not listed use
+    # decode_multi_step. Exactly ONE T per bucket keeps the compiled-
+    # program count identical to the flat default — unlike
+    # adaptive_windows, which doubles the variant count. When both are
+    # set, the spec wins for its listed buckets.
+    decode_t_spec: str = ""
 
     # --- caches / product ---
     session_cache_entries: int = 64
@@ -402,6 +413,20 @@ class EngineConfig:
         if not sizes or sizes[-1] != top:
             sizes.append(top)
         return tuple(sizes)
+
+    def t_for_bucket(self, bucket: int) -> int:
+        """Decode-window length for a lane bucket: decode_t_spec entry
+        if present, else decode_multi_step."""
+        base = max(1, self.decode_multi_step)
+        if not self.decode_t_spec:
+            return base
+        for part in self.decode_t_spec.split(","):
+            if not part.strip():
+                continue
+            b, t = part.split(":")
+            if int(b) == bucket:
+                return max(1, int(t))
+        return base
 
     @property
     def max_blocks_per_seq(self) -> int:

@@ -436,20 +436,47 @@ class ContinuousBatchEngine:
         # paid by the decode steps); the rest fuse into batched prefill
         # programs per (chunk, context) bucket (the weight stream is
         # amortized across the admitted wave, m = B*T).
+        # Plain/guided split decided here (before window-length and
+        # mixed-chunk selection) so the per-bucket T spec sees the
+        # exact lane count that will be dispatched. Phases of
+        # batch.decode_seqs are stable across the prefill dispatch
+        # below (a seq finishing prefill this iteration only starts
+        # decoding next iteration).
+        decode_seqs = [s for s in batch.decode_seqs
+                       if s.phase == Phase.DECODING]
+        # Device-FSM guided sequences ride the plain fused windows (mask
+        # + FSM advance happen inside the compiled step); only the host-
+        # masking fallback needs the per-token logits loop.
+        guided_seqs = [s for s in decode_seqs
+                       if s.guided_processor is not None
+                       and s.guided_fsm is None]
+        plain_seqs = [s for s in decode_seqs
+                      if s.guided_processor is None
+                      or s.guided_fsm is not None]
+
         t_steps = batch.decode_steps or max(1, self.cfg.decode_multi_step)
+        if not batch.decode_steps and self.cfg.decode_t_spec and plain_seqs:
+            # Per-bucket window length (one T per bucket — same program
+            # count as the flat default; see EngineConfig.decode_t_spec).
+            t_steps = self.cfg.t_for_bucket(
+                self.runner.lane_bucket(len(plain_seqs)))
         # Adaptive window length: each dispatched window pays a fixed
         # host/transport cost (~16-19 ms on the tunneled chip — NOTES_
         # ROUND3 T-sweep), so at low occupancy with nothing waiting to
         # admit, run windows twice as long to amortize it (chains
         # survive length changes; overshoot past EOS is discarded).
+        # decode_t_spec IS the length policy when set — adaptive
+        # doubling/halving stands down for consistency of the warm set.
         if (not batch.decode_steps and self.cfg.pipeline_decode
                 and self.cfg.adaptive_windows
+                and not self.cfg.decode_t_spec
                 and not batch.prefill_chunks
                 and not self.scheduler.waiting):
             t_steps = self.runner.adaptive_window_steps(
                 t_steps, len(batch.decode_seqs))
         elif (not batch.decode_steps and batch.prefill_chunks
                 and self.cfg.adaptive_windows
+                and not self.cfg.decode_t_spec
                 and self.scheduler.waiting):
             # Admission pileup (initial burst): shorter windows between
             # prefill waves pull every queued request's first token
@@ -478,18 +505,6 @@ class ContinuousBatchEngine:
             self._dispatch_prefill_groups(old_chunks)
 
         # --- (d) decode: dispatch W+1, then fetch + process W ---
-        decode_seqs = [s for s in batch.decode_seqs
-                       if s.phase == Phase.DECODING]
-        # Device-FSM guided sequences ride the plain fused windows (mask
-        # + FSM advance happen inside the compiled step); only the host-
-        # masking fallback needs the per-token logits loop.
-        guided_seqs = [s for s in decode_seqs
-                       if s.guided_processor is not None
-                       and s.guided_fsm is None]
-        plain_seqs = [s for s in decode_seqs
-                      if s.guided_processor is None
-                      or s.guided_fsm is not None]
-
         new_window = None
         newest = self._inflight_q[-1] if self._inflight_q else None
         if self.spec is not None:
@@ -646,13 +661,83 @@ class ContinuousBatchEngine:
                 self.scheduler.finish(seq)
 
     def _accept_window_tokens(self, seqs, token_lists, t_steps) -> None:
-        for step in range(t_steps):
-            for seq in seqs:
-                if seq.phase != Phase.DECODING:
-                    continue  # finished/aborted earlier in window
-                self._accept_token(
-                    seq, token_lists[seq.request.request_id][step])
-                self.metrics.tokens_decoded += 1
+        for seq in seqs:
+            if seq.phase != Phase.DECODING:
+                continue  # finished/aborted earlier in window
+            toks = token_lists[seq.request.request_id][:t_steps]
+            if seq.guided_processor is not None \
+                    or seq.request.sampling.stop:
+                # Per-token path: the guided host-shadow FSM and stop-
+                # string scans need token granularity.
+                for tok in toks:
+                    if seq.phase != Phase.DECODING:
+                        break
+                    self._accept_token(seq, tok)
+                    self.metrics.tokens_decoded += 1
+            else:
+                self._accept_seq_window(seq, toks)
+
+    def _accept_seq_window(self, seq: Sequence, toks) -> None:
+        """Accept one sequence's whole window of tokens at once.
+
+        The per-token path costs ~0.5 ms/token of host work (per-token
+        set builds, incremental detok calls, StreamChunk queue puts
+        each waking a consumer thread) — at c=32 x T=16 that is ~270 ms
+        per 254 ms window, capping the engine at 48% of device-side
+        throughput (gates/perf r5 decomposition). Tokens genuinely
+        arrive host-side once per window, so window granularity is the
+        honest streaming unit: scan the ints for EOS/length finishes,
+        detokenize ONCE, emit ONE chunk."""
+        sp = seq.request.sampling
+        eos_ids = seq.eos_cache
+        if eos_ids is None:
+            eos_ids = seq.eos_cache = frozenset(
+                self.tokenizer.eos_token_ids) | frozenset(sp.stop_token_ids)
+        n0 = seq.num_output_tokens
+        finish: Optional[FinishReason] = None
+        n_acc = 0
+        eos_hit = False
+        for tok in toks:
+            n_acc += 1
+            n = n0 + n_acc
+            if not sp.ignore_eos and tok in eos_ids and n >= sp.min_tokens:
+                finish = FinishReason.STOP
+                eos_hit = True
+                break
+            if n >= sp.max_tokens:
+                finish = FinishReason.LENGTH
+                break
+        accepted = list(toks[:n_acc])
+        seq.output_tokens.extend(accepted)
+        self.metrics.tokens_decoded += n_acc
+        if seq.first_token_time is None:
+            seq.first_token_time = time.monotonic()
+
+        # One incremental-detok call per window (excluding a finishing
+        # EOS token, matching the per-token path's text semantics).
+        visible = seq.output_tokens[:-1] if eos_hit else seq.output_tokens
+        text = ""
+        if len(visible) > n0:
+            text, seq.detok_prefix_offset, seq.detok_read_offset = \
+                self.tokenizer.decode_incremental(
+                    visible, seq.detok_prefix_offset,
+                    seq.detok_read_offset)
+        seq.emitted_text_len += len(text)
+
+        state = self._requests.get(seq.request.request_id)
+        if state is not None and (text or accepted or finish is not None):
+            state.out_queue.put(StreamChunk(
+                request_id=seq.request.request_id, text=text,
+                token_ids=accepted, finished=finish is not None,
+                finish_reason=finish,
+                prompt_tokens=seq.num_prompt_tokens,
+                completion_tokens=seq.num_output_tokens))
+        if finish is not None:
+            seq.finish_reason = finish
+            with self._lock:
+                self._requests.pop(seq.request.request_id, None)
+                self.metrics.requests_completed += 1
+            self._retire_seq(seq)
 
     # ------------------------------------------------------------------
     def _finish_prompt_only(self, seq: Sequence) -> None:

@@ -1429,13 +1429,23 @@ class ModelRunner:
         plain p_rows=0 program is the one that must exist)."""
         done = 0
         base_t = max(1, self.cfg.decode_multi_step)
-        adaptive = getattr(self.cfg, "adaptive_windows", True)
+        t_spec = getattr(self.cfg, "decode_t_spec", "")
+        adaptive = getattr(self.cfg, "adaptive_windows", True) \
+            and not t_spec
         for (ctx_pad, num_steps, s_pad, greedy, guided, grows, p_rows) \
                 in list(self._decode_multi_fns.keys()):
             for b in self.cfg.decode_buckets:
                 if b > s_pad:
                     break
-                want = [(num_steps, p_rows)] if b < s_pad else []
+                # Per-bucket T spec: each smaller bucket warms at ITS
+                # window length (the only one the engine dispatches for
+                # it) — still exactly one variant per bucket.
+                t_b = self.cfg.t_for_bucket(b) if t_spec else num_steps
+                # A different T needs its own p_rows geometry — warm the
+                # plain variant here; warm_mixed_windows (which runs
+                # after) derives the correct p_rows for the new key.
+                want = [(t_b, p_rows if t_b == num_steps else 0)] \
+                    if b < s_pad else []
                 if adaptive:
                     # Adaptive doubling (low occupancy, idle queue).
                     t2 = self.adaptive_window_steps(num_steps, b)

@@ -56,6 +56,9 @@ class Sequence:
         self.detok_prefix_offset = 0
         self.detok_read_offset = 0
         self.emitted_text_len = 0
+        # Lazy cache of eos | stop_token_ids (engine._accept_seq_window:
+        # per-token set construction measured in the host hot path).
+        self.eos_cache = None
         # Guided decoding DFA state index (sampling/guided.py).
         self.guided_state: Optional[int] = None
         self.guided_processor = None

@@ -167,7 +167,7 @@ def run_gate(model: str = "qwen3-0.6b", n_prompts: int = 4,
     del lf_all, lq_all
     _say(f"logit metrics: kl_mean={logit_metrics['kl_mean']:.5f} "
          f"rel_err_mean={logit_metrics['rel_err_mean']:.4f} "
-         f"agree_at_margin={logit_metrics['agree_at_margin']:.3f}")
+         f"agree_at_margin={logit_metrics['agree_at_margin']}")
 
     del params_f, eng
     eng = _build(EngineConfig.resolve(dtype=fname, kv_dtype=fname,

@@ -165,15 +165,21 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
         engine, ref_engine = _lane_engine(lane)
         model_label = f"tiny-{lane}"
     else:
-        import jax.numpy as jnp
         from ferrum_tpu.config import EngineConfig
         from ferrum_tpu.engine.builder import EngineBuilder
         from ferrum_tpu.models.configs import preset
         from ferrum_tpu.models.quantize import init_random_quant_params
         mc = preset(os.environ.get("FERRUM_GATE_MODEL", "llama-3.1-8b"))
-        cfg = EngineConfig(model="gate", max_num_seqs=32,
-                           max_model_len=1024, kv_layout="linear",
-                           prefill_chunk_size=512)
+        # Same cold-path trim as bench.py: every program this lane can
+        # dispatch must compile inside the session (cross-process cache
+        # loads do not work over remote compile — NOTES_ROUND4).
+        cfg = EngineConfig.resolve(
+            model="gate", max_num_seqs=32, max_model_len=1024,
+            max_num_batched_tokens=2048, kv_layout="linear",
+            prefill_chunk_size=256, kv_block_size=32,
+            decode_bucket_spec="1,8", adaptive_windows=False,
+            prefix_cache_blocks=0, dtype="bf16", kv_dtype="bf16",
+            seed=0)
         params = init_random_quant_params(mc, 0)
         engine = EngineBuilder(cfg).with_model(mc, params).build()
         model_label = "tpu-random-int4"
@@ -235,9 +241,13 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
             _lane_extra_checks(lane, engine, ref_engine, results)
 
         # --- B: bench cells + thresholds ---
+        # CPU lanes: tiny cells (mechanics only). tpu lane: the
+        # reference gate's 256/128 workload shape at c=1/4 (the full
+        # c=32 ladder evidence is bench_report.json / gates/perf).
+        in_len, out_len = (256, 128) if lane == "tpu" else (32, 16)
         cells = run_bench(engine, concurrencies=(1, 4),
                           num_requests_per_cell={1: 4, 4: 8},
-                          input_len=32, output_len=16,
+                          input_len=in_len, output_len=out_len,
                           model_label=model_label)
         results["B_bench_completed"] = all(
             c["completed"] == c["requested"] and c["errors"] == 0
