@@ -71,6 +71,40 @@ def test_every_pallas_kernel_has_reference_oracle():
         assert "_ref" in src, f"{f} lacks a reference-oracle fallback"
 
 
+def test_no_red_gate_artifacts_at_head():
+    """A failing gate artifact must block, not linger in git (VERDICT
+    r4 #8): every committed gates/**/*.json with a `pass`/`passed`
+    field must be green. Red evidence belongs in a fix, not at HEAD."""
+    import json
+    import subprocess
+
+    repo = os.path.dirname(PKG)
+    try:
+        files = subprocess.check_output(
+            ["git", "ls-files", "gates/"], cwd=repo,
+            stderr=subprocess.DEVNULL).decode().split()
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        pytest.skip("not a git checkout")
+    red = []
+
+    def walk(obj, path, fname):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                if k in ("pass", "passed") and v is False:
+                    red.append(f"{fname}:{path}/{k}")
+                walk(v, f"{path}/{k}", fname)
+        elif isinstance(obj, list):
+            for i, v in enumerate(obj):
+                walk(v, f"{path}[{i}]", fname)
+
+    for f in files:
+        if not f.endswith(".json"):
+            continue
+        with open(os.path.join(repo, f)) as fh:
+            walk(json.load(fh), "", f)
+    assert not red, f"red gate artifacts committed at HEAD: {red}"
+
+
 def test_env_registry_covers_engine_config():
     """Every env var maps to a real EngineConfig field."""
     import dataclasses
