@@ -148,6 +148,9 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
 
     comp0 = engine.runner.compilations
     log0 = len(engine.runner.compile_log)
+    r = engine.runner
+    t0s = (r.decode_device_time, r.decode_sync_time,
+           r.prefill_device_time, r.decode_steps, r.prefill_steps)
     t_start = time.monotonic()
     threads = [threading.Thread(target=worker) for _ in range(concurrency)]
     for t in threads:
@@ -179,6 +182,18 @@ def run_cell(engine: ContinuousBatchEngine, *, concurrency: int,
         "compilations_during_cell": compiled,
         "compiled_in_cell": [repr(e) for e in
                              engine.runner.compile_log[log0:]],
+        # Phase-time itemization (runner counter deltas over the cell):
+        # decode_dispatch_s = start_decode_window dispatch calls,
+        # decode_sync_s = blocking window fetches (device wait lands
+        # here), prefill_s = run_prefill_batch wall. The remainder of
+        # wall_s is engine-loop/scheduler/client host time.
+        "phase_times": {
+            "decode_dispatch_s": round(r.decode_device_time - t0s[0], 3),
+            "decode_sync_s": round(r.decode_sync_time - t0s[1], 3),
+            "prefill_s": round(r.prefill_device_time - t0s[2], 3),
+            "decode_steps": r.decode_steps - t0s[3],
+            "prefill_calls": r.prefill_steps - t0s[4],
+        },
     }
 
 

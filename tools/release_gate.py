@@ -178,6 +178,7 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
             max_num_batched_tokens=2048, kv_layout="linear",
             prefill_chunk_size=256, kv_block_size=32,
             decode_bucket_spec="1,8", adaptive_windows=False,
+            decode_multi_step=16, decode_t_spec="1:32",
             prefix_cache_blocks=0, dtype="bf16", kv_dtype="bf16",
             seed=0)
         params = init_random_quant_params(mc, 0)
@@ -245,8 +246,9 @@ def run_lane(lane: str, out_root: str = "gates") -> int:
         # reference gate's 256/128 workload shape at c=1/4 (the full
         # c=32 ladder evidence is bench_report.json / gates/perf).
         in_len, out_len = (256, 128) if lane == "tpu" else (32, 16)
-        cells = run_bench(engine, concurrencies=(1, 4),
-                          num_requests_per_cell={1: 4, 4: 8},
+        ccys = (1, 4, 32) if lane == "tpu" else (1, 4)
+        cells = run_bench(engine, concurrencies=ccys,
+                          num_requests_per_cell={1: 4, 4: 8, 32: 48},
                           input_len=in_len, output_len=out_len,
                           model_label=model_label)
         results["B_bench_completed"] = all(
