@@ -123,11 +123,17 @@ def main() -> None:
         # tools/bench_prefix_ttft.py. FERRUM_PREFIX_CACHE_BLOCKS
         # overrides.
         prefix_cache_blocks=0,
-        # T=8 windows: the fixed per-dispatch cost (~16-19 ms over the
-        # tunnel) dominates short windows — T=8 is +13% at c=32 and
-        # +14% at c=1 vs T=4 (NOTES_ROUND3 T-sweep); the engine doubles
-        # to 16 at low occupancy.
+        # T=8 windows at c>=8: the fixed per-dispatch cost (~16-19 ms
+        # over the tunnel) dominates short windows — T=8 is +13% at
+        # c=32 vs T=4 (NOTES_ROUND3), and T=16 measured ~6% WORSE at
+        # c=32 (970 vs 1037 — gates/perf r5: per-step device time is
+        # T-independent, admission/drain dynamics favor shorter
+        # windows). Bucket 1 runs T=32 (decode_t_spec): c=1 is
+        # device-bound at 10.3 ms/step, so long windows amortize the
+        # dispatch tax to ~0.5 ms/tok (TPOT 11.7 -> 10.4 ms, r5b).
+        # Same compiled-program count as flat T=8 (one T per bucket).
         decode_multi_step=8,
+        decode_t_spec="1:32",
         # MXU-assisted unpack decode kernels (w4a8_gd default "mxu"):
         # +10.5% c=32 vs the per-group-f32 path (chip_session A/B).
         dtype="bf16", kv_dtype="bf16", seed=0)
