@@ -93,6 +93,8 @@ ENV_REGISTRY: Dict[str, Tuple[str, type, str]] = {
     "FERRUM_SLOT_SLACK": ("slot_slack", int,
                           "extra device lanes beyond max_num_seqs so "
                           "admissions never wait on deferred releases"),
+    "FERRUM_REFILL_FIRST": ("refill_first", bool,
+                            "hold decode while admission waves prefill"),
     "FERRUM_ADAPTIVE_WINDOWS": ("adaptive_windows", bool,
                                 "adaptive decode-window lengths (double at "
                                 "low occupancy, halve in pileups)"),
@@ -305,6 +307,12 @@ class EngineConfig:
     # prefill program. ref: the reference's mixed decode+prefill
     # iteration batches (continuous_engine/inner/batch.rs).
     mixed_prefill: bool = True
+    # Hold decode for one iteration while a multi-sequence admission
+    # wave prefills at low occupancy: bandwidth-bound decode at half
+    # occupancy streams the full weight set for half the tokens, so
+    # letting the wave join first is a straight throughput win
+    # (engine.step; measured occupancy waste in gates/tpu phase_times).
+    refill_first: bool = True
     # Extra device lanes beyond max_num_seqs. A finished sequence's
     # slot/KV release is deferred past the in-flight window (its lanes
     # may still be written); slack lanes let the replacement request

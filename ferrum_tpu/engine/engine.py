@@ -271,6 +271,19 @@ class ContinuousBatchEngine:
         self._work_event.set()
         if self._loop_thread is not None:
             self._loop_thread.join(timeout=30)
+        # Unblock any consumer still waiting in infer_stream's q.get():
+        # without this, a request in flight at stop() hangs its caller
+        # thread forever (observed: a test run whose process could
+        # never exit because engine.stop() in a finally left the
+        # worker threads blocked).
+        with self._lock:
+            states = list(self._requests.values())
+            self._requests.clear()
+        for state in states:
+            state.out_queue.put(StreamChunk(
+                request_id=state.seq.request.request_id, text="",
+                token_ids=[], finished=True,
+                finish_reason=FinishReason.ABORT))
 
     def metrics_snapshot(self) -> EngineMetricsSnapshot:
         m = self.metrics
@@ -500,6 +513,21 @@ class ContinuousBatchEngine:
                         and len(chunk.tokens) <= 128 * t_steps):
                     pf_chunk = chunk
                     break
+        # Refill-first: decode is HBM-bandwidth-bound, so a window at
+        # half occupancy streams the full weight set for half the
+        # tokens. When a multi-sequence admission wave is prefilling
+        # and occupancy is low, hold decode for the iteration and let
+        # the wave join — the next windows run at full occupancy.
+        # (gates/tpu phase_times: 368 window-steps at avg occupancy
+        # ~17/32 for a c=32 cell vs ~192 ideal — ~1.5 s of
+        # half-occupancy weight streams.) A single long prompt never
+        # holds decode: it contributes one chunk per iteration.
+        hold_decode = (
+            self.cfg.refill_first and self.spec is None
+            and len(batch.prefill_chunks) >= 2
+            and 0 < len(plain_seqs) <= self.runner.num_slots // 2)
+        if hold_decode:
+            pf_chunk = None
         old_chunks = [c for c in batch.prefill_chunks if c is not pf_chunk]
         if old_chunks:
             self._dispatch_prefill_groups(old_chunks)
@@ -516,7 +544,7 @@ class ContinuousBatchEngine:
                 new_window = self.spec.start_round(
                     plain_seqs, prev=newest)
             plain_seqs = []
-        elif plain_seqs and self.cfg.pipeline_decode:
+        elif plain_seqs and self.cfg.pipeline_decode and not hold_decode:
             # Window length and lane-bucket changes chain freely: the
             # device carry is the slot-indexed last_toks array, not the
             # previous window's output shape.
@@ -557,7 +585,7 @@ class ContinuousBatchEngine:
             self._process_window(self._inflight_q.popleft())
             did_work = True
 
-        if plain_seqs and not self.cfg.pipeline_decode:
+        if plain_seqs and not self.cfg.pipeline_decode and not hold_decode:
             token_lists = self.runner.run_decode_multi(plain_seqs, t_steps)
             self._accept_window_tokens(plain_seqs, token_lists, t_steps)
 

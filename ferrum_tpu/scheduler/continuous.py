@@ -157,6 +157,12 @@ class ContinuousBatchScheduler:
                 return True
             except CapacityError:
                 return False
+        # Clamp the multi-step/pipeline lookahead at the model-length
+        # ceiling (the linear branch above does the same): a request
+        # finishing exactly at max_model_len must not reserve blocks
+        # past the per-seq table width (observed: window lookahead
+        # growing a 256-token seq to 34 blocks of a 32-wide table).
+        tokens = min(tokens, self.cfg.max_model_len)
         need = seq.blocks.blocks_needed_for(tokens)
         if need == 0:
             return True

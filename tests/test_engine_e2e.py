@@ -296,6 +296,44 @@ def test_pipeline_matches_unpipelined():
     assert tight == plain
 
 
+def test_stop_unblocks_inflight_consumers():
+    """engine.stop() must terminate every in-flight infer/infer_stream
+    consumer (ABORT chunk) — a consumer blocked in q.get() forever
+    turns any early shutdown into a hung process."""
+    import time as _time
+
+    eng = tiny_engine(max_num_seqs=2, prefix_cache=False)
+    done = {}
+
+    def go():
+        chunks = list(eng.infer_stream(req(
+            prompt="shutdown mid-request", max_tokens=100000)))
+        done["finish"] = chunks[-1].finish_reason
+
+    t = threading.Thread(target=go)
+    t.start()
+    _time.sleep(1.0)           # let it admit and start decoding
+    eng.stop()
+    t.join(timeout=30)
+    assert not t.is_alive(), "consumer still blocked after stop()"
+    assert done["finish"] in (FinishReason.ABORT, FinishReason.LENGTH)
+
+
+def test_max_model_len_boundary_generation():
+    """A request whose clamped budget runs to exactly max_model_len
+    must finish with LENGTH — the window/pipeline KV lookahead must not
+    reserve blocks past the per-seq table (regression: 34 blocks on a
+    32-wide table crashed the loop)."""
+    eng = tiny_engine(max_num_seqs=2, max_model_len=128, prefix_cache=False)
+    try:
+        r = eng.infer(req(prompt="boundary", max_tokens=100000))
+        assert r.finish_reason == FinishReason.LENGTH
+        assert r.prompt_tokens + r.completion_tokens <= 128
+        assert r.completion_tokens >= 100
+    finally:
+        eng.stop()
+
+
 def test_slot_slack_lanes():
     """slot_slack adds device lanes beyond max_num_seqs so replacement
     requests admit while a finished lane's release is still deferred

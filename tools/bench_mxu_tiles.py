@@ -1,20 +1,22 @@
 #!/usr/bin/env python
 """Tile sweep for the MXU-assisted-unpack decode kernel at the fused
 Llama-8B decode shapes (m=32): the kernel is DMA/grid-bound, so tile
-geometry IS the efficiency knob. Methodology per NOTES_ROUND4: fresh
-inputs per timed call, chained scan, two-length slope (RTT cancels).
+geometry IS the efficiency knob.
 
-Shapes (fused projections, the per-layer decode hot set):
-  qkv      4096 ->  6144
-  o        4096 ->  4096
-  gate_up  4096 -> 28672
-  down    14336 ->  4096
+Measurement methodology (NOTES_ROUND4 + this round):
+  * A single sub-128 MiB weight gets PINNED in VMEM across scan
+    iterations — fake TB/s. Production streams 32 DIFFERENT layers'
+    weights per step, so the probe chains calls over N_W=24 distinct
+    weight tensors (1.4 GiB for gate_up: nothing can pin).
+  * The transport dedupes identical dispatches and has ~30 ms RTT:
+    per-call time is the SLOPE between a 1-pass and 3-pass program
+    (python-unrolled inside one jit; fresh x per timed call).
 
-Prints GB/s of packed-weight stream per (shape, bkb, bn) and the best
-config per shape. Run on the chip: python tools/bench_mxu_tiles.py
+Prints GB/s of packed-weight stream per (shape, bkb, bn).
+Run on the chip: python tools/bench_mxu_tiles.py
+Env: SHAPES=gate_up,down  CONFIGS=1024:2048,2048:2048,2048:4096  M=32
 """
 
-import functools
 import os
 import sys
 import time
@@ -37,41 +39,58 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 from ferrum_tpu.ops.pallas.quant_matmul import (  # noqa: E402
     _quant_matmul_w4a8tl_mxu, quantize_activation_rows,
 )
-from ferrum_tpu.ops.quant import (  # noqa: E402
-    make_quant_linear, requantize_two_level,
-)
+from ferrum_tpu.ops.quant import QuantLinearParams  # noqa: E402
 
 RNG = np.random.default_rng(0)
-SHAPES = [("qkv", 4096, 6144), ("o", 4096, 4096),
-          ("gate_up", 4096, 28672), ("down", 14336, 4096)]
+ALL_SHAPES = {"qkv": (4096, 6144), "o": (4096, 4096),
+              "gate_up": (4096, 28672), "down": (14336, 4096)}
+N_W = 24
 
 
-def slope_time(p, m, in_f, bkb, bn, n1=8, n2=64):
-    def impl(x):
+def rand_params(in_f, out_f, key):
+    # Direct packed random init (content irrelevant for bandwidth).
+    k1, k2 = jax.random.split(key)
+    packed = jax.random.bits(k1, (in_f // 2, out_f), dtype=jnp.uint8)
+    g = in_f // 128
+    return QuantLinearParams(
+        qweight=packed,
+        scales=jnp.full((g, out_f), 0.01, jnp.bfloat16),
+        zeros=jnp.full((g, out_f), 8, jnp.int8),
+        bias=None, in_features=in_f, out_features=out_f, group_size=128,
+        scales2=jnp.full((g, out_f), 15, jnp.int8),
+        chan_scale=jnp.full((1, out_f), 0.01 / 15.0, jnp.float32))
+
+
+def measure(in_f, out_f, m, bkb, bn):
+    key = jax.random.PRNGKey(0)
+    keys = jax.random.split(key, N_W)
+    ps = [rand_params(in_f, out_f, k) for k in keys]
+
+    def one(x, p):
         xq, xs = quantize_activation_rows(x)
         out = _quant_matmul_w4a8tl_mxu(xq, xs, p, jnp.bfloat16,
                                        bkb=bkb, bn=bn)
         if out is None:
-            raise ValueError("shape does not tile")
+            raise ValueError("does not tile")
         return out
 
-    out_f = p.out_features
-
-    def total(iters):
+    def make_chain(n_pass):
         @jax.jit
         def chain(x):
-            def body(x, _):
-                y = impl(x)
-                return x * jnp.bfloat16(0.99) + (
-                    y[:, :in_f] if out_f >= in_f
-                    else jnp.pad(y, ((0, 0), (0, in_f - out_f)))
-                ) * jnp.bfloat16(1e-3), ()
-            x, _ = jax.lax.scan(body, x, None, length=iters)
+            for _ in range(n_pass):
+                for p in ps:
+                    y = one(x, p)
+                    x = x * jnp.bfloat16(0.99) + (
+                        y[:, :in_f] if out_f >= in_f
+                        else jnp.pad(y, ((0, 0), (0, in_f - out_f)))
+                    ) * jnp.bfloat16(1e-3)
             return x
+        return chain
 
+    def total(chain):
         xs_in = [jnp.asarray(RNG.normal(0, 1, (m, in_f)), jnp.bfloat16)
                  for _ in range(3)]
-        np.asarray(chain(xs_in[0]))
+        np.asarray(chain(xs_in[0]))                  # compile + warm
         ts = []
         for x in xs_in[1:]:
             t0 = time.perf_counter()
@@ -79,51 +98,43 @@ def slope_time(p, m, in_f, bkb, bn, n1=8, n2=64):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    t1, t2 = total(n1), total(n2)
-    return (t2 - t1) / (n2 - n1)
+    t1 = total(make_chain(1))
+    t3 = total(make_chain(3))
+    per_call = (t3 - t1) / (2 * N_W)
+    del ps
+    return per_call
 
 
 def main():
     print("backend:", jax.default_backend(), flush=True)
     m = int(os.environ.get("M", "32"))
-    bkbs = [int(v) for v in os.environ.get(
-        "BKB", "512,1024,2048").split(",")]
-    bns = [int(v) for v in os.environ.get(
-        "BN", "1024,2048,4096").split(",")]
+    names = os.environ.get("SHAPES", "gate_up,down").split(",")
+    configs = [tuple(int(v) for v in c.split(":")) for c in os.environ.get(
+        "CONFIGS", "1024:2048,2048:2048,2048:4096").split(",")]
     best = {}
-    for name, in_f, out_f in SHAPES:
-        w = RNG.normal(0, 0.05, (in_f, out_f)).astype(np.float32)
-        p = requantize_two_level(
-            make_quant_linear(w, group_size=128, dtype=jnp.bfloat16))
+    for name in names:
+        in_f, out_f = ALL_SHAPES[name]
         packed = in_f * out_f // 2
-        for bkb in bkbs:
-            if (in_f // 2) % bkb:
+        for bkb, bn in configs:
+            if (in_f // 2) % bkb or out_f % bn:
+                print(f"{name} bkb={bkb} bn={bn}: skip (tiling)",
+                      flush=True)
                 continue
-            for bn in bns:
-                if out_f % bn:
-                    continue
-                try:
-                    dt = slope_time(p, m, in_f, bkb, bn)
-                except Exception as e:
-                    print(f"{name} bkb={bkb} bn={bn}: "
-                          f"{type(e).__name__}: {e}", flush=True)
-                    continue
-                gbs = packed / dt / 1e9
-                print(f"{name:8s} m={m} bkb={bkb:5d} bn={bn:5d}: "
-                      f"{dt*1e6:7.1f} us  {gbs:6.0f} GB/s", flush=True)
-                if name not in best or dt < best[name][0]:
-                    best[name] = (dt, bkb, bn, gbs)
-        del p
-    print("--- best per shape ---")
-    tot = 0.0
-    for name, in_f, out_f in SHAPES:
-        if name in best:
-            dt, bkb, bn, gbs = best[name]
-            tot += dt
-            print(f"{name:8s}: bkb={bkb} bn={bn}  {dt*1e6:.1f} us  "
-                  f"{gbs:.0f} GB/s")
-    print(f"layer total (1x each): {tot*1e6:.1f} us -> "
-          f"32 layers = {tot*32*1e3:.2f} ms/step")
+            try:
+                dt = measure(in_f, out_f, m, bkb, bn)
+            except Exception as e:
+                print(f"{name} bkb={bkb} bn={bn}: {type(e).__name__}: {e}",
+                      flush=True)
+                continue
+            gbs = packed / dt / 1e9
+            print(f"{name:8s} m={m} bkb={bkb:5d} bn={bn:5d}: "
+                  f"{dt*1e6:7.1f} us  {gbs:6.0f} GB/s", flush=True)
+            if name not in best or dt < best[name][0]:
+                best[name] = (dt, bkb, bn, gbs)
+    print("--- best ---")
+    for name, (dt, bkb, bn, gbs) in best.items():
+        print(f"{name:8s}: bkb={bkb} bn={bn}  {dt*1e6:.1f} us  "
+              f"{gbs:.0f} GB/s", flush=True)
 
 
 if __name__ == "__main__":
