@@ -103,6 +103,7 @@ class ContinuousBatchEngine:
         # target depth). Prefill first-token device handles defer to
         # the next iteration the same way.
         self._inflight_q: "collections.deque" = collections.deque()
+        self._hold_streak = 0      # consecutive refill-first holds
         self._pending_first: List = []
         # Prompt-logprob scoring: (chunk, result) pairs whose score rows
         # are fetched next iteration (one readback per dispatch).
@@ -522,10 +523,19 @@ class ContinuousBatchEngine:
         # ~17/32 for a c=32 cell vs ~192 ideal — ~1.5 s of
         # half-occupancy weight streams.) A single long prompt never
         # holds decode: it contributes one chunk per iteration.
+        # Guard rails: never hold under KV pressure or while recompute
+        # re-admissions are in the wave (the held decodes are what
+        # frees blocks — holding can livelock a tight pool), and bound
+        # consecutive holds so any pathological admission pattern
+        # self-resolves.
         hold_decode = (
             self.cfg.refill_first and self.spec is None
             and len(batch.prefill_chunks) >= 2
-            and 0 < len(plain_seqs) <= self.runner.num_slots // 2)
+            and 0 < len(plain_seqs) <= self.runner.num_slots // 2
+            and not batch.deferred_decodes
+            and not any(c.seq.recompute for c in batch.prefill_chunks)
+            and self._hold_streak < 8)
+        self._hold_streak = self._hold_streak + 1 if hold_decode else 0
         if hold_decode:
             pf_chunk = None
         old_chunks = [c for c in batch.prefill_chunks if c is not pf_chunk]
