@@ -110,6 +110,7 @@ def test_decode_continuation_matches_hf_full_forward(oracle):
                                    err_msg=f"step {i}")
 
 
+@pytest.mark.slow  # suite governance: <10 min default lane
 def test_padded_batched_prefill_matches_per_row(oracle):
     """Rows with different real lengths in one padded chunk produce the
     same outputs/states as per-row unpadded runs; pad steps don't touch

@@ -140,6 +140,7 @@ def test_qwen3_next_dense_parity():
     check({})
 
 
+@pytest.mark.slow  # suite governance: <10 min default lane
 def test_qwen3_next_moe_shared_expert_parity():
     check({
         "num_experts": 4, "num_experts_per_tok": 2,

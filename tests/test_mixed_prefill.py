@@ -61,6 +61,7 @@ def _run_concurrent(eng, prompts, max_tokens=10):
     return [results[i].token_ids for i in range(len(prompts))]
 
 
+@pytest.mark.slow  # suite governance: <10 min default lane
 def test_mixed_greedy_parity_concurrent():
     """Concurrent load (admissions while lanes decode → chunks ride
     windows): greedy outputs must match the standalone-prefill engine
@@ -84,6 +85,7 @@ def test_mixed_greedy_parity_concurrent():
         e_plain.stop()
 
 
+@pytest.mark.slow  # suite governance: <10 min default lane
 def test_mixed_multichunk_long_prompt():
     """Prompts longer than prefill_chunk_size: chunks 2..n ride windows
     with a non-zero pool prefix (ctx_len = chunk_start)."""
@@ -99,6 +101,7 @@ def test_mixed_multichunk_long_prompt():
         e_plain.stop()
 
 
+@pytest.mark.slow  # suite governance: <10 min default lane
 def test_mixed_int8_kv_parity():
     """INT8 KV pool: the chunk's K/V quantizes through the window's
     single append; the pool prefix dequantizes inside the window
@@ -115,6 +118,7 @@ def test_mixed_int8_kv_parity():
         e_plain.stop()
 
 
+@pytest.mark.slow  # suite governance: <10 min default lane
 def test_mixed_sliding_window_family():
     """Layer-local sliding windows (gemma3-style 5:1 pattern) apply the
     same window mask to prefill block rows."""

@@ -53,6 +53,7 @@ def run_decode(cfg, params, kv):
     return np.asarray(logits_from_hidden(params, cfg, h)), kv2
 
 
+@pytest.mark.slow  # suite governance: <10 min default lane
 def test_tp_decode_matches_single_device(setup):
     cfg, params = setup
     assert jax.device_count() >= 4
