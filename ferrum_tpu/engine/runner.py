@@ -121,10 +121,10 @@ class ModelRunner:
             # Slot-contiguous layout: attention is a fused dense slice.
             attn_impl = "linear"
         elif attn_impl == "auto":
-            # For the paged layout the XLA gather-based reference
-            # attention currently beats the Pallas kernel inside the
-            # fused decode scan on v5e (the per-sequence grid serializes
-            # on the single TensorCore); pallas stays opt-in.
+            # Paged layout: the XLA gather-based attention IS the
+            # production path (the Pallas DMA-ring kernel was removed
+            # after losing its own ctx-2048 A/B bar 7.7x — the
+            # per-sequence grid serializes on the single TensorCore).
             attn_impl = "ref"
         self.attn_impl = attn_impl
 

@@ -577,8 +577,8 @@ def decode_forward(
                 scale=cfg.attn_scale, sliding_window=sw,
                 softcap=cfg.attn_logit_softcap,
                 k_self=k_new, v_self=v_new)
-        # Legacy write-then-attend (pallas + diagnostics); pays the
-        # re-tiling copy — opt-in only.
+        # Diagnostic write-then-attend ladder (profile_decode.py); pays
+        # the re-tiling copy — opt-in only.
         flat_l = flat_slots + kli * nb * page
         k4 = state["k"].reshape(L * nb, page, hkv, d)
         v4 = state["v"].reshape(L * nb, page, hkv, d)
@@ -597,11 +597,14 @@ def decode_forward(
             return dense_decode_attention_ref(
                 q, k_lin, v_lin, context_lens, scale=cfg.attn_scale,
                 sliding_window=sw, softcap=cfg.attn_logit_softcap)
-        from ..ops.pallas.paged_attention import paged_decode_attention
-        return paged_decode_attention(
-            q, k4, v4, block_tables + li * nb, context_lens,
-            scale=cfg.attn_scale, sliding_window=sw,
-            softcap=cfg.attn_logit_softcap)
+        # "pallas" (the DMA-ring ragged kernel) was REMOVED after its
+        # own on-chip bar failed decisively: in-engine A/B at ctx 2048
+        # measured 1238 ms/window vs 160 for this XLA path (7.7x,
+        # gates/perf r5 attn-ab artifact). The (S,) per-sequence grid
+        # serializes on the v5e's single TensorCore; XLA's gather +
+        # flash composition wins at every context measured.
+        from ..types import NotSupportedError
+        raise NotSupportedError(f"unknown attn_impl {attn_impl!r}")
 
     mixer = None
     if rec is not None:

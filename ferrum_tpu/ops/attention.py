@@ -8,8 +8,13 @@ cache, and chunked-prefill attention where a chunk of new tokens attends
 to its cached prefix plus itself causally.
 
 These jnp versions are the correctness oracle (the reference's `_eq`
-pattern) and the fallback path; the performance path is the Pallas
-ragged paged-attention kernel in ops/pallas/paged_attention.py. All
+pattern) AND the production attention path: the linear layout's fused
+dense-slice attention for serving, and the gather-based paged path for
+the paged layout. (A Pallas DMA-ring ragged kernel existed through
+round 4; its own on-chip bar — in-engine A/B at ctx>=2048 — failed
+7.7x against the XLA path, so it was removed. The per-sequence grid
+serializes on the v5e's single TensorCore; XLA's gather + flash
+composition wins at every measured context.) All
 shapes are static: callers pad the batch to a bucket and the visible
 context to `ctx_pad` tokens (a multiple of the page size), the TPU
 analog of the reference's padded-batch CUDA-graph keys.

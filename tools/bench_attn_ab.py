@@ -1,12 +1,17 @@
 #!/usr/bin/env python
 """Paged decode attention A/B on the real chip (VERDICT r3 #6).
 
-Decides the Pallas paged-attention kernel's fate: inside the SAME fused
-decode windows the engine serves with (paged KV layout), measure
-ms/window for attn_impl in {ref (XLA gather), pallas (DMA-ring kernel)}
-at a long context, where attention bytes actually matter. One process,
-one engine build per impl (weights regenerated per build; the compile
-cost is the price of an honest in-engine A/B).
+VERDICT RENDERED (round 5, real chip, llama-8B int4, ctx 2048, c=4,
+T=8, 12 windows): ref (XLA gather) 160.42 ms/window vs pallas
+(DMA-ring ragged kernel) 1238.03 ms/window — a 7.7x LOSS for the
+kernel at exactly the long-context regime it was aimed at. The (S,)
+per-sequence grid serializes on the v5e's single TensorCore, and the
+page-granular DMA ring cannot beat XLA's fused gather + flash
+composition. The kernel was REMOVED (ops/pallas/paged_attention.py);
+the linear slot-contiguous layout remains the serving fast path and
+the XLA gather path serves the paged layout. Artifact:
+gates/perf/*-attn-ab.json. Tool retained (IMPLS=ref) as the in-engine
+long-context window probe and as the bar for any future kernel.
 
 Env: CTX (default 2048), C (lanes, default 8), T (default 8),
 NWIN (default 16), FERRUM_BENCH_MODEL (default llama-3.1-8b).
@@ -113,7 +118,7 @@ def main():
     t_steps = int(os.environ.get("T", "8"))
     n_win = int(os.environ.get("NWIN", "16"))
     kv_dtype = os.environ.get("KV", "bf16")
-    impls = os.environ.get("IMPLS", "ref,pallas").split(",")
+    impls = os.environ.get("IMPLS", "ref").split(",")
     res = {}
     for impl in impls:
         res[impl] = run_impl(impl, model_cfg, ctx, c, t_steps, n_win,
