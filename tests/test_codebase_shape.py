@@ -105,6 +105,24 @@ def test_no_red_gate_artifacts_at_head():
     assert not red, f"red gate artifacts committed at HEAD: {red}"
 
 
+def test_ci_lanes_cover_every_test_file():
+    """Every tests/test_*.py must appear in a CI lane (ci.yml matrix or
+    an explicit pytest invocation) — new test files must not silently
+    drop out of CI (VERDICT r4 weak #7: CI honesty)."""
+    repo = os.path.dirname(PKG)
+    ci_path = os.path.join(repo, ".github", "workflows", "ci.yml")
+    ci = open(ci_path).read()
+    missing = []
+    for f in sorted(os.listdir(os.path.join(repo, "tests"))):
+        if not (f.startswith("test_") and f.endswith(".py")):
+            continue
+        if f == "test_codebase_shape.py":
+            continue  # runs in the governance job
+        if f"tests/{f}" not in ci:
+            missing.append(f)
+    assert not missing, f"test files not in any CI lane: {missing}"
+
+
 def test_env_registry_covers_engine_config():
     """Every env var maps to a real EngineConfig field."""
     import dataclasses
