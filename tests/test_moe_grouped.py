@@ -425,3 +425,70 @@ def test_moe_dense_decode_matches_float_oracle():
     scale = np.abs(np.asarray(want)).max()
     err = np.abs(np.asarray(got) - np.asarray(want)).max() / scale
     assert err < 3e-2, err
+
+
+def test_moe_gather_decode_matches_ref():
+    """Routed-experts-only decode path (t·topk < E): gathers the k
+    routed experts' packed stacks and reuses the all-experts bmm —
+    must match the one-hot float oracle. This is the single-stream
+    decode path (the sort path walks the full expert grid)."""
+    from ferrum_tpu.models.configs import ModelConfig, MoeConfig
+    from ferrum_tpu.models.llama_family import MoeLayerParams
+    from ferrum_tpu.ops.linear import DenseLinearParams
+    from ferrum_tpu.ops.moe import moe_mlp_gather_decode, moe_mlp_ref
+    from ferrum_tpu.ops.pallas import quant_matmul as qm
+    from ferrum_tpu.ops.quant import requantize_two_level
+    import dataclasses
+
+    h, inter, e, k = 256, 256, 8, 2
+    cfg = ModelConfig(
+        family="qwen3_moe", vocab_size=64, hidden_size=h, num_layers=1,
+        num_heads=2, num_kv_heads=1, head_dim=128,
+        intermediate_size=inter,
+        moe=MoeConfig(num_experts=e, num_experts_per_tok=k,
+                      moe_intermediate_size=inter, norm_topk_prob=True))
+    rng = np.random.default_rng(40)
+    router = DenseLinearParams(
+        w=jnp.asarray(rng.normal(0, 0.5, (h, e)), jnp.float32), bias=None)
+    gate = requantize_two_level(make_stack(e, h, inter, seed=41))
+    up = requantize_two_level(make_stack(e, h, inter, seed=42))
+    down = requantize_two_level(make_stack(e, inter, h, seed=43))
+    gate_up = dataclasses.replace(
+        gate,
+        qweight=jnp.concatenate([gate.qweight, up.qweight], axis=-1),
+        scales=jnp.concatenate([gate.scales, up.scales], axis=-1),
+        zeros=jnp.concatenate([gate.zeros, up.zeros], axis=-1),
+        scales2=jnp.concatenate([gate.scales2, up.scales2], axis=-1),
+        chan_scale=jnp.concatenate([gate.chan_scale, up.chan_scale],
+                                   axis=-1),
+        out_features=2 * inter)
+    p = MoeLayerParams(router=router, gate=gate, up=up, down=down,
+                       gate_up=gate_up)
+
+    def dq(stack, in_f, out_f):
+        return jax.vmap(lambda qw, s, z: dequantize(QuantLinearParams(
+            qweight=qw, scales=s, zeros=z, bias=None, in_features=in_f,
+            out_features=out_f, group_size=128), jnp.float32))(
+            stack.qweight, stack.scales, stack.zeros)
+
+    dense = MoeLayerParams(router=router, gate=dq(gate, h, inter),
+                           up=dq(up, h, inter), down=dq(down, inter, h))
+
+    orig = qm.pl.pallas_call
+
+    def patched(*a, **kw):
+        kw["interpret"] = True
+        return orig(*a, **kw)
+
+    for t in (1, 3):
+        x = jnp.asarray(rng.normal(0, 1, (t, h)), jnp.float32)
+        qm.pl.pallas_call = patched
+        try:
+            with jax.disable_jit():
+                got = moe_mlp_gather_decode(x, p, cfg)
+        finally:
+            qm.pl.pallas_call = orig
+        assert got is not None, "gather path unexpectedly unsupported"
+        want = np.asarray(moe_mlp_ref(x, dense, cfg))
+        np.testing.assert_allclose(np.asarray(got), want,
+                                   rtol=6e-2, atol=3e-2)
