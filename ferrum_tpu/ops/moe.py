@@ -139,9 +139,15 @@ def moe_mlp_gather_decode(x: jnp.ndarray, p: "MoeLayerParams",
     at E=128). Shapes are static (gather of [A, in/2, out] by the
     routing ids inside the fused window scan).
 
-    Returns None when shapes/params are unsupported (caller falls back
-    to the sort path). Chip-validated by tools/chip_probe_moe_gather.py;
-    CPU parity vs moe_mlp_ref in tests/test_moe_grouped.py.
+    MEASURED NEGATIVE RESULT (round 5, real chip, true 30B-A3B
+    per-layer shapes, E=64, t=1): 0.614 ms/layer vs 0.451 for the
+    all-experts bmm — 0.73x. The gather copy (XLA materializes the
+    routed stacks) plus the E'=8 bmm's 32-row activation padding cost
+    more than the 8x stream reduction; the all-experts path already
+    streams at ~667 GB/s. NOT wired into moe_mlp — retained with its
+    parity test (tests/test_moe_grouped.py) and chip probe
+    (tools/chip_probe_moe_gather.py) as the documented evidence for
+    why single-stream MoE decode stays on the all-experts path.
     """
     import dataclasses
 
@@ -229,14 +235,10 @@ def moe_mlp(x: jnp.ndarray, p: "MoeLayerParams",
             out = moe_mlp_dense_decode(x, p, cfg)
             if out is not None:
                 return out
-        if (_on_tpu() and _w4a8() and _first.scales2 is not None
-                and p.down.scales2 is not None
-                and t * k < e and t <= 8):
-            # Single-stream / tiny-batch decode: touch only the routed
-            # experts (the sort path walks the full expert grid).
-            out = moe_mlp_gather_decode(x, p, cfg)
-            if out is not None:
-                return out
+        # NOT wired: moe_mlp_gather_decode (routed-experts-only decode)
+        # measured 0.73x vs the all-experts bmm at t=1/E=64 on chip —
+        # the gather materialization + the E'=8 bmm's 32-row padding
+        # cost more than the stream saving (chip_probe_moe_gather.py).
 
     logits = apply_linear(p.router, x)
     weights, ids = route_topk(logits, k, m.norm_topk_prob)   # [T,k]

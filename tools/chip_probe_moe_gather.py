@@ -8,6 +8,13 @@ full expert grid (measured 20.6 ms/token on the 15B proxy).
 Parity: gather path vs the all-experts bmm dense path on the same
 quantized stacks (same kernel family — exact same quantization, so
 tolerances are tight). Timing: chained calls, slope method.
+
+VERDICT (round 5, real chip): parity exact (max rel err 0.00000);
+timing gather 0.614 ms/layer vs all-experts 0.451 — 0.73x, a measured
+LOSS. The gather materialization + E'=8 bmm padding outweigh the 8x
+stream reduction (all-experts already streams ~667 GB/s). The path is
+NOT wired; single-stream MoE decode stays on the sort/all-experts
+paths (~21 ms/token at E=64 — the honest c=1 floor for these kernels).
 """
 
 import os
