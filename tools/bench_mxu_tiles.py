@@ -44,7 +44,10 @@ from ferrum_tpu.ops.quant import QuantLinearParams  # noqa: E402
 RNG = np.random.default_rng(0)
 ALL_SHAPES = {"qkv": (4096, 6144), "o": (4096, 4096),
               "gate_up": (4096, 28672), "down": (14336, 4096)}
-N_W = 24
+# 6 distinct weights x 58 MB (gate_up) = 350 MB streamed per pass —
+# above the ~224 MB VMEM-pinning threshold, while keeping the traced
+# program small (the 24-weight variant ground >25 min in host tracing).
+N_W = int(os.environ.get("NW", "6"))
 
 
 def rand_params(in_f, out_f, key):
@@ -75,10 +78,13 @@ def measure(in_f, out_f, m, bkb, bn):
         return out
 
     def make_chain(n_pass):
+        # Weights as ARGUMENTS, not closures: a closed-over device
+        # array becomes an HLO constant and the remote-compile request
+        # ships it (observed HTTP 413 at 350 MB of constants).
         @jax.jit
-        def chain(x):
+        def chain(x, ws):
             for _ in range(n_pass):
-                for p in ps:
+                for p in ws:
                     y = one(x, p)
                     x = x * jnp.bfloat16(0.99) + (
                         y[:, :in_f] if out_f >= in_f
@@ -90,11 +96,11 @@ def measure(in_f, out_f, m, bkb, bn):
     def total(chain):
         xs_in = [jnp.asarray(RNG.normal(0, 1, (m, in_f)), jnp.bfloat16)
                  for _ in range(3)]
-        np.asarray(chain(xs_in[0]))                  # compile + warm
+        np.asarray(chain(xs_in[0], ps))              # compile + warm
         ts = []
         for x in xs_in[1:]:
             t0 = time.perf_counter()
-            np.asarray(chain(x))
+            np.asarray(chain(x, ps))
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
