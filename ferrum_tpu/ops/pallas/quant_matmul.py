@@ -336,6 +336,132 @@ def _qmm_w4a8tl_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref, qs_ref, z_ref,
                     * chan_ref[:]).astype(out_dtype)
 
 
+def _qmm_w4a8tl_mcache_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref,
+                              qs_ref, z_ref, chan_ref, o_ref, acc_ref,
+                              wlo_ref, whi_ref, *, n_k_steps: int,
+                              m_steps: int, half_groups: int, bn: int,
+                              bm: int, gpt: int, out_dtype):
+    """Prefill variant of _qmm_w4a8tl_kernel with m INNERMOST and the
+    dequantized weight planes cached in VMEM scratch.
+
+    The base kernel's grid (m/bm, n/bn, K) re-runs the per-weight-
+    element integer prep ((q−z)·qs → int8) once per M-TILE — at
+    m=2048/bm=256 that is 8x redundant VPU work, the reason batched
+    prefill sits near ~27% of the int8 MXU peak (r4 hypothesis,
+    tools/bench_prefill_tiles.py). Here grid=(n/bn, K, m/bm): for a
+    fixed (j, kk) weight block the m-tiles sweep innermost, the prep
+    runs only at i==0 into int8 scratch, and every later m-tile goes
+    straight to the MXU dots. The accumulator is a full [m, bn] VMEM
+    scratch (4 MB at m=2048/bn=512) because kk advances OUTSIDE i."""
+    j = pl.program_id(0)
+    kk = pl.program_id(1)
+    i = pl.program_id(2)
+
+    row = pl.ds(i * bm, bm)
+
+    @pl.when(kk == 0)
+    def _():
+        acc_ref[row, :] = jnp.zeros((bm, bn), jnp.int32)
+
+    @pl.when(i == 0)
+    def _():
+        qi = qw_ref[:].astype(jnp.int32)
+        lane = pl.ds(j * bn, bn)
+
+        def prep(plane, g0):
+            qg = plane.reshape(gpt, GROUP, bn)
+            parts = []
+            for t in range(gpt):
+                zt = z_ref[g0 + t, :, lane].astype(jnp.int32)
+                st = qs_ref[g0 + t, :, lane].astype(jnp.int32)
+                parts.append(((qg[t] - zt) * st).astype(jnp.int8))
+            return parts[0] if gpt == 1 else jnp.concatenate(parts, axis=0)
+
+        wlo_ref[:] = prep(qi & 0xF, kk * gpt)
+        whi_ref[:] = prep(qi >> 4, half_groups + kk * gpt)
+
+    acc = acc_ref[row, :]
+    acc += jax.lax.dot(xq_lo_ref[:], wlo_ref[:],
+                       preferred_element_type=jnp.int32)
+    acc += jax.lax.dot(xq_hi_ref[:], whi_ref[:],
+                       preferred_element_type=jnp.int32)
+    acc_ref[row, :] = acc
+
+    @pl.when(kk == n_k_steps - 1)
+    def _():
+        o_ref[:] = (acc.astype(jnp.float32) * xs_ref[:]
+                    * chan_ref[:]).astype(out_dtype)
+
+
+def _quant_matmul_w4a8tl_2d_mcache(xq: jnp.ndarray, xs: jnp.ndarray,
+                                   p: QuantLinearParams, out_dtype,
+                                   bkb: int = None, bn: int = None,
+                                   bm: int = None):
+    """Wrapper for the m-innermost prep-cached prefill kernel. Same
+    contract as _quant_matmul_w4a8tl_2d; returns None on unsupported
+    shapes or when the [m, bn] accumulator would not fit VMEM."""
+    m, k = xq.shape
+    n = p.out_features
+    assert k == p.in_features
+    if bkb is None:
+        bkb = 512
+    while bkb >= GROUP and (k // 2) % bkb:
+        bkb //= 2
+    if bn is None:
+        bn = 512
+        while bn > 128 and n % bn:
+            bn //= 2
+    if p.group_size != GROUP or bkb < GROUP or (n % bn):
+        return None
+    if bm is None:
+        bm = min(m, 256)
+    while bm > 32 and m % bm:
+        bm //= 2
+    if m % bm or m * bn * 4 > 24 * 2**20:     # [m, bn] int32 acc budget
+        return None
+    n_k = (k // 2) // bkb
+    half_groups = (k // 2) // GROUP
+
+    qs3 = p.scales2.reshape(-1, 1, n)
+    z3 = p.zeros.reshape(-1, 1, n)
+    chan = p.chan_scale.astype(jnp.float32).reshape(1, n)
+    kernel = functools.partial(
+        _qmm_w4a8tl_mcache_kernel, n_k_steps=n_k, m_steps=m // bm,
+        half_groups=half_groups, bn=bn, bm=bm, gpt=bkb // GROUP,
+        out_dtype=out_dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(n // bn, n_k, m // bm),
+        in_specs=[
+            pl.BlockSpec((bm, bkb), lambda j, kk, i: (i, kk),
+                         memory_space=pltpu.VMEM),            # xq low cols
+            pl.BlockSpec((bm, bkb),
+                         lambda j, kk, i, nk=n_k: (i, nk + kk),
+                         memory_space=pltpu.VMEM),            # xq high cols
+            pl.BlockSpec((bm, 1), lambda j, kk, i: (i, 0),
+                         memory_space=pltpu.VMEM),            # xs
+            pl.BlockSpec((bkb, bn), lambda j, kk, i: (kk, j),
+                         memory_space=pltpu.VMEM),            # weight block
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # scales2 (full)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # zeros (full)
+            pl.BlockSpec((1, bn), lambda j, kk, i: (0, j),
+                         memory_space=pltpu.VMEM),            # chan
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda j, kk, i: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((m, n), out_dtype),
+        scratch_shapes=[pltpu.VMEM((m, bn), jnp.int32),
+                        pltpu.VMEM((bkb, bn), jnp.int8),
+                        pltpu.VMEM((bkb, bn), jnp.int8)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * m * k * n,
+            bytes_accessed=p.qweight.nbytes + xq.nbytes + 2 * m * n,
+            transcendentals=0),
+    )(xq, xq, xs, p.qweight, qs3, z3, chan)
+
+
 def _quant_matmul_w4a8tl_2d(xq: jnp.ndarray, xs: jnp.ndarray,
                             p: QuantLinearParams, out_dtype,
                             bkb: int = None, bn: int = None,

@@ -492,3 +492,39 @@ def test_moe_gather_decode_matches_ref():
         want = np.asarray(moe_mlp_ref(x, dense, cfg))
         np.testing.assert_allclose(np.asarray(got), want,
                                    rtol=6e-2, atol=3e-2)
+
+
+def test_tl2d_mcache_matches_tl_oracle():
+    """m-innermost prep-cached prefill kernel == the jnp TL oracle at a
+    multi-m-tile, multi-k-step shape (the geometry where the weight
+    prep caching actually kicks in)."""
+    from ferrum_tpu.ops.quant import (
+        make_quant_linear, quant_matmul_w4a8tl_ref, requantize_two_level,
+    )
+    from ferrum_tpu.ops.pallas import quant_matmul as qm
+
+    in_f, out_f, m = 512, 256, 96          # 3 m-tiles at bm=32, 2 k-steps
+    rng = np.random.default_rng(50)
+    w = rng.normal(0, 0.05, (in_f, out_f)).astype(np.float32)
+    p = requantize_two_level(
+        make_quant_linear(w, group_size=128, dtype=jnp.bfloat16))
+    x = jnp.asarray(rng.normal(0, 1, (m, in_f)), jnp.float32)
+    xq, xs = qm.quantize_activation_rows(x)
+
+    orig = qm.pl.pallas_call
+
+    def patched(*a, **k):
+        k["interpret"] = True
+        return orig(*a, **k)
+
+    qm.pl.pallas_call = patched
+    try:
+        with jax.disable_jit():
+            got = qm._quant_matmul_w4a8tl_2d_mcache(
+                xq, xs, p, jnp.float32, bkb=128, bn=128, bm=32)
+    finally:
+        qm.pl.pallas_call = orig
+    assert got is not None
+    want = np.asarray(quant_matmul_w4a8tl_ref(x, p))
+    np.testing.assert_allclose(np.asarray(got), want, rtol=5e-3,
+                               atol=5e-3)
