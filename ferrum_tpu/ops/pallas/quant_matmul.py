@@ -346,13 +346,23 @@ def _qmm_w4a8tl_mcache_kernel(xq_lo_ref, xq_hi_ref, xs_ref, qw_ref,
 
     The base kernel's grid (m/bm, n/bn, K) re-runs the per-weight-
     element integer prep ((q−z)·qs → int8) once per M-TILE — at
-    m=2048/bm=256 that is 8x redundant VPU work, the reason batched
-    prefill sits near ~27% of the int8 MXU peak (r4 hypothesis,
-    tools/bench_prefill_tiles.py). Here grid=(n/bn, K, m/bm): for a
-    fixed (j, kk) weight block the m-tiles sweep innermost, the prep
-    runs only at i==0 into int8 scratch, and every later m-tile goes
-    straight to the MXU dots. The accumulator is a full [m, bn] VMEM
-    scratch (4 MB at m=2048/bn=512) because kk advances OUTSIDE i."""
+    m=2048/bm=256 that is 8x redundant VPU work — the r4 hypothesis
+    for why batched prefill "sits near ~27% of the int8 MXU peak".
+    Here grid=(n/bn, K, m/bm): for a fixed (j, kk) weight block the
+    m-tiles sweep innermost, the prep runs only at i==0 into int8
+    scratch, and every later m-tile goes straight to the MXU dots. The
+    accumulator is a full [m, bn] VMEM scratch because kk advances
+    OUTSIDE i.
+
+    MEASURED VERDICT (round 5, chip, clean methodology — on-device
+    inputs, args-passed weights): the premise was FALSE. The base
+    kernel already runs at 73% / 61% of int8 peak at m=2048
+    (4096x14336 / 14336x4096) — the old 27% number was measurement
+    contamination. This variant measures 0.80x / 0.60x: the [m, bn]
+    scratch read-modify-write per k-step costs more than the prep it
+    saves. NOT wired — retained with its parity test and
+    tools/chip_probe_prefill_mcache.py as the documented negative
+    result; prefill matmul efficiency is NOT the prefill bottleneck."""
     j = pl.program_id(0)
     kk = pl.program_id(1)
     i = pl.program_id(2)
